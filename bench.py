@@ -1,0 +1,83 @@
+"""Benchmark: batched greedy-decode RTFx on the flagship config.
+
+Prints ONE JSON line:
+  {"metric": "rtfx_greedy_batch", "value": N, "unit": "audio_sec/sec",
+   "vs_baseline": N/100}
+
+RTFx = seconds of audio transcribed per wall-clock second on one chip with
+batched greedy decoding (wav2vec2-base + bart-base SpeechMixEED, down_scale=2
+— the reference README recipe config; BASELINE.md north star is >=100x).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from speechmix_tpu.config import (SPEECH_ENCODER_PRESETS,
+                                      SEQ2SEQ_PRESETS, SpeechMixConfig)
+    from speechmix_tpu.models import speechmix as smx
+    from speechmix_tpu import generation as gen_lib
+
+    on_tpu = jax.default_backend() == "tpu"
+    # flagship on TPU; tiny config on CPU so the script stays runnable
+    if on_tpu:
+        cfg = SpeechMixConfig(
+            encoder=SPEECH_ENCODER_PRESETS["wav2vec2-base"],
+            decoder=SEQ2SEQ_PRESETS["bart-base"],
+            down_scale=2)
+        batch, seconds, max_len, iters = 32, 16.0, 64, 5
+    else:
+        cfg = SpeechMixConfig(
+            encoder=SPEECH_ENCODER_PRESETS["tiny-speech"],
+            decoder=SEQ2SEQ_PRESETS["tiny-bart-bytes"],
+            down_scale=2)
+        batch, seconds, max_len, iters = 4, 4.0, 16, 2
+
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    params = smx.init_speechmix(jax.random.PRNGKey(0), cfg)
+    if on_tpu:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 and x.ndim >= 2 else x, params)
+
+    t_samples = int(seconds * 16000)
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(batch, t_samples).astype(np.float32) * 0.1)
+    lengths = jnp.full((batch,), t_samples, jnp.int32)
+
+    @jax.jit
+    def decode(params, wav, lengths):
+        return gen_lib.generate(params, cfg, wav, lengths,
+                                max_length=max_len, use_flash=on_tpu,
+                                dtype=dtype)
+
+    # warmup/compile
+    tokens, _ = decode(params, wav, lengths)
+    tokens.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        tokens, _ = decode(params, wav, lengths)
+    tokens.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    audio_sec = batch * seconds
+    rtfx = audio_sec / dt
+    print(json.dumps({
+        "metric": "rtfx_greedy_batch",
+        "value": round(rtfx, 2),
+        "unit": "audio_sec/sec",
+        "vs_baseline": round(rtfx / 100.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

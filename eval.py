@@ -1,0 +1,55 @@
+"""Checkpoint-load + generate() eval script (reference: /root/reference/eval.py).
+
+    python eval.py --weights ./out/final_weights.npz \
+        --speech_model_config wav2vec2-base --nlp_model_config bart-base \
+        --prompt "translate en -> de:" --max_length 250 [--beam 4]
+
+With no --audio, decodes a synthetic utterance (offline parity with the
+reference's librispeech_asr_dummy demo).
+"""
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--speech_model_config", default="wav2vec2-base")
+    p.add_argument("--nlp_model_config", default="bart-base")
+    p.add_argument("--weights", default=None)
+    p.add_argument("--audio", default=None, help="wav file to transcribe")
+    p.add_argument("--prompt", default=None)
+    p.add_argument("--max_length", default=250, type=int)
+    p.add_argument("--beam", default=1, type=int)
+    p.add_argument("--share_layer_ratio", default=0, type=float)
+    p.add_argument("--down_scale", default=8, type=int)
+    args = p.parse_args()
+
+    from speechmix_tpu import HFSpeechMixEED
+    spm = HFSpeechMixEED(args.speech_model_config, args.nlp_model_config,
+                         share_layer_ratio=args.share_layer_ratio,
+                         down_scale=args.down_scale)
+    if args.weights:
+        spm.load_weights(args.weights)
+
+    if args.audio:
+        from speechmix_tpu.data.datasets import _read_audio
+        from speechmix_tpu.data import audio as audio_lib
+        wav, sr = _read_audio(args.audio)
+        wav = audio_lib.resample(audio_lib.to_mono(wav), sr)
+    else:
+        from speechmix_tpu.data.datasets import synthetic_corpus
+        ex = synthetic_corpus(1, seed=0)[0]
+        wav = ex["audio"]
+        print("reference text:", ex["text"])
+
+    outputs = spm.generate([wav], decoder_text_prompt=args.prompt,
+                           max_length=args.max_length, num_beams=args.beam)
+    decoded = spm.tokenizer.decode(np.asarray(outputs[0]),
+                                   skip_special_tokens=True)
+    print("decoded:", decoded)
+
+
+if __name__ == "__main__":
+    main()

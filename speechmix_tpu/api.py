@@ -1,0 +1,256 @@
+"""Reference-compatible high-level API.
+
+Mirrors the constructor/forward/generate surface of the reference's twelve
+model classes (speechmix/model.py + speechmix/hf_model.py) so a SpeechMix
+user can switch with minimal changes:
+
+    from speechmix_tpu import SpeechMixEED
+    spm = SpeechMixEED('wav2vec2', 'facebook/bart-base',
+                       share_layer_ratio=0.5, down_scale=4)
+    out = spm([waveform], labels=labels)           # {'logits', 'loss', ...}
+    tokens = spm.generate([waveform], max_length=100)
+
+Differences from the reference (all documented fixes, SURVEY.md §2.5):
+  * `forward` returns REAL logits under 'logits' plus argmax ids under
+    'predictions' (the reference argmaxes logits in forward, §2.5.6)
+  * audio is zero-padded with explicit masks (§2.5.2)
+  * the s3prl/HF family split collapses: `SpeechMixEED` and `HFSpeechMixEED`
+    are the same class with different weighted-sum conventions (L vs L+1,
+    test_model.py:35 / test_hf_model.py:43)
+
+Parameters live in `self.params` (a pytree); `self.config` is the composite
+SpeechMixConfig.  Forward/generate are jit-compiled per input bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import generation as gen_lib
+from .config import (Seq2SeqConfig, SpeechEncoderConfig, SpeechMixConfig,
+                     seq2seq_config, speech_encoder_config)
+from .data.tokenizer import load_tokenizer
+from .models import speechmix as smx
+from .training import freezing
+
+_DEFAULT_FIXED_EXCEPT = ("layer_norm", "encoder_attn", "enc_to_dec_proj",
+                         "length_adapter", "layernorm_embedding", "attention",
+                         "encoder")
+
+
+def _prepare_audio(input_values, max_len=None):
+    """Accept a list of 1-D arrays (reference convention,
+    test_model.py:29-31) or a 2-D array; returns (batch, lengths)."""
+    if isinstance(input_values, (list, tuple)):
+        arrays = [np.asarray(x, np.float32).reshape(-1) for x in input_values]
+        lengths = np.array([len(a) for a in arrays], np.int32)
+        t = max_len or int(lengths.max())
+        batch = np.zeros((len(arrays), t), np.float32)
+        for i, a in enumerate(arrays):
+            batch[i, : len(a)] = a[:t]
+        return jnp.asarray(batch), jnp.asarray(lengths)
+    arr = np.asarray(input_values, np.float32)
+    if arr.ndim == 1:
+        arr = arr[None]
+    return jnp.asarray(arr), jnp.full((arr.shape[0],), arr.shape[1],
+                                      jnp.int32)
+
+
+class _SpeechMixBase:
+    """Shared machinery for all variants."""
+
+    variant = "eed"
+    weighted_sum_convention = "hf"
+
+    def __init__(self, speech_model_config, nlp_model_config,
+                 share_layer_ratio=0, down_scale=8, weighted_sum=False,
+                 fixed_parameters=False, fixed_except=_DEFAULT_FIXED_EXCEPT,
+                 seed=0, dtype="float32", **kwargs):
+        enc_cfg = speech_encoder_config(speech_model_config)
+        dec_cfg = seq2seq_config(nlp_model_config)
+        self.config = SpeechMixConfig(
+            encoder=enc_cfg, decoder=dec_cfg, variant=self.variant,
+            share_layer_ratio=share_layer_ratio, down_scale=down_scale,
+            weighted_sum=weighted_sum,
+            weighted_sum_convention=self.weighted_sum_convention,
+            fixed_parameters=fixed_parameters,
+            fixed_except=tuple(fixed_except), dtype=dtype)
+        self.tokenizer = load_tokenizer(
+            nlp_model_config if isinstance(nlp_model_config, str)
+            else dec_cfg.name)
+        self.params = smx.init_speechmix(jax.random.PRNGKey(seed),
+                                         self.config)
+        self._variant_kwargs = kwargs
+        self._refresh_grad_lists(**{
+            k: v for k, v in kwargs.items()
+            if k in ("fixed_speech", "fixed_nlp")})
+        self._jit_forward_cache = {}
+        self._jit_generate_cache = {}
+
+    # -- bookkeeping parity (model.py:115-127) ------------------------------
+    def _refresh_grad_lists(self, fixed_speech=False, fixed_nlp=True):
+        mask = freezing.variant_trainable_mask(
+            self.params, self.config, fixed_speech=fixed_speech,
+            fixed_nlp=fixed_nlp)
+        self.trainable_mask = mask
+        self.list_grad, self.list_no_grad = freezing.count_trainable(
+            self.params, mask)
+
+    @property
+    def speech_encoder_layer(self) -> int:
+        return self.config.num_speech_encoder_layers
+
+    @property
+    def nlp_encoder_layer(self) -> int:
+        return self.config.decoder.encoder_layers
+
+    @property
+    def weights_sum(self):
+        return self.params.get("weights_sum")
+
+    # -- forward ------------------------------------------------------------
+    def forward(self, input_values, labels=None, decoder_input_ids=None,
+                text_input_ids=None, input_text_prompt=None,
+                decoder_text_prompt=None, return_model_detail=False):
+        batch, lengths = _prepare_audio(input_values)
+        prompt = input_text_prompt or decoder_text_prompt
+        prompt_ids = None
+        if prompt is not None:
+            prompt_ids = jnp.asarray(
+                self.tokenizer.encode(prompt, add_special_tokens=False),
+                jnp.int32)
+
+        def to_arr(x):
+            return None if x is None else jnp.asarray(np.asarray(x))
+
+        out = smx.speechmix_forward(
+            self.params, self.config, batch, lengths=lengths,
+            labels=to_arr(labels), decoder_input_ids=to_arr(decoder_input_ids),
+            text_input_ids=to_arr(text_input_ids), prompt_ids=prompt_ids,
+            return_model_detail=return_model_detail,
+            dtype=jnp.bfloat16 if self.config.dtype == "bfloat16"
+            else jnp.float32)
+        out["predictions"] = jnp.argmax(out["logits"], -1)
+        return out
+
+    __call__ = forward
+
+    # -- generation ---------------------------------------------------------
+    def generate(self, input_values, decoder_text_prompt=None,
+                 max_length=None, num_beams=1, length_penalty=1.0):
+        batch, lengths = _prepare_audio(input_values)
+        prompt_ids = None
+        if decoder_text_prompt is not None:
+            prompt_ids = jnp.asarray(
+                self.tokenizer.encode(decoder_text_prompt,
+                                      add_special_tokens=False), jnp.int32)
+        tokens, out_lengths = gen_lib.generate(
+            self.params, self.config, batch, lengths,
+            prompt_ids=prompt_ids, max_length=max_length,
+            num_beams=num_beams, length_penalty=length_penalty)
+        return tokens
+
+    # -- persistence --------------------------------------------------------
+    def save_weights(self, path: str):
+        from .training.checkpoint import save_pytree_npz
+        save_pytree_npz(path, self.params)
+
+    def load_weights(self, path: str):
+        from .training.checkpoint import load_pytree_npz
+        self.params = load_pytree_npz(path, self.params)
+
+    def load_hf_checkpoint(self, speech_path=None, nlp_path=None):
+        """Import pretrained weights from local HF checkpoints (torch
+        state_dicts); see speechmix_tpu.convert."""
+        from . import convert
+        if speech_path:
+            self.params["speech_encoder"] = convert.load_speech_encoder(
+                speech_path, self.config.encoder,
+                num_layers=self.config.num_speech_encoder_layers)
+        if nlp_path:
+            self.params["nlp"] = convert.load_seq2seq(nlp_path,
+                                                      self.config.decoder)
+
+
+class SpeechMixEED(_SpeechMixBase):
+    """Core embed-fusion model (reference model.py:57-177).  s3prl-family
+    weighted-sum convention (L weights, test_model.py:35)."""
+    variant = "eed"
+    weighted_sum_convention = "s3prl"
+
+
+class HFSpeechMixEED(_SpeechMixBase):
+    """Embed-fusion, HF-family weighted-sum convention (L+1 weights including
+    the embedding output, hf_model.py:269-270, test_hf_model.py:43)."""
+    variant = "eed"
+    weighted_sum_convention = "hf"
+
+
+class SpeechMixED(_SpeechMixBase):
+    """Cross-attention fusion (reference model.py:26-54): decoder attends
+    projected speech states directly; no text-encoder pass.  The reference
+    wraps SpeechEncoderDecoderModel and does not down-scale; pass
+    down_scale=1 for exact parity."""
+    variant = "ed"
+    weighted_sum_convention = "s3prl"
+
+    def __init__(self, speech_model_config, nlp_model_config,
+                 fixed_parameters=False, fixed_except=_DEFAULT_FIXED_EXCEPT,
+                 **kwargs):
+        kwargs.setdefault("down_scale", 1)
+        super().__init__(speech_model_config, nlp_model_config,
+                         fixed_parameters=fixed_parameters,
+                         fixed_except=fixed_except, **kwargs)
+
+
+class HFSpeechMixED(SpeechMixED):
+    weighted_sum_convention = "hf"
+
+
+class SpeechMixFixed(_SpeechMixBase):
+    """Frozen speech and/or NLP backbones (model.py:180-193); accepts
+    fixed_speech / fixed_nlp kwargs like the reference custom_modules."""
+    variant = "fixed"
+    weighted_sum_convention = "s3prl"
+
+
+class HFSpeechMixFixed(SpeechMixFixed):
+    weighted_sum_convention = "hf"
+
+
+class SpeechMixAdapter(_SpeechMixBase):
+    """Frozen NLP layer stacks + per-layer bottleneck adapters
+    (model.py:196-222)."""
+    variant = "adapter"
+    weighted_sum_convention = "s3prl"
+
+
+class HFSpeechMixAdapter(SpeechMixAdapter):
+    weighted_sum_convention = "hf"
+
+
+class SpeechMixSelf(_SpeechMixBase):
+    """Self-distillation: CE + KLD + MSE vs the frozen NLP model run on
+    ground-truth text (model.py:225-266)."""
+    variant = "self"
+    weighted_sum_convention = "s3prl"
+
+
+class HFSpeechMixSelf(SpeechMixSelf):
+    weighted_sum_convention = "hf"
+
+
+class SpeechMixGAN(_SpeechMixBase):
+    """Adversarial feature matching on hidden-state Gram matrices with
+    alternating generator/discriminator updates (model.py:269-349)."""
+    variant = "gan"
+    weighted_sum_convention = "s3prl"
+
+
+class HFSpeechMixGAN(SpeechMixGAN):
+    weighted_sum_convention = "hf"

@@ -1,0 +1,264 @@
+"""HF checkpoint -> speechmix_tpu param pytree conversion.
+
+The reference loads pretrained torch weights from the HF hub at construction
+(model.py:65-66, hf_model.py:216-219).  This environment is offline, so
+conversion runs against LOCAL checkpoint directories (pytorch_model.bin or
+model.safetensors) and maps torch tensors into this framework's pytrees:
+
+  load_speech_encoder(path, cfg)  - wav2vec2 / hubert / unispeech-sat
+  load_seq2seq(path, cfg)         - bart / t5 family
+
+Conventions converted:
+  * torch Linear weight (out, in)  -> kernel (in, out)
+  * torch Conv1d weight (out, in/groups, K) -> kernel (K, in/groups, out)
+  * wav2vec2 pos-conv weight-norm (dim=2) is materialized:
+    weight = g * v / ||v||_{dims (0,1)}  (handles both weight_g/weight_v and
+    parametrizations.weight.original0/1 layouts)
+  * per-layer torch tensors are stacked along a leading layer axis to match
+    the lax.scan layer layout
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Seq2SeqConfig, SpeechEncoderConfig
+
+
+# ----------------------------------------------------------------------------
+# state dict loading
+# ----------------------------------------------------------------------------
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch/safetensors state dict from a file or checkpoint dir."""
+    if os.path.isdir(path):
+        for name in ("model.safetensors", "pytorch_model.bin"):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return {k: np.asarray(v) for k, v in load_file(path).items()}
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.detach().numpy() for k, v in sd.items()
+            if hasattr(v, "detach")}
+
+
+def _strip_prefix(sd, prefixes=("model.", "wav2vec2.", "hubert.",
+                                "unispeech_sat.")):
+    """Normalize key prefixes across checkpoint flavors."""
+    out = {}
+    for k, v in sd.items():
+        for p in prefixes:
+            if k.startswith(p):
+                k = k[len(p):]
+                break
+        out[k] = v
+    return out
+
+
+def _lin(sd, name):
+    p = {"kernel": jnp.asarray(sd[f"{name}.weight"].T)}
+    if f"{name}.bias" in sd:
+        p["bias"] = jnp.asarray(sd[f"{name}.bias"])
+    return p
+
+
+def _ln(sd, name):
+    return {"scale": jnp.asarray(sd[f"{name}.weight"]),
+            "bias": jnp.asarray(sd[f"{name}.bias"])}
+
+
+def _rms(sd, name):
+    return {"scale": jnp.asarray(sd[f"{name}.weight"])}
+
+
+def _conv(sd, name):
+    p = {"kernel": jnp.asarray(sd[f"{name}.weight"].transpose(2, 1, 0))}
+    if f"{name}.bias" in sd:
+        p["bias"] = jnp.asarray(sd[f"{name}.bias"])
+    return p
+
+
+def _stack(trees):
+    import jax
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+# ----------------------------------------------------------------------------
+# speech encoder
+# ----------------------------------------------------------------------------
+
+def _materialize_weight_norm(sd, base):
+    """wav2vec2 pos_conv weight-norm: weight = g * v / ||v|| with dim=2
+    (per kernel position)."""
+    candidates = [
+        (f"{base}.weight_g", f"{base}.weight_v"),
+        (f"{base}.parametrizations.weight.original0",
+         f"{base}.parametrizations.weight.original1"),
+    ]
+    for g_key, v_key in candidates:
+        if g_key in sd:
+            g = sd[g_key]  # (1, 1, K)
+            v = sd[v_key]  # (out, in/groups, K)
+            norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+            return v * (g / np.maximum(norm, 1e-12))
+    return sd[f"{base}.weight"]
+
+
+def load_speech_encoder(path: str, cfg: SpeechEncoderConfig,
+                        num_layers: Optional[int] = None):
+    """Convert a wav2vec2-family checkpoint; `num_layers` truncates to the
+    bottom N transformer layers (share_layer_ratio semantics)."""
+    sd = _strip_prefix(load_state_dict(path))
+    n_layers = num_layers if num_layers is not None else cfg.num_layers
+
+    conv_layers = []
+    for i in range(len(cfg.conv_dims)):
+        base = f"feature_extractor.conv_layers.{i}"
+        layer = {"conv": _conv(sd, f"{base}.conv")}
+        if f"{base}.layer_norm.weight" in sd:
+            layer["norm"] = _ln(sd, f"{base}.layer_norm")
+        conv_layers.append(layer)
+
+    pos_w = _materialize_weight_norm(sd, "encoder.pos_conv_embed.conv")
+    pos_conv = {"kernel": jnp.asarray(pos_w.transpose(2, 1, 0)),
+                "bias": jnp.asarray(sd["encoder.pos_conv_embed.conv.bias"])}
+
+    def block(i):
+        b = f"encoder.layers.{i}"
+        return {
+            "attention": {
+                "q_proj": _lin(sd, f"{b}.attention.q_proj"),
+                "k_proj": _lin(sd, f"{b}.attention.k_proj"),
+                "v_proj": _lin(sd, f"{b}.attention.v_proj"),
+                "out_proj": _lin(sd, f"{b}.attention.out_proj"),
+            },
+            "attention_layer_norm": _ln(sd, f"{b}.layer_norm"),
+            "ffn_in": _lin(sd, f"{b}.feed_forward.intermediate_dense"),
+            "ffn_out": _lin(sd, f"{b}.feed_forward.output_dense"),
+            "final_layer_norm": _ln(sd, f"{b}.final_layer_norm"),
+        }
+
+    return {
+        "feature_extractor": {"layers": conv_layers},
+        "feature_projection": {
+            "layer_norm": _ln(sd, "feature_projection.layer_norm"),
+            "projection": _lin(sd, "feature_projection.projection"),
+        },
+        "pos_conv": pos_conv,
+        "encoder_layer_norm": _ln(sd, "encoder.layer_norm"),
+        "layers": _stack([block(i) for i in range(n_layers)]),
+    }
+
+
+# ----------------------------------------------------------------------------
+# seq2seq
+# ----------------------------------------------------------------------------
+
+def _bart_block(sd, b, is_decoder):
+    p = {
+        "self_attn": {
+            "q_proj": _lin(sd, f"{b}.self_attn.q_proj"),
+            "k_proj": _lin(sd, f"{b}.self_attn.k_proj"),
+            "v_proj": _lin(sd, f"{b}.self_attn.v_proj"),
+            "out_proj": _lin(sd, f"{b}.self_attn.out_proj"),
+        },
+        "self_attn_layer_norm": _ln(sd, f"{b}.self_attn_layer_norm"),
+        "fc1": _lin(sd, f"{b}.fc1"),
+        "fc2": _lin(sd, f"{b}.fc2"),
+        "final_layer_norm": _ln(sd, f"{b}.final_layer_norm"),
+    }
+    if is_decoder:
+        p["encoder_attn"] = {
+            "q_proj": _lin(sd, f"{b}.encoder_attn.q_proj"),
+            "k_proj": _lin(sd, f"{b}.encoder_attn.k_proj"),
+            "v_proj": _lin(sd, f"{b}.encoder_attn.v_proj"),
+            "out_proj": _lin(sd, f"{b}.encoder_attn.out_proj"),
+        }
+        p["encoder_attn_layer_norm"] = _ln(sd,
+                                           f"{b}.encoder_attn_layer_norm")
+    return p
+
+
+def _t5_attn(sd, b):
+    return {
+        "q_proj": _lin(sd, f"{b}.q"),
+        "k_proj": _lin(sd, f"{b}.k"),
+        "v_proj": _lin(sd, f"{b}.v"),
+        "out_proj": _lin(sd, f"{b}.o"),
+    }
+
+
+def _t5_block(sd, b, is_decoder, gated):
+    ff_idx = 2 if is_decoder else 1
+    ff = f"{b}.layer.{ff_idx}.DenseReluDense"
+    p = {
+        "self_attn": _t5_attn(sd, f"{b}.layer.0.SelfAttention"),
+        "self_attn_layer_norm": _rms(sd, f"{b}.layer.0.layer_norm"),
+        "final_layer_norm": _rms(sd, f"{b}.layer.{ff_idx}.layer_norm"),
+        "fc2": _lin(sd, f"{ff}.wo"),
+    }
+    if gated:
+        p["fc_gate"] = _lin(sd, f"{ff}.wi_0")
+        p["fc1"] = _lin(sd, f"{ff}.wi_1")
+    else:
+        p["fc1"] = _lin(sd, f"{ff}.wi")
+    if is_decoder:
+        p["encoder_attn"] = _t5_attn(sd, f"{b}.layer.1.EncDecAttention")
+        p["encoder_attn_layer_norm"] = _rms(sd, f"{b}.layer.1.layer_norm")
+    return p
+
+
+def load_seq2seq(path: str, cfg: Seq2SeqConfig):
+    sd = _strip_prefix(load_state_dict(path))
+    params = {"shared": {"embedding": jnp.asarray(sd["shared.weight"])}}
+    if cfg.arch == "bart":
+        enc = {
+            "embed_positions": {"embedding": jnp.asarray(
+                sd["encoder.embed_positions.weight"])},
+            "layernorm_embedding": _ln(sd, "encoder.layernorm_embedding"),
+            "layers": _stack([_bart_block(sd, f"encoder.layers.{i}", False)
+                              for i in range(cfg.encoder_layers)]),
+        }
+        dec = {
+            "embed_positions": {"embedding": jnp.asarray(
+                sd["decoder.embed_positions.weight"])},
+            "layernorm_embedding": _ln(sd, "decoder.layernorm_embedding"),
+            "layers": _stack([_bart_block(sd, f"decoder.layers.{i}", True)
+                              for i in range(cfg.decoder_layers)]),
+        }
+        flb = sd.get("final_logits_bias",
+                     np.zeros((1, cfg.vocab_size), np.float32))
+        params["final_logits_bias"] = jnp.asarray(flb).reshape(-1)
+    else:
+        gated = cfg.activation == "gelu_gated"
+        enc = {
+            "rel_bias": {"embedding": jnp.asarray(
+                sd["encoder.block.0.layer.0.SelfAttention"
+                   ".relative_attention_bias.weight"])},
+            "final_layer_norm": _rms(sd, "encoder.final_layer_norm"),
+            "layers": _stack([_t5_block(sd, f"encoder.block.{i}", False,
+                                        gated)
+                              for i in range(cfg.encoder_layers)]),
+        }
+        dec = {
+            "rel_bias": {"embedding": jnp.asarray(
+                sd["decoder.block.0.layer.0.SelfAttention"
+                   ".relative_attention_bias.weight"])},
+            "final_layer_norm": _rms(sd, "decoder.final_layer_norm"),
+            "layers": _stack([_t5_block(sd, f"decoder.block.{i}", True,
+                                        gated)
+                              for i in range(cfg.decoder_layers)]),
+        }
+    params["encoder"] = enc
+    params["decoder"] = dec
+    if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
+        params["lm_head"] = {"kernel": jnp.asarray(sd["lm_head.weight"].T)}
+    return params

@@ -1,0 +1,544 @@
+"""BART/T5-family seq2seq LM, TPU-native.
+
+The reference loads `AutoModelForSeq2SeqLM` (model.py:66, hf_model.py:218) and
+supports BART and T5 checkpoints (tests use voidful/bart-base-chinese,
+valhalla/t5-small-qg-hl, facebook/bart-base; eval.py uses voidful/phoneme_byt5).
+Here both architectures share one functional implementation, switched by
+`cfg.arch`:
+
+  bart: learned positions (offset +2), layernorm_embedding, post-LN blocks,
+        scaled-dot attention, tied LM head + final_logits_bias
+  t5:   relative position buckets (layer-0 bias shared across the stack),
+        RMSNorm pre-LN blocks, unscaled attention (scale=1), no biases,
+        tied LM head scaled by d_model**-0.5
+
+The decoder is written for static-shape incremental decoding: per-layer
+functional KV caches (ops.attention.KVCache) + precomputed cross-attention
+K/V, replacing the reference's mutable `self.decoder_outputs` caching
+(hf_model.py:302,354-376) and HF past_key_values.
+
+Key entry points:
+  init_seq2seq(key, cfg)            -> params
+  encode(params, cfg, ...)          -> encoder hidden states
+  decode(params, cfg, ...)          -> logits (+ updated caches)
+  seq2seq_apply(params, cfg, ...)   -> {loss, logits, ...} (training forward)
+  shift_tokens_right(labels, ...)   -> decoder inputs (model.py:15-23 semantics)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Seq2SeqConfig
+from ..ops import layers
+from ..ops.attention import KVCache, attention, init_attention, \
+    cache_position_bias
+from ..ops.masking import NEG_INF, combine_masks_to_bias, length_mask
+
+
+# ----------------------------------------------------------------------------
+# shared helpers (reference: model.py:11-23, hf_model.py:20-34)
+# ----------------------------------------------------------------------------
+
+def shift_tokens_right(input_ids, pad_token_id, decoder_start_token_id):
+    """labels -> decoder_input_ids: shift right, prepend start token, map any
+    -100 to pad (model.py:15-23)."""
+    shifted = jnp.zeros_like(input_ids)
+    shifted = shifted.at[:, 1:].set(input_ids[:, :-1])
+    shifted = shifted.at[:, 0].set(decoder_start_token_id)
+    return jnp.where(shifted == -100, pad_token_id, shifted)
+
+
+# ----------------------------------------------------------------------------
+# init
+# ----------------------------------------------------------------------------
+
+def _init_block(key, cfg: Seq2SeqConfig, is_decoder: bool):
+    k = jax.random.split(key, 6)
+    h = cfg.hidden_size
+    d = cfg.per_head_dim
+    use_bias = cfg.arch == "bart"
+    norm_init = (layers.init_layer_norm if cfg.arch == "bart"
+                 else layers.init_rms_norm)
+    p = {
+        "self_attn": init_attention(k[0], h, h, cfg.num_heads, d,
+                                    use_bias=use_bias),
+        "self_attn_layer_norm": norm_init(h),
+        "final_layer_norm": norm_init(h),
+    }
+    if is_decoder:
+        p["encoder_attn"] = init_attention(k[1], h, h, cfg.num_heads, d,
+                                           use_bias=use_bias)
+        p["encoder_attn_layer_norm"] = norm_init(h)
+    if cfg.activation == "gelu_gated":
+        p["fc_gate"] = layers.init_dense(k[2], h, cfg.ffn_dim, use_bias)
+    p["fc1"] = layers.init_dense(k[3], h, cfg.ffn_dim, use_bias)
+    p["fc2"] = layers.init_dense(k[4], cfg.ffn_dim, h, use_bias)
+    return p
+
+
+def _stack_blocks(blocks):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def init_seq2seq(key, cfg: Seq2SeqConfig):
+    keys = jax.random.split(key, 10)
+    params = {"shared": layers.init_embedding(keys[0], cfg.vocab_size,
+                                              cfg.hidden_size)}
+    enc = {}
+    dec = {}
+    if cfg.arch == "bart":
+        # learned positions with the BART +2 offset (table holds max+2 rows)
+        enc["embed_positions"] = layers.init_embedding(
+            keys[1], cfg.max_positions + 2, cfg.hidden_size)
+        dec["embed_positions"] = layers.init_embedding(
+            keys[2], cfg.max_positions + 2, cfg.hidden_size)
+        enc["layernorm_embedding"] = layers.init_layer_norm(cfg.hidden_size)
+        dec["layernorm_embedding"] = layers.init_layer_norm(cfg.hidden_size)
+        params["final_logits_bias"] = jnp.zeros((cfg.vocab_size,), jnp.float32)
+    else:  # t5
+        enc["rel_bias"] = layers.init_embedding(
+            keys[1], cfg.relative_attention_num_buckets, cfg.num_heads,
+            stddev=0.1)
+        dec["rel_bias"] = layers.init_embedding(
+            keys[2], cfg.relative_attention_num_buckets, cfg.num_heads,
+            stddev=0.1)
+        enc["final_layer_norm"] = layers.init_rms_norm(cfg.hidden_size)
+        dec["final_layer_norm"] = layers.init_rms_norm(cfg.hidden_size)
+
+    ek = jax.random.split(keys[3], cfg.encoder_layers)
+    dk = jax.random.split(keys[4], cfg.decoder_layers)
+    enc["layers"] = _stack_blocks([_init_block(k, cfg, False) for k in ek])
+    dec["layers"] = _stack_blocks([_init_block(k, cfg, True) for k in dk])
+    params["encoder"] = enc
+    params["decoder"] = dec
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = layers.init_dense(keys[5], cfg.hidden_size,
+                                              cfg.vocab_size, use_bias=False)
+    return params
+
+
+# ----------------------------------------------------------------------------
+# T5 relative position bias
+# ----------------------------------------------------------------------------
+
+def _t5_relative_bucket(rel_pos, bidirectional, num_buckets, max_distance):
+    ret = jnp.zeros_like(rel_pos)
+    n = -rel_pos
+    if bidirectional:
+        num_buckets //= 2
+        ret = ret + (n < 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = jnp.maximum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-6)
+        / jnp.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_large = jnp.minimum(val_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_large)
+
+
+def t5_position_bias(rel_bias_params, q_len, kv_len, bidirectional, cfg,
+                     q_offset=0, dtype=jnp.float32):
+    """(1, H, q_len, kv_len) additive bias from the layer-0 relative-attention
+    embedding, shared across the stack (T5 convention)."""
+    ctx = jnp.arange(q_len)[:, None] + q_offset
+    mem = jnp.arange(kv_len)[None, :]
+    rel = mem - ctx
+    buckets = _t5_relative_bucket(
+        rel, bidirectional, cfg.relative_attention_num_buckets,
+        cfg.relative_attention_max_distance)
+    vals = rel_bias_params["embedding"].astype(dtype)[buckets]  # (q, kv, H)
+    return vals.transpose(2, 0, 1)[None]
+
+
+# ----------------------------------------------------------------------------
+# transformer blocks
+# ----------------------------------------------------------------------------
+
+def _norm(cfg, p, x):
+    if cfg.arch == "bart":
+        return layers.layer_norm(p, x, cfg.layer_norm_eps)
+    return layers.rms_norm(p, x, cfg.layer_norm_eps)
+
+
+def _ffn(block, cfg, x, dtype):
+    if cfg.activation == "gelu_gated":
+        g = jax.nn.gelu(layers.dense(block["fc_gate"], x, dtype),
+                        approximate=True)
+        h = g * layers.dense(block["fc1"], x, dtype)
+    else:
+        h = layers.activation(cfg.activation)(
+            layers.dense(block["fc1"], x, dtype))
+    return layers.dense(block["fc2"], h, dtype)
+
+
+def _attn_scale(cfg):
+    # t5 uses unscaled attention (the 1/sqrt(d) is folded into init)
+    return 1.0 if cfg.arch == "t5" else None
+
+
+def _encoder_block(block, cfg, x, bias, use_flash, dtype):
+    scale = _attn_scale(cfg)
+    if cfg.arch == "bart":  # post-LN
+        a, _ = attention(block["self_attn"], x, bias=bias,
+                         num_heads=cfg.num_heads, head_dim=cfg.per_head_dim,
+                         scale=scale, use_flash=use_flash, dtype=dtype)
+        x = _norm(cfg, block["self_attn_layer_norm"], x + a)
+        x = _norm(cfg, block["final_layer_norm"], x + _ffn(block, cfg, x, dtype))
+    else:  # t5 pre-LN
+        h = _norm(cfg, block["self_attn_layer_norm"], x)
+        a, _ = attention(block["self_attn"], h, bias=bias,
+                         num_heads=cfg.num_heads, head_dim=cfg.per_head_dim,
+                         scale=scale, use_flash=use_flash, dtype=dtype)
+        x = x + a
+        h = _norm(cfg, block["final_layer_norm"], x)
+        x = x + _ffn(block, cfg, h, dtype)
+    return x
+
+
+class DecoderCache(NamedTuple):
+    """Stacked per-layer caches for incremental decoding."""
+    self_kv: KVCache          # leaves have leading layer axis
+    cross_k: jnp.ndarray      # (L, B, T_enc, H, D)
+    cross_v: jnp.ndarray
+
+
+def _decoder_block(block, cfg, x, self_bias, cross_bias, enc_hidden,
+                   self_cache, cross_kv, use_flash, dtype):
+    """One decoder block.  self_cache: Optional[KVCache] (single layer).
+    cross_kv: Optional[(k, v)] precomputed cross K/V."""
+    scale = _attn_scale(cfg)
+    new_cache = None
+    if cfg.arch == "bart":
+        a, new_cache = attention(block["self_attn"], x, bias=self_bias,
+                                 num_heads=cfg.num_heads,
+                                 head_dim=cfg.per_head_dim, scale=scale,
+                                 cache=self_cache, use_flash=use_flash,
+                                 dtype=dtype)
+        x = _norm(cfg, block["self_attn_layer_norm"], x + a)
+        a = _cross_attention(block["encoder_attn"], cfg, x, enc_hidden,
+                             cross_bias, cross_kv, scale, dtype)
+        x = _norm(cfg, block["encoder_attn_layer_norm"], x + a)
+        x = _norm(cfg, block["final_layer_norm"], x + _ffn(block, cfg, x, dtype))
+    else:
+        h = _norm(cfg, block["self_attn_layer_norm"], x)
+        a, new_cache = attention(block["self_attn"], h, bias=self_bias,
+                                 num_heads=cfg.num_heads,
+                                 head_dim=cfg.per_head_dim, scale=scale,
+                                 cache=self_cache, use_flash=use_flash,
+                                 dtype=dtype)
+        x = x + a
+        h = _norm(cfg, block["encoder_attn_layer_norm"], x)
+        a = _cross_attention(block["encoder_attn"], cfg, h, enc_hidden,
+                             cross_bias, cross_kv, scale, dtype)
+        x = x + a
+        h = _norm(cfg, block["final_layer_norm"], x)
+        x = x + _ffn(block, cfg, h, dtype)
+    return x, new_cache
+
+
+def _cross_attention(attn_params, cfg, x_q, enc_hidden, bias, cross_kv,
+                     scale, dtype):
+    """Cross-attention; uses precomputed K/V when given (decode hot path —
+    the reference recomputes these every step through HF, SURVEY.md §3.3)."""
+    if cross_kv is None:
+        out, _ = attention(attn_params, x_q, x_kv=enc_hidden, bias=bias,
+                           num_heads=cfg.num_heads, head_dim=cfg.per_head_dim,
+                           scale=scale, dtype=dtype)
+        return out
+    import math as _math
+    k, v = cross_kv
+    d = cfg.per_head_dim
+    s = scale if scale is not None else 1.0 / _math.sqrt(d)
+    q = layers.dense(attn_params["q_proj"], x_q, dtype)
+    q = q.reshape(*q.shape[:2], cfg.num_heads, d)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k.astype(dtype),
+                        preferred_element_type=jnp.float32) * s
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(dtype),
+                     preferred_element_type=dtype)
+    out = out.reshape(*out.shape[:2], cfg.num_heads * d)
+    return layers.dense(attn_params["out_proj"], out, dtype)
+
+
+# ----------------------------------------------------------------------------
+# encoder / decoder / full apply
+# ----------------------------------------------------------------------------
+
+def init_adapter(key, dim, bottleneck):
+    """Bottleneck adapter: LN -> Linear(d->b) -> ReLU -> Linear(b->d).
+    The reference's Adapter variant builds these per NLP enc/dec layer and
+    splices them in with forward hooks (model.py:213-222); here they are an
+    explicit, flag-gated call after each block.  NOTE: the reference hook
+    REPLACES the layer output with adapter(output) (no residual); we keep that
+    semantic."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "layer_norm": layers.init_layer_norm(dim),
+        "down": layers.init_dense(k1, dim, bottleneck),
+        "up": layers.init_dense(k2, bottleneck, dim),
+    }
+
+
+def apply_adapter(adapter, x, dtype=jnp.float32):
+    h = layers.layer_norm(adapter["layer_norm"], x)
+    h = jax.nn.relu(layers.dense(adapter["down"], h, dtype))
+    return layers.dense(adapter["up"], h, dtype)
+
+
+def init_seq2seq_adapters(key, cfg: Seq2SeqConfig, bottleneck_ratio=0.5):
+    """Stacked adapters for every text-encoder and decoder layer."""
+    bottleneck = int(cfg.hidden_size * bottleneck_ratio)
+    ek = jax.random.split(jax.random.fold_in(key, 0), cfg.encoder_layers)
+    dk = jax.random.split(jax.random.fold_in(key, 1), cfg.decoder_layers)
+    return {
+        "encoder": _stack_blocks(
+            [init_adapter(k, cfg.hidden_size, bottleneck) for k in ek]),
+        "decoder": _stack_blocks(
+            [init_adapter(k, cfg.hidden_size, bottleneck) for k in dk]),
+    }
+
+
+def embed_tokens(params, cfg: Seq2SeqConfig, input_ids, dtype=jnp.float32):
+    scale = cfg.hidden_size ** 0.5 if cfg.scale_embedding else 1.0
+    return layers.embed(params["shared"], input_ids, dtype) * scale
+
+
+def encode(params, cfg: Seq2SeqConfig, input_ids=None, inputs_embeds=None,
+           attention_mask=None, output_hidden_states=False, use_flash=False,
+           adapters=None, dtype=jnp.float32):
+    """Text encoder.  Accepts token ids OR precomputed embeddings — the
+    SpeechMix fusion feeds speech-derived `inputs_embeds` here
+    (model.py:132-137).  Returns dict(last_hidden_state, mask[, hidden_states])."""
+    enc = params["encoder"]
+    if inputs_embeds is None:
+        inputs_embeds = embed_tokens(params, cfg, input_ids, dtype)
+    b, t, _ = inputs_embeds.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, t), bool)
+
+    x = inputs_embeds
+    if cfg.arch == "bart":
+        pos = layers.embed(enc["embed_positions"], jnp.arange(t) + 2, dtype)
+        x = x + pos[None]
+        x = layers.layer_norm(enc["layernorm_embedding"], x,
+                              cfg.layer_norm_eps)
+    bias = combine_masks_to_bias(kv_mask=attention_mask, dtype=jnp.float32)
+    if cfg.arch == "t5":
+        bias = (bias if bias is not None else 0) + t5_position_bias(
+            enc["rel_bias"], t, t, True, cfg, dtype=jnp.float32)
+
+    if adapters is not None:
+        def scan_body(h, xs):
+            block, adapter = xs
+            y = _encoder_block(block, cfg, h, bias, use_flash, dtype)
+            y = apply_adapter(adapter, y, dtype)
+            return y, (y if output_hidden_states else 0)
+        x, per_layer = jax.lax.scan(scan_body, x,
+                                    (enc["layers"], adapters["encoder"]))
+    else:
+        def scan_body(h, block):
+            y = _encoder_block(block, cfg, h, bias, use_flash, dtype)
+            return y, (y if output_hidden_states else 0)
+        x, per_layer = jax.lax.scan(scan_body, x, enc["layers"])
+    if cfg.arch == "t5":
+        x = layers.rms_norm(enc["final_layer_norm"], x, cfg.layer_norm_eps)
+
+    out = {"last_hidden_state": x, "mask": attention_mask}
+    if output_hidden_states:
+        out["hidden_states"] = jnp.concatenate(
+            [inputs_embeds[None], per_layer], axis=0)
+    return out
+
+
+def precompute_cross_kv(params, cfg: Seq2SeqConfig, enc_hidden,
+                        dtype=jnp.float32):
+    """Project encoder output to per-layer cross K/V once per sequence
+    (decode-time win over the reference's per-step recompute)."""
+    def proj(block):
+        k = layers.dense(block["encoder_attn"]["k_proj"], enc_hidden, dtype)
+        v = layers.dense(block["encoder_attn"]["v_proj"], enc_hidden, dtype)
+        b, t, _ = k.shape
+        k = k.reshape(b, t, cfg.num_heads, cfg.per_head_dim)
+        v = v.reshape(b, t, cfg.num_heads, cfg.per_head_dim)
+        return k, v
+
+    ks, vs = _map_blocks(proj, params["decoder"]["layers"])
+    return ks, vs
+
+
+def _map_blocks(fn, stacked_blocks):
+    """Apply fn to each layer of a stacked block pytree; returns stacked
+    results (uses lax.map to keep one compiled body)."""
+    def body(block):
+        return fn(block)
+    return jax.lax.map(body, stacked_blocks)
+
+
+def init_decoder_cache(params, cfg: Seq2SeqConfig, enc_hidden, batch,
+                       capacity, dtype=jnp.float32) -> DecoderCache:
+    cross_k, cross_v = precompute_cross_kv(params, cfg, enc_hidden, dtype)
+    self_kv = KVCache(
+        key=jnp.zeros((cfg.decoder_layers, batch, capacity, cfg.num_heads,
+                       cfg.per_head_dim), dtype),
+        value=jnp.zeros((cfg.decoder_layers, batch, capacity, cfg.num_heads,
+                         cfg.per_head_dim), dtype),
+        index=jnp.zeros((), jnp.int32),
+    )
+    return DecoderCache(self_kv=self_kv, cross_k=cross_k, cross_v=cross_v)
+
+
+def decode(params, cfg: Seq2SeqConfig, decoder_input_ids, enc_hidden=None,
+           encoder_mask=None, decoder_mask=None, cache: Optional[DecoderCache]
+           = None, output_hidden_states=False, use_flash=False, adapters=None,
+           dtype=jnp.float32):
+    """Decoder forward.
+
+    Without cache: full teacher-forcing pass (causal bias over q_len).
+    With cache: incremental decoding — decoder_input_ids is the next chunk
+    (usually length 1); positions continue at cache.self_kv.index.
+    Returns dict(logits[, hidden_states], cache=new_cache_or_None).
+    """
+    dec = params["decoder"]
+    b, q_len = decoder_input_ids.shape
+    offset = cache.self_kv.index if cache is not None else 0
+
+    x = embed_tokens(params, cfg, decoder_input_ids, dtype)
+    if cfg.arch == "bart":
+        pos = layers.embed(dec["embed_positions"],
+                           offset + jnp.arange(q_len) + 2, dtype)
+        x = x + pos[None]
+        x = layers.layer_norm(dec["layernorm_embedding"], x,
+                              cfg.layer_norm_eps)
+    inputs_embeds = x
+
+    # self-attention bias
+    if cache is not None:
+        capacity = cache.self_kv.key.shape[2]
+        self_bias = cache_position_bias(capacity, offset, q_len)
+        kv_len = capacity
+    else:
+        self_bias = combine_masks_to_bias(
+            q_mask=jnp.ones((b, q_len), bool),
+            kv_mask=(decoder_mask if decoder_mask is not None
+                     else jnp.ones((b, q_len), bool)),
+            causal=True)
+        kv_len = q_len
+    if cfg.arch == "t5":
+        self_bias = self_bias + t5_position_bias(
+            dec["rel_bias"], q_len, kv_len, False, cfg, q_offset=offset)
+
+    cross_bias = None
+    if encoder_mask is not None:
+        cross_bias = combine_masks_to_bias(kv_mask=encoder_mask)
+
+    dec_adapters = adapters["decoder"] if adapters is not None else None
+    if cache is not None:
+        # scan over layers, threading per-layer self caches + cross K/V
+        def scan_body(h, xs):
+            block, self_k, self_v, ck, cv, adapter = xs
+            layer_cache = KVCache(key=self_k, value=self_v,
+                                  index=cache.self_kv.index)
+            y, new_c = _decoder_block(
+                block, cfg, h, self_bias, cross_bias, None, layer_cache,
+                (ck, cv), use_flash, dtype)
+            if adapter is not None:
+                y = apply_adapter(adapter, y, dtype)
+            return y, (new_c.key, new_c.value,
+                       y if output_hidden_states else 0)
+
+        xs = (dec["layers"], cache.self_kv.key, cache.self_kv.value,
+              cache.cross_k, cache.cross_v, dec_adapters)
+        if dec_adapters is None:
+            def scan_body_na(h, xs):
+                return scan_body(h, xs + (None,))
+            x, (new_k, new_v, per_layer) = jax.lax.scan(
+                scan_body_na, x, xs[:-1])
+        else:
+            x, (new_k, new_v, per_layer) = jax.lax.scan(scan_body, x, xs)
+        new_cache = DecoderCache(
+            self_kv=KVCache(key=new_k, value=new_v,
+                            index=cache.self_kv.index + q_len),
+            cross_k=cache.cross_k, cross_v=cache.cross_v)
+    else:
+        def scan_body(h, xs):
+            block, adapter = xs if dec_adapters is not None else (xs, None)
+            y, _ = _decoder_block(block, cfg, h, self_bias, cross_bias,
+                                  enc_hidden, None, None, use_flash, dtype)
+            if adapter is not None:
+                y = apply_adapter(adapter, y, dtype)
+            return y, (y if output_hidden_states else 0)
+
+        scan_xs = ((dec["layers"], dec_adapters)
+                   if dec_adapters is not None else dec["layers"])
+        x, per_layer = jax.lax.scan(scan_body, x, scan_xs)
+        new_cache = None
+
+    if cfg.arch == "t5":
+        x = layers.rms_norm(dec["final_layer_norm"], x, cfg.layer_norm_eps)
+
+    # LM head
+    if cfg.tie_word_embeddings:
+        w = params["shared"]["embedding"].astype(dtype)
+        h = x * (cfg.hidden_size ** -0.5) if cfg.arch == "t5" else x
+        logits = jnp.dot(h, w.T, preferred_element_type=jnp.float32)
+    else:
+        logits = layers.dense(params["lm_head"], x, dtype).astype(jnp.float32)
+    if cfg.arch == "bart":
+        logits = logits + params["final_logits_bias"].astype(jnp.float32)
+
+    out = {"logits": logits, "cache": new_cache}
+    if output_hidden_states:
+        out["hidden_states"] = jnp.concatenate([inputs_embeds[None],
+                                                per_layer], axis=0)
+    return out
+
+
+def seq2seq_apply(params, cfg: Seq2SeqConfig, input_ids=None,
+                  inputs_embeds=None, attention_mask=None,
+                  decoder_input_ids=None, decoder_mask=None, labels=None,
+                  encoder_outputs=None, output_hidden_states=False,
+                  use_flash=False, adapters=None, dtype=jnp.float32):
+    """Full training/eval forward, mirroring the HF seq2seq forward the
+    reference calls in cal_loss (model.py:132-137).
+
+    Returns dict(loss?, logits, encoder_last_hidden_state,
+    encoder_hidden_states?, decoder_hidden_states?).
+    """
+    if decoder_input_ids is None and labels is not None:
+        decoder_input_ids = shift_tokens_right(
+            labels, cfg.pad_token_id, cfg.decoder_start_token_id)
+    if encoder_outputs is None:
+        encoder_outputs = encode(
+            params, cfg, input_ids=input_ids, inputs_embeds=inputs_embeds,
+            attention_mask=attention_mask,
+            output_hidden_states=output_hidden_states, use_flash=use_flash,
+            adapters=adapters, dtype=dtype)
+    dec_out = decode(
+        params, cfg, decoder_input_ids,
+        enc_hidden=encoder_outputs["last_hidden_state"],
+        encoder_mask=encoder_outputs["mask"], decoder_mask=decoder_mask,
+        output_hidden_states=output_hidden_states, use_flash=use_flash,
+        adapters=adapters, dtype=dtype)
+    out = {
+        "logits": dec_out["logits"],
+        "encoder_last_hidden_state": encoder_outputs["last_hidden_state"],
+        "encoder_mask": encoder_outputs["mask"],
+    }
+    if output_hidden_states:
+        out["encoder_hidden_states"] = encoder_outputs["hidden_states"]
+        out["decoder_hidden_states"] = dec_out["hidden_states"]
+    if labels is not None:
+        out["loss"] = layers.cross_entropy_with_ignore(dec_out["logits"],
+                                                       labels)
+    return out

@@ -1,0 +1,227 @@
+"""wav2vec2-family speech encoder, TPU-native.
+
+One graph covers all three reference encoder families — Wav2Vec2Model,
+HubertModel, UniSpeechSatModel (picked by name substring at
+hf_model.py:210-215) — since they share: a strided conv feature extractor
+(16 kHz waveform -> ~50 Hz frames), feature projection, additive positional
+conv embedding, and a transformer encoder.  Config switches
+(`feat_extract_norm`, `do_stable_layer_norm`) capture the base/large variants.
+
+TPU-first choices:
+  * conv extractor runs in the compute dtype through lax.conv (XLA lowers the
+    large-stride first layer to an im2col matmul on the MXU)
+  * per-layer hidden states are stacked with lax.scan over layer params, so
+    share_layer_ratio truncation (model.py:77-81) is a static slice of the
+    stacked param pytree — one compiled layer body regardless of depth
+  * explicit length masks everywhere (the reference attends padding —
+    SURVEY.md §2.5.2)
+
+Reference parity anchors: layer counts after truncation (test_model.py:18-25),
+weighted-sum sizes L vs L+1 (test_model.py:35 / test_hf_model.py:43), frame
+rates 16 kHz -> 50 Hz -> 50/down_scale Hz.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SpeechEncoderConfig
+from ..ops import layers
+from ..ops.attention import attention, init_attention
+from ..ops.masking import combine_masks_to_bias, length_mask
+
+
+# ----------------------------------------------------------------------------
+# init
+# ----------------------------------------------------------------------------
+
+def init_speech_encoder(key, cfg: SpeechEncoderConfig):
+    keys = jax.random.split(key, 8)
+    params = {}
+
+    # conv feature extractor
+    conv_layers = []
+    in_ch = 1
+    ck = jax.random.split(keys[0], len(cfg.conv_dims))
+    for i, (dim, kern) in enumerate(zip(cfg.conv_dims, cfg.conv_kernels)):
+        layer = {"conv": layers.init_conv1d(ck[i], in_ch, dim, kern,
+                                            use_bias=cfg.conv_bias)}
+        if cfg.feat_extract_norm == "group" and i == 0:
+            layer["norm"] = layers.init_group_norm(dim)
+        elif cfg.feat_extract_norm == "layer":
+            layer["norm"] = layers.init_layer_norm(dim)
+        conv_layers.append(layer)
+        in_ch = dim
+    params["feature_extractor"] = {"layers": conv_layers}
+
+    # feature projection: LN(feat) -> Linear(feat -> hidden)
+    params["feature_projection"] = {
+        "layer_norm": layers.init_layer_norm(cfg.feature_dim),
+        "projection": layers.init_dense(keys[1], cfg.feature_dim,
+                                        cfg.hidden_size),
+    }
+
+    # positional conv embedding (grouped conv over hidden)
+    params["pos_conv"] = layers.init_conv1d(
+        keys[2], cfg.hidden_size // cfg.pos_conv_groups, cfg.hidden_size,
+        cfg.pos_conv_kernel, use_bias=True)
+
+    params["encoder_layer_norm"] = layers.init_layer_norm(cfg.hidden_size)
+
+    # transformer layers: stacked pytree for lax.scan
+    def init_layer(k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        h, d = cfg.hidden_size, cfg.hidden_size // cfg.num_heads
+        return {
+            "attention": init_attention(k1, h, h, cfg.num_heads, d),
+            "attention_layer_norm": layers.init_layer_norm(h),
+            "ffn_in": layers.init_dense(k2, h, cfg.ffn_dim),
+            "ffn_out": layers.init_dense(k3, cfg.ffn_dim, h),
+            "final_layer_norm": layers.init_layer_norm(h),
+        }
+
+    lkeys = jax.random.split(keys[3], cfg.num_layers)
+    params["layers"] = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[init_layer(k) for k in lkeys])
+    return params
+
+
+def truncate_layers(params, num_keep: int):
+    """share_layer_ratio: keep only the BOTTOM num_keep transformer layers
+    (reference removes the top int(L*ratio), model.py:77-81).  Static slice of
+    the stacked layer pytree."""
+    out = dict(params)
+    out["layers"] = jax.tree_util.tree_map(lambda x: x[:num_keep],
+                                           params["layers"])
+    return out
+
+
+# ----------------------------------------------------------------------------
+# apply
+# ----------------------------------------------------------------------------
+
+def extract_features(params, cfg: SpeechEncoderConfig, waveform,
+                     lengths=None, dtype=jnp.float32):
+    """(B, T_samples) -> (B, T_frames, feature_dim).
+
+    `lengths` (valid sample counts) gates normalization statistics and zeroes
+    padded frames after every conv layer, so a zero-padded batch computes
+    exactly what the per-example forward would (the reference/HF leaks
+    group-norm statistics across padding — SURVEY.md §2.5.2)."""
+    x = waveform.astype(dtype)[..., None]  # (B, T, 1)
+    l = lengths
+    for i, layer in enumerate(params["feature_extractor"]["layers"]):
+        x = layers.conv1d(layer["conv"], x, cfg.conv_strides[i], dtype)
+        mask = None
+        if l is not None:
+            l = (l - cfg.conv_kernels[i]) // cfg.conv_strides[i] + 1
+            mask = length_mask(l, x.shape[1])
+        if "norm" in layer:
+            if cfg.feat_extract_norm == "group" and i == 0:
+                x = layers.group_norm_per_channel(layer["norm"], x,
+                                                  cfg.layer_norm_eps,
+                                                  mask=mask)
+            else:
+                x = layers.layer_norm(layer["norm"], x, cfg.layer_norm_eps)
+        x = jax.nn.gelu(x, approximate=False)
+        if mask is not None:
+            x = x * mask[..., None].astype(x.dtype)
+    return x
+
+
+def _encoder_layer(layer_params, x, bias, cfg, use_flash, dtype):
+    if cfg.do_stable_layer_norm:
+        # pre-LN (wav2vec2-large)
+        h = layers.layer_norm(layer_params["attention_layer_norm"], x,
+                              cfg.layer_norm_eps)
+        attn, _ = attention(layer_params["attention"], h, bias=bias,
+                            num_heads=cfg.num_heads, use_flash=use_flash,
+                            dtype=dtype)
+        x = x + attn
+        h = layers.layer_norm(layer_params["final_layer_norm"], x,
+                              cfg.layer_norm_eps)
+        h = layers.dense(layer_params["ffn_in"], h, dtype)
+        h = layers.activation(cfg.activation)(h)
+        h = layers.dense(layer_params["ffn_out"], h, dtype)
+        x = x + h
+    else:
+        # post-LN (wav2vec2-base)
+        attn, _ = attention(layer_params["attention"], x, bias=bias,
+                            num_heads=cfg.num_heads, use_flash=use_flash,
+                            dtype=dtype)
+        x = layers.layer_norm(layer_params["attention_layer_norm"], x + attn,
+                              cfg.layer_norm_eps)
+        h = layers.dense(layer_params["ffn_in"], x, dtype)
+        h = layers.activation(cfg.activation)(h)
+        h = layers.dense(layer_params["ffn_out"], h, dtype)
+        x = layers.layer_norm(layer_params["final_layer_norm"], x + h,
+                              cfg.layer_norm_eps)
+    return x
+
+
+def speech_encoder_apply(params, cfg: SpeechEncoderConfig, waveform,
+                         lengths=None, output_hidden_states=False,
+                         use_flash=False, dtype=jnp.float32):
+    """Run the speech encoder.
+
+    waveform: (B, T_samples) float (zero-padded).
+    lengths: (B,) int sample counts; None means full length.
+    Returns dict with:
+      last_hidden_state: (B, T_frames, H)
+      hidden_states: (L+1, B, T_frames, H) if requested (embedding output
+        first — the HF convention hf_model.py:413-417)
+      frame_lengths: (B,) valid frame counts
+      frame_mask: (B, T_frames) bool
+    """
+    b, t_samples = waveform.shape
+    if lengths is None:
+        lengths = jnp.full((b,), t_samples, jnp.int32)
+
+    feats = extract_features(params, cfg, waveform, lengths, dtype)
+    frame_lengths = cfg.feature_lengths(lengths)
+    t_frames = feats.shape[1]
+    frame_mask = length_mask(frame_lengths, t_frames)
+
+    # feature projection
+    fp = params["feature_projection"]
+    h = layers.layer_norm(fp["layer_norm"], feats, cfg.layer_norm_eps)
+    h = layers.dense(fp["projection"], h, dtype)
+
+    # zero out padded frames before the pos-conv so padding can't leak in
+    h = h * frame_mask[..., None].astype(h.dtype)
+
+    # positional conv embedding
+    pos = layers.conv1d_same_grouped(params["pos_conv"], h,
+                                     cfg.pos_conv_groups, dtype)
+    pos = jax.nn.gelu(pos, approximate=False)
+    h = h + pos
+    if not cfg.do_stable_layer_norm:
+        h = layers.layer_norm(params["encoder_layer_norm"], h,
+                              cfg.layer_norm_eps)
+
+    bias = combine_masks_to_bias(kv_mask=frame_mask, dtype=jnp.float32)
+
+    embed_output = h
+
+    def scan_body(x, layer_params):
+        y = _encoder_layer(layer_params, x, bias, cfg, use_flash, dtype)
+        return y, (y if output_hidden_states else 0)
+
+    h, per_layer = jax.lax.scan(scan_body, h, params["layers"])
+
+    if cfg.do_stable_layer_norm:
+        h = layers.layer_norm(params["encoder_layer_norm"], h,
+                              cfg.layer_norm_eps)
+
+    out = {
+        "last_hidden_state": h,
+        "frame_lengths": frame_lengths,
+        "frame_mask": frame_mask,
+    }
+    if output_hidden_states:
+        out["hidden_states"] = jnp.concatenate(
+            [embed_output[None], per_layer], axis=0)  # (L+1, B, T, H)
+    return out

@@ -1,0 +1,121 @@
+"""Multi-head attention, TPU-first.
+
+One attention implementation serves the speech encoder (self), the text
+encoder (self), and the decoder (causal self w/ KV cache + cross).  The
+reference delegated all attention to HF/torch modules; here it is a pure
+function over a param dict, with:
+
+  * fp32 softmax statistics, bf16-friendly matmuls (`preferred_element_type`)
+  * additive-bias masking (built by ops.masking) — padding is never attended
+    (fixes reference quirk SURVEY.md §2.5.2)
+  * a functional KV cache carry for incremental decoding, replacing the
+    reference's mutable `self.decoder_outputs` / HF `past_key_values`
+    (hf_model.py:302,354-376)
+  * optional fused Pallas flash-attention path (ops/pallas/flash_attention.py)
+    selected with `use_flash=True` when shapes qualify; XLA fallback otherwise.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import layers
+
+
+class KVCache(NamedTuple):
+    """Functional KV cache: fixed-capacity buffers + fill index."""
+    key: jnp.ndarray    # (B, capacity, H, D)
+    value: jnp.ndarray  # (B, capacity, H, D)
+    index: jnp.ndarray  # scalar int32, number of filled positions
+
+    @classmethod
+    def create(cls, batch, capacity, num_heads, head_dim, dtype=jnp.float32):
+        z = jnp.zeros((batch, capacity, num_heads, head_dim), dtype)
+        return cls(key=z, value=z, index=jnp.zeros((), jnp.int32))
+
+
+def init_attention(key, q_dim, kv_dim, num_heads, head_dim, out_dim=None,
+                   use_bias=True, out_features=None):
+    """Projection params. q/k/v: (in, H*D); out: (H*D, out)."""
+    out_dim = out_dim or q_dim
+    inner = num_heads * head_dim
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "q_proj": layers.init_dense(kq, q_dim, inner, use_bias),
+        "k_proj": layers.init_dense(kk, kv_dim, inner, use_bias),
+        "v_proj": layers.init_dense(kv, kv_dim, inner, use_bias),
+        "out_proj": layers.init_dense(ko, inner, out_dim, use_bias),
+    }
+
+
+def _split_heads(x, num_heads):
+    b, t, inner = x.shape
+    return x.reshape(b, t, num_heads, inner // num_heads)
+
+
+def _attend(q, k, v, bias, scale, use_flash=False):
+    """q: (B,Tq,H,D), k/v: (B,Tk,H,D), bias: (B|1, 1|H, Tq, Tk) or None."""
+    if use_flash:
+        from .pallas.flash_attention import flash_attention_or_fallback
+        return flash_attention_or_fallback(q, k, v, bias, scale)
+    dtype = q.dtype
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                      preferred_element_type=dtype)
+
+
+def attention(params, x_q, x_kv=None, bias=None, num_heads=None,
+              head_dim=None, scale=None, cache: Optional[KVCache] = None,
+              use_flash=False, dtype=None):
+    """General MHA.
+
+    x_q: (B, Tq, Dq).  x_kv: (B, Tk, Dk) or None for self-attention.
+    bias: additive attention bias (broadcastable to (B, H, Tq, Tk)).
+    cache: if given, new keys/values are written at cache.index and attention
+      runs over the full cache capacity (bias must mask unfilled slots).
+    Returns (out, new_cache).
+    """
+    dtype = dtype or x_q.dtype
+    x_kv = x_q if x_kv is None else x_kv
+    inner = params["q_proj"]["kernel"].shape[1]
+    num_heads = num_heads or (inner // (head_dim or inner))
+    head_dim = head_dim or inner // num_heads
+    scale = scale if scale is not None else 1.0 / math.sqrt(head_dim)
+
+    q = _split_heads(layers.dense(params["q_proj"], x_q, dtype), num_heads)
+    k = _split_heads(layers.dense(params["k_proj"], x_kv, dtype), num_heads)
+    v = _split_heads(layers.dense(params["v_proj"], x_kv, dtype), num_heads)
+
+    new_cache = None
+    if cache is not None:
+        k = jax.lax.dynamic_update_slice(
+            cache.key, k.astype(cache.key.dtype), (0, cache.index, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            cache.value, v.astype(cache.value.dtype), (0, cache.index, 0, 0))
+        new_cache = KVCache(key=k, value=v,
+                            index=cache.index + x_q.shape[1])
+        k = k.astype(dtype)
+        v = v.astype(dtype)
+
+    out = _attend(q, k, v, bias, scale, use_flash=use_flash)
+    out = out.reshape(out.shape[0], out.shape[1], num_heads * head_dim)
+    out = layers.dense(params["out_proj"], out, dtype)
+    return out, new_cache
+
+
+def cache_position_bias(cache_capacity, index, q_len, dtype=jnp.float32):
+    """Additive bias for cached causal decoding: query i (absolute position
+    index+i) may attend cache slots <= index+i; unfilled slots are masked."""
+    k_pos = jnp.arange(cache_capacity)[None, :]
+    q_pos = index + jnp.arange(q_len)[:, None]
+    allowed = k_pos <= q_pos
+    from .masking import NEG_INF
+    return jnp.where(allowed, 0.0, NEG_INF).astype(dtype)[None, None, :, :]

@@ -1,0 +1,236 @@
+"""Core neural-net ops, pure functional (params = nested dicts of jnp arrays).
+
+Design notes (TPU-first):
+  * Every matmul keeps a (..., features) layout and is expressed with
+    jnp.einsum / jnp.dot so XLA tiles it onto the MXU.
+  * Compute dtype is a caller choice (bf16 on TPU); params stay fp32 and are
+    cast at use sites.  Softmax/normalization statistics are computed in fp32.
+  * No module objects: `init_*` returns a param dict, `*_apply`-style functions
+    are pure.  This keeps pjit/shard_map trivial (params are just a pytree).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+# ----------------------------------------------------------------------------
+# initializers
+# ----------------------------------------------------------------------------
+
+def normal_init(key, shape, stddev=0.02, dtype=jnp.float32):
+    return (jax.random.normal(key, shape) * stddev).astype(dtype)
+
+
+def kaiming_init(key, shape, dtype=jnp.float32):
+    """He-normal over fan_in (last-but-one axis for 2D weights)."""
+    fan_in = shape[0] if len(shape) >= 2 else shape[0]
+    std = math.sqrt(2.0 / fan_in)
+    return (jax.random.normal(key, shape) * std).astype(dtype)
+
+
+def lecun_init(key, shape, dtype=jnp.float32):
+    fan_in = shape[0]
+    std = math.sqrt(1.0 / fan_in)
+    return (jax.random.normal(key, shape) * std).astype(dtype)
+
+
+# ----------------------------------------------------------------------------
+# dense / embedding
+# ----------------------------------------------------------------------------
+
+def init_dense(key, in_dim, out_dim, use_bias=True, stddev=0.02):
+    kw, _ = jax.random.split(key)
+    p = {"kernel": normal_init(kw, (in_dim, out_dim), stddev)}
+    if use_bias:
+        p["bias"] = jnp.zeros((out_dim,), jnp.float32)
+    return p
+
+
+def dense(params, x, dtype=None):
+    dtype = dtype or x.dtype
+    y = jnp.dot(x, params["kernel"].astype(dtype),
+                preferred_element_type=dtype)
+    if "bias" in params:
+        y = y + params["bias"].astype(dtype)
+    return y
+
+
+def init_embedding(key, vocab, dim, stddev=0.02):
+    return {"embedding": normal_init(key, (vocab, dim), stddev)}
+
+
+def embed(params, ids, dtype=jnp.float32):
+    return params["embedding"].astype(dtype)[ids]
+
+
+# ----------------------------------------------------------------------------
+# normalization (statistics in fp32 for stability)
+# ----------------------------------------------------------------------------
+
+def init_layer_norm(dim):
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layer_norm(params, x, eps=1e-5):
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = jnp.square(xf - mean).mean(-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * params["scale"] + params["bias"]).astype(dtype)
+
+
+def init_rms_norm(dim):
+    return {"scale": jnp.ones((dim,), jnp.float32)}
+
+
+def rms_norm(params, x, eps=1e-6):
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.square(xf).mean(-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * params["scale"]).astype(dtype)
+
+
+def init_group_norm(dim):
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def group_norm_per_channel(params, x, eps=1e-5, mask=None):
+    """GroupNorm with num_groups == num_channels (instance norm per channel),
+    as used after wav2vec2-base's first conv layer.  x: (B, T, C) — normalize
+    over T per (batch, channel).
+
+    mask: optional (B, T) bool; statistics are computed over valid frames
+    only.  HF wav2vec2 computes group-norm stats over padded frames too, which
+    is why upstream disables attention masks for group-norm checkpoints; the
+    masked statistics make padded batches exactly consistent."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if mask is None:
+        mean = xf.mean(axis=1, keepdims=True)
+        var = jnp.square(xf - mean).mean(axis=1, keepdims=True)
+    else:
+        m = mask[..., None].astype(jnp.float32)
+        denom = jnp.maximum(m.sum(axis=1, keepdims=True), 1.0)
+        mean = (xf * m).sum(axis=1, keepdims=True) / denom
+        var = (jnp.square(xf - mean) * m).sum(axis=1, keepdims=True) / denom
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * params["scale"] + params["bias"]).astype(dtype)
+
+
+# ----------------------------------------------------------------------------
+# activations
+# ----------------------------------------------------------------------------
+
+ACTIVATIONS = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+}
+
+
+def activation(name: str):
+    return ACTIVATIONS[name]
+
+
+# ----------------------------------------------------------------------------
+# strided conv1d as patch-matmul (MXU-friendly)
+# ----------------------------------------------------------------------------
+
+def init_conv1d(key, in_ch, out_ch, kernel, use_bias=True):
+    # kernel layout: (kernel, in_ch, out_ch) — flattened to a
+    # (kernel*in_ch, out_ch) matmul at apply time.
+    std = math.sqrt(1.0 / (in_ch * kernel))  # torch Conv1d default U(-s,s) std-ish
+    p = {"kernel": normal_init(key, (kernel, in_ch, out_ch), std)}
+    if use_bias:
+        p["bias"] = jnp.zeros((out_ch,), jnp.float32)
+    return p
+
+
+def conv1d(params, x, stride, dtype=None):
+    """x: (B, T, C_in) -> (B, T_out, C_out), VALID padding.
+
+    Lowered to lax.conv_general_dilated with (B, T, C) layout; XLA maps this
+    onto the MXU.  For kernel==stride (the length adapter's k=2,s=2 case) this
+    is exactly a reshape + matmul, which XLA recognizes.
+    """
+    dtype = dtype or x.dtype
+    kernel = params["kernel"].astype(dtype)  # (K, Cin, Cout)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel,
+        window_strides=(stride,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=dtype,
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(dtype)
+    return y
+
+
+def conv1d_same_grouped(params, x, groups, dtype=None):
+    """Grouped SAME-ish conv used by the wav2vec2 positional conv embedding.
+    x: (B, T, C). HF pads both sides with kernel//2 then removes one trailing
+    element when kernel is even."""
+    dtype = dtype or x.dtype
+    kernel = params["kernel"].astype(dtype)  # (K, Cin/groups, Cout)
+    k = kernel.shape[0]
+    pad = k // 2
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel,
+        window_strides=(1,), padding=((pad, pad),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        preferred_element_type=dtype,
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(dtype)
+    if k % 2 == 0:
+        y = y[:, :-1, :]
+    return y
+
+
+# ----------------------------------------------------------------------------
+# losses
+# ----------------------------------------------------------------------------
+
+def cross_entropy_with_ignore(logits, labels, ignore_index=-100):
+    """Mean token CE over positions where labels != ignore_index, matching
+    torch.nn.CrossEntropyLoss(ignore_index=-100) semantics the reference's
+    decoder loss uses.  logits: (..., V), labels: (...) int."""
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)
+    logits_f = logits.astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits_f, axis=-1)
+    gold = jnp.take_along_axis(logits_f, safe_labels[..., None],
+                               axis=-1).squeeze(-1)
+    nll = (logz - gold) * valid.astype(jnp.float32)
+    return nll.sum() / jnp.maximum(valid.sum().astype(jnp.float32), 1.0)
+
+
+def kld_batchmean(student_logits, teacher_logits):
+    """KLDivLoss(reduction='batchmean')(log_softmax(student), softmax(teacher))
+    — reference Self variant, model.py:257-259.  Sum over all non-batch dims /
+    batch size."""
+    s = jax.nn.log_softmax(student_logits.astype(jnp.float32), axis=-1)
+    t = jax.nn.softmax(teacher_logits.astype(jnp.float32), axis=-1)
+    # torch KLDiv: sum t * (log t - s); zero where t == 0
+    log_t = jnp.where(t > 0, jnp.log(jnp.maximum(t, 1e-30)), 0.0)
+    kl = t * (log_t - s)
+    batch = student_logits.shape[0]
+    return kl.sum() / batch
+
+
+def bce_with_logits(logits, targets):
+    """BCEWithLogitsLoss (mean), reference GAN variant model.py:315."""
+    logits = logits.astype(jnp.float32)
+    return jnp.mean(jnp.maximum(logits, 0) - logits * targets +
+                    jnp.log1p(jnp.exp(-jnp.abs(logits))))

@@ -1,0 +1,146 @@
+"""Fused flash attention Pallas kernel for TPU.
+
+Online-softmax tiled attention: one pass over K/V blocks with running
+(max, denominator, accumulator) carried in VMEM scratch — O(Tq*D) memory
+instead of materializing the (Tq, Tk) probability matrix in HBM.  This is
+the hot op of the framework: the speech encoder runs 12-24 such layers over
+up to ~1000 frames per utterance (SURVEY.md §3.2).
+
+Supports:
+  * key-padding mask (B, Tk) float {0,1}
+  * causal masking (decoder training self-attention)
+  * fp32 softmax statistics regardless of input dtype (bf16-safe)
+
+Grid: (B*H, nQ, nK); TPU executes the last grid dim sequentially, so the
+kernel accumulates across k-blocks in scratch and finalizes on the last one.
+Shapes are padded to block multiples in the wrapper; padded KV columns are
+masked, padded Q rows sliced off after.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
+                  m_scr, l_scr, acc_scr, *, scale, causal, block_q, block_k):
+    k_idx = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)          # (BQ, D)
+    k = k_ref[0].astype(jnp.float32)          # (BK, D)
+    v = v_ref[0].astype(jnp.float32)          # (BK, D)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (BQ, BK)
+
+    # key padding mask: (1, BK) -> bias row broadcast over queries
+    kv_valid = mask_ref[0].astype(jnp.float32)  # (BK,)
+    s = s + (kv_valid - 1.0)[None, :] * (-NEG_INF)  # 0 where valid, -inf pad
+
+    if causal:
+        q_idx = pl.program_id(1)
+        q_pos = q_idx * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        k_pos = k_idx * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+
+    m_prev = m_scr[:, 0]                       # (BQ,)
+    m_cur = jnp.max(s, axis=-1)                # (BQ,)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)            # (BQ,)
+    p = jnp.exp(s - m_new[:, None])            # (BQ, BK)
+
+    l_prev = l_scr[:, 0]
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1)
+
+    acc = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    m_scr[:] = jnp.broadcast_to(m_new[:, None], m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new[:, None], l_scr.shape)
+    acc_scr[:] = acc
+
+    @pl.when(k_idx == n_k - 1)
+    def _():
+        denom = jnp.maximum(l_scr[:, 0], 1e-30)
+        o_ref[0] = (acc_scr[:] / denom[:, None]).astype(o_ref.dtype)
+
+
+def _pad_axis(x, multiple, axis):
+    size = x.shape[axis]
+    target = -(-size // multiple) * multiple
+    if target == size:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - size)
+    return jnp.pad(x, pad)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("causal", "scale", "block_q", "block_k"))
+def flash_attention_masked(q, k, v, kv_mask=None, causal=False, scale=None,
+                           block_q=128, block_k=128):
+    """q: (B, Tq, H, D); k/v: (B, Tk, H, D); kv_mask: (B, Tk) bool/float.
+    Returns (B, Tq, H, D) in q.dtype."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+
+    # (B*H, T, D) layout
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, tq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, tk, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, tk, d)
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, tk), jnp.float32)
+    mask = kv_mask.astype(jnp.float32)
+
+    block_q = min(block_q, max(tq, 8))
+    block_k = min(block_k, max(tk, 8))
+    qt = _pad_axis(qt, block_q, 1)
+    kt = _pad_axis(kt, block_k, 1)
+    vt = _pad_axis(vt, block_k, 1)
+    mask = _pad_axis(mask, block_k, 1)  # pads with 0 = invalid
+    tq_p, tk_p = qt.shape[1], kt.shape[1]
+    n_q, n_k = tq_p // block_q, tk_p // block_k
+
+    kernel = functools.partial(_flash_kernel, scale=scale, causal=causal,
+                               block_q=block_q, block_k=block_k)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_k), lambda bh, qi, ki, h=h: (bh // h, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda bh, qi, ki: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )(qt, kt, vt, mask)
+
+    out = out[:, :tq].reshape(b, h, tq, d).transpose(0, 2, 1, 3)
+    return out

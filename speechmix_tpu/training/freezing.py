@@ -1,0 +1,206 @@
+"""Parameter freezing as pytree masks — the functional re-design of the
+reference's three freezing mechanisms:
+
+  1. `fixed_parameters` + `fixed_except` name-substring policy
+     (model.py:104-113): a parameter stays trainable iff its path contains
+     any of the fixed_except substrings.
+  2. Variant freezing policies (Fixed/Adapter/Self/GAN custom_modules,
+     model.py:180-233, 269-282).
+  3. `FreezingCallback` gradual unfreezing (module/utility.py:6-34): before
+     epoch e < freeze_epoch, only the LAST e/freeze_epoch fraction of the
+     speech encoder's parameter list is trainable.
+
+All three produce float multiplier pytrees applied to gradients inside the
+jitted train step (`apply_grad_mask`) — no module mutation, no optimizer
+surgery.  Because transformer layers are stored stacked (leading layer axis),
+the gradual-unfreeze mask is a per-layer broadcast along that axis: layers
+release top-first, at layer granularity (the reference released individual
+tensors in registration order; layer granularity preserves the top-down
+release order while staying one compiled step).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SpeechMixConfig
+
+
+SEP = "/"
+
+
+def tree_paths(params):
+    """Flatten to a list of (path_string, leaf) with '/'-joined dict keys."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = []
+    for keypath, leaf in flat:
+        parts = []
+        for k in keypath:
+            if hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):
+                parts.append(str(k.idx))
+            else:
+                parts.append(str(k))
+        out.append((SEP.join(parts), leaf))
+    return out
+
+
+def mask_from_predicate(params, predicate: Callable[[str], bool]):
+    """Build a {0.0, 1.0} float mask pytree from a path predicate."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    leaves = []
+    for keypath, leaf in flat:
+        parts = []
+        for k in keypath:
+            parts.append(str(k.key) if hasattr(k, "key") else
+                         str(getattr(k, "idx", k)))
+        path = SEP.join(parts)
+        leaves.append(jnp.asarray(1.0 if predicate(path) else 0.0,
+                                  jnp.float32))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def fixed_parameters_mask(params, fixed_except: Sequence[str]):
+    """Reference `fixed_parameters=True` policy (model.py:104-113): within
+    the speech encoder and NLP subtrees, trainable iff the path contains a
+    fixed_except substring.  Bridge params (weights_sum / length_adapter /
+    enc_to_dec_proj) sit outside those subtrees in the reference loop and
+    stay trainable (they also match fixed_except by name)."""
+    def pred(path):
+        if not (path.startswith("speech_encoder") or path.startswith("nlp")):
+            return True
+        return any(s in path for s in fixed_except)
+    return mask_from_predicate(params, pred)
+
+
+def variant_trainable_mask(params, cfg: SpeechMixConfig, fixed_speech=False,
+                           fixed_nlp=True):
+    """Static trainable mask for each variant:
+
+    eed/ed:  everything trainable (model.py:57-177)
+    fixed:   speech and/or NLP frozen per flags (model.py:182-193)
+    adapter: NLP enc/dec layers frozen; adapters + bridge + speech trainable
+             (model.py:198-222 freezes only the layer stacks)
+    self:    all NLP frozen; speech + bridge trainable (model.py:227-233)
+    gan:     all NLP frozen; discriminator + speech + bridge trainable
+             (model.py:271-282) — see gan_alternating_masks for the
+             generator/discriminator step scheduling
+    """
+    v = cfg.variant
+
+    def pred(path):
+        if v in ("eed", "ed"):
+            return True
+        if v == "fixed":
+            if path.startswith("speech_encoder") and fixed_speech:
+                return False
+            if path.startswith("nlp") and fixed_nlp:
+                return False
+            return True
+        if v == "adapter":
+            # freeze only the NLP layer stacks; embeddings/norms outside the
+            # stacks stay trainable as in the reference
+            if (path.startswith(f"nlp{SEP}encoder{SEP}layers") or
+                    path.startswith(f"nlp{SEP}decoder{SEP}layers")):
+                return False
+            return True
+        if v in ("self", "gan"):
+            return not path.startswith("nlp")
+        return True
+
+    mask = mask_from_predicate(params, pred)
+    if cfg.fixed_parameters:
+        fixed = fixed_parameters_mask(params, cfg.fixed_except)
+        mask = jax.tree_util.tree_map(lambda a, b: a * b, mask, fixed)
+    return mask
+
+
+def gan_alternating_masks(params, step, des_update: int):
+    """GAN alternating updates, functional form of the reference's
+    grad-surgery-in-forward (model.py:291-305, SURVEY.md §2.5.7): in block
+    `step // des_update`, even blocks update the generator (everything except
+    the discriminator), odd blocks update only the discriminator.
+    Returns a float mask pytree; multiply into grads."""
+    is_disc_block = ((step // des_update) % 2 == 1)
+
+    def leaf_mask(path):
+        is_disc = path.startswith("discriminator")
+        return jnp.where(is_disc_block,
+                         jnp.float32(1.0 if is_disc else 0.0),
+                         jnp.float32(0.0 if is_disc else 1.0))
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    leaves = []
+    for keypath, _ in flat:
+        parts = [str(k.key) if hasattr(k, "key") else
+                 str(getattr(k, "idx", k)) for k in keypath]
+        leaves.append(leaf_mask(SEP.join(parts)))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def gradual_unfreeze_scale(params, progress):
+    """Functional FreezingCallback (module/utility.py:19-30).
+
+    progress: traced scalar in [0, 1] = epoch / freeze_epoch (>=1 after the
+    freeze window).  Applies to the `speech_encoder` subtree only (the
+    reference callback wraps model.encoder_model, train.py:327):
+
+      * stacked transformer layers release top-first: layer l (of L) is
+        trainable when progress >= (l_rank_from_top+1)/(L+1)
+      * pre-transformer params (conv extractor, projection, pos conv, norms)
+        sit at the START of the registration order, so they release last
+        (only when progress >= 1).
+
+    Returns a float multiplier pytree (1.0 everywhere outside the encoder).
+    """
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    # number of stacked layers, from any layers leaf
+    num_layers = 0
+    for keypath, leaf in flat:
+        parts = [str(k.key) if hasattr(k, "key") else
+                 str(getattr(k, "idx", k)) for k in keypath]
+        path = SEP.join(parts)
+        if path.startswith(f"speech_encoder{SEP}layers") and hasattr(leaf, "shape"):
+            num_layers = leaf.shape[0]
+            break
+
+    leaves = []
+    for keypath, leaf in flat:
+        parts = [str(k.key) if hasattr(k, "key") else
+                 str(getattr(k, "idx", k)) for k in keypath]
+        path = SEP.join(parts)
+        if not path.startswith("speech_encoder"):
+            leaves.append(jnp.float32(1.0))
+        elif path.startswith(f"speech_encoder{SEP}layers") and num_layers > 0:
+            # layer l releases when progress > (L - l) / (L + 1)
+            l_idx = jnp.arange(num_layers, dtype=jnp.float32)
+            thresh = (num_layers - l_idx) / (num_layers + 1)
+            layer_mask = (progress > thresh).astype(jnp.float32)
+            shape = (num_layers,) + (1,) * (leaf.ndim - 1)
+            leaves.append(layer_mask.reshape(shape))
+        else:
+            # non-layer encoder params: released only at full unfreeze
+            leaves.append((progress >= 1.0).astype(jnp.float32))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def apply_grad_mask(grads, *masks):
+    """Multiply one or more float mask pytrees into a gradient pytree."""
+    out = grads
+    for m in masks:
+        out = jax.tree_util.tree_map(lambda g, s: g * s, out, m)
+    return out
+
+
+def count_trainable(params, mask):
+    """(n_trainable, n_frozen) leaf counts + lists of paths, mirroring the
+    reference's list_grad / list_no_grad bookkeeping (model.py:115-127)."""
+    grad_list, no_grad_list = [], []
+    for (path, leaf), (_, m) in zip(tree_paths(params), tree_paths(mask)):
+        scalar = float(jnp.max(m)) if hasattr(m, "shape") else float(m)
+        (grad_list if scalar > 0 else no_grad_list).append(path)
+    return grad_list, no_grad_list

@@ -1,0 +1,280 @@
+"""Training loop: optax Adafactor + warmup, lax.scan gradient accumulation,
+mesh-sharded jitted train step, eval with WER/CER, early stopping, gradual
+unfreezing, and checkpointing.
+
+This is the TPU-native equivalent of the reference's L4/L5 harness
+(train.py:291-330): the reference outsources its loop to HF Trainer; here the
+loop is explicit and every step is one jitted, mesh-aware function:
+
+  * optimizer: Adafactor (reference: optim="adafactor", train.py:298) with
+    linear warmup (warmup_steps, train.py:307) and global-norm clipping
+    (max_grad_norm, train.py:164)
+  * gradient accumulation: lax.scan over the microbatch axis inside the
+    jitted step (reference: gradient_accumulation_steps, train.py:295)
+  * data parallel: batch sharded over the mesh `data` axis; XLA inserts the
+    gradient all-reduce over ICI (reference relied on implicit Trainer DDP)
+  * freezing: variant masks + fixed_parameters policy + FreezingCallback-
+    style gradual unfreeze, all as gradient multiplier pytrees
+    (training/freezing.py)
+  * GAN alternation: step-indexed generator/discriminator masks
+    (fixes SURVEY.md §2.5.7)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Iterable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import SpeechMixConfig
+from ..models import speechmix as smx
+from ..parallel import mesh as mesh_lib
+from . import freezing
+from .checkpoint import CheckpointManager
+
+
+@dataclass
+class TrainConfig:
+    learning_rate: float = 4e-5
+    warmup_steps: int = 500
+    max_grad_norm: float = 10.0
+    grad_accum: int = 1
+    num_epochs: int = 10
+    eval_steps: int = 700
+    logging_steps: int = 10
+    save_total_limit: int = 2
+    early_stopping_patience: int = 20
+    # FreezingCallback window in epochs (train.py:327 passes 500 *steps* to a
+    # parameter the callback treats as epochs; we keep epochs semantics)
+    freeze_epochs: int = 0
+    max_steps: int = 0  # 0 = no cap
+    output_dir: str = "./checkpoints"
+    seed: int = 0
+    bf16: bool = False  # compute dtype (reference --fp16 equivalent)
+    model_parallel: int = 1
+    fixed_speech: bool = False
+    fixed_nlp: bool = True
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(tc: TrainConfig):
+    schedule = optax.join_schedules(
+        [optax.linear_schedule(0.0, tc.learning_rate, tc.warmup_steps),
+         optax.constant_schedule(tc.learning_rate)],
+        [tc.warmup_steps])
+    return optax.chain(
+        optax.clip_by_global_norm(tc.max_grad_norm),
+        optax.adafactor(learning_rate=schedule),
+    )
+
+
+def create_train_state(rng, cfg: SpeechMixConfig, tc: TrainConfig):
+    params = smx.init_speechmix(rng, cfg)
+    optimizer = make_optimizer(tc)
+    opt_state = optimizer.init(params)
+    return TrainState(params=params, opt_state=opt_state,
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(cfg: SpeechMixConfig, tc: TrainConfig, params_example):
+    """Build the jitted train step.
+
+    Signature: step_fn(state, batch, unfreeze_progress) -> (state, metrics)
+    batch leaves are (accum * micro_b, ...); the step reshapes to
+    (accum, micro_b, ...) and lax.scan-accumulates gradients.
+    """
+    optimizer = make_optimizer(tc)
+    dtype = jnp.bfloat16 if tc.bf16 else jnp.float32
+    static_mask = freezing.variant_trainable_mask(
+        params_example, cfg, tc.fixed_speech, tc.fixed_nlp)
+
+    def loss_fn(params, micro):
+        out = smx.speechmix_forward(
+            params, cfg, micro["input_values"],
+            lengths=micro.get("lengths"), labels=micro["labels"],
+            text_input_ids=micro.get("text_input_ids"),
+            prompt_ids=micro.get("prompt_ids"), dtype=dtype)
+        return out["loss"], out
+
+    def step_fn(state: TrainState, batch, unfreeze_progress):
+        accum = tc.grad_accum
+
+        def micro_batches(x):
+            return x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
+
+        micro = jax.tree_util.tree_map(micro_batches, batch)
+
+        def accum_body(carry, mb):
+            g_sum, l_sum = carry
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, mb)
+            g_sum = jax.tree_util.tree_map(jnp.add, g_sum, grads)
+            return (g_sum, l_sum + loss), None
+
+        zero_grads = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        (grads, loss_sum), _ = jax.lax.scan(
+            accum_body, (zero_grads, jnp.zeros((), jnp.float32)), micro)
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+        loss = loss_sum / accum
+
+        # freezing stack: static variant mask * gradual unfreeze * GAN parity
+        masks = [static_mask]
+        if tc.freeze_epochs > 0:
+            masks.append(freezing.gradual_unfreeze_scale(state.params,
+                                                         unfreeze_progress))
+        if cfg.variant == "gan":
+            masks.append(freezing.gan_alternating_masks(
+                state.params, state.step, cfg.gan_discriminator_update_every))
+        grads = freezing.apply_grad_mask(grads, *masks)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss,
+                   "grad_norm": optax.global_norm(grads)}
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: SpeechMixConfig, tc: TrainConfig):
+    dtype = jnp.bfloat16 if tc.bf16 else jnp.float32
+
+    def eval_fn(params, batch):
+        out = smx.speechmix_forward(
+            params, cfg, batch["input_values"],
+            lengths=batch.get("lengths"), labels=batch["labels"],
+            text_input_ids=batch.get("text_input_ids"),
+            prompt_ids=batch.get("prompt_ids"), dtype=dtype)
+        preds = jnp.argmax(out["logits"], axis=-1)
+        return {"loss": out["loss"], "predictions": preds}
+
+    return jax.jit(eval_fn)
+
+
+class JSONLLogger:
+    """Minimal metrics logger (reference reported to wandb via Trainer,
+    train.py:310; this writes wandb-compatible JSONL and echoes to stdout)."""
+
+    def __init__(self, path: Optional[str]):
+        self.path = path
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._f = open(path, "a")
+        else:
+            self._f = None
+
+    def log(self, record: dict):
+        record = {k: (float(v) if hasattr(v, "item") else v)
+                  for k, v in record.items()}
+        if self._f:
+            self._f.write(json.dumps(record) + "\n")
+            self._f.flush()
+        print(json.dumps(record))
+
+    def close(self):
+        if self._f:
+            self._f.close()
+
+
+class Trainer:
+    """Host-side training orchestration (epochs, eval, early stopping,
+    checkpoints) around the jitted step functions."""
+
+    def __init__(self, cfg: SpeechMixConfig, tc: TrainConfig, tokenizer=None,
+                 mesh=None):
+        self.cfg = cfg
+        self.tc = tc
+        self.tokenizer = tokenizer
+        self.mesh = mesh or mesh_lib.make_mesh(n_model=tc.model_parallel)
+        self.logger = JSONLLogger(os.path.join(tc.output_dir, "metrics.jsonl")
+                                  if tc.output_dir else None)
+        self.ckpt = CheckpointManager(tc.output_dir, tc.save_total_limit) \
+            if tc.output_dir else None
+
+    def init_state(self, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.tc.seed)
+        state = create_train_state(rng, self.cfg, self.tc)
+        state = TrainState(
+            params=mesh_lib.shard_params(self.mesh, state.params),
+            opt_state=state.opt_state, step=state.step)
+        return state
+
+    def fit(self, state: TrainState, train_batches: Callable[[], Iterable],
+            eval_batches: Optional[Callable[[], Iterable]] = None):
+        """train_batches/eval_batches: zero-arg callables returning a fresh
+        iterator of batch dicts per epoch (static shapes per bucket)."""
+        step_fn = make_train_step(self.cfg, self.tc, state.params)
+        eval_fn = make_eval_step(self.cfg, self.tc)
+
+        best_metric = float("inf")
+        best_step = 0
+        patience_left = self.tc.early_stopping_patience
+        t0 = time.time()
+
+        for epoch in range(self.tc.num_epochs):
+            progress = (epoch / self.tc.freeze_epochs
+                        if self.tc.freeze_epochs > 0 else 1.0)
+            for batch in train_batches():
+                batch = mesh_lib.shard_batch(self.mesh, batch)
+                state, metrics = step_fn(state, batch,
+                                         jnp.float32(progress))
+                step = int(state.step)
+                if self.tc.max_steps and step >= self.tc.max_steps:
+                    self.logger.log({"step": step, "loss": metrics["loss"],
+                                     "max_steps_reached": True})
+                    return state
+                if step % self.tc.logging_steps == 0:
+                    self.logger.log({"step": step, "epoch": epoch,
+                                     "loss": metrics["loss"],
+                                     "grad_norm": metrics["grad_norm"],
+                                     "elapsed": time.time() - t0})
+                if eval_batches and step % self.tc.eval_steps == 0:
+                    eval_metrics = self.evaluate(state.params, eval_fn,
+                                                 eval_batches)
+                    self.logger.log({"step": step, **eval_metrics})
+                    score = eval_metrics.get("eval_loss", float("inf"))
+                    if self.ckpt:
+                        self.ckpt.save(step, {"params": state.params},
+                                       eval_metrics)
+                    if score < best_metric:
+                        best_metric, best_step = score, step
+                        patience_left = self.tc.early_stopping_patience
+                    else:
+                        patience_left -= 1
+                        if patience_left <= 0:
+                            self.logger.log({"early_stop": True,
+                                             "best_step": best_step})
+                            return state
+        return state
+
+    def evaluate(self, params, eval_fn, eval_batches):
+        losses, all_preds, all_labels = [], [], []
+        for batch in eval_batches():
+            batch_dev = mesh_lib.shard_batch(self.mesh, batch)
+            out = eval_fn(params, batch_dev)
+            losses.append(float(out["loss"]))
+            all_preds.append(np.asarray(out["predictions"]))
+            all_labels.append(np.asarray(batch["labels"]))
+        metrics = {"eval_loss": float(np.mean(losses))}
+        if self.tokenizer is not None:
+            from ..metrics import compute_metrics
+            preds = [p for arr in all_preds for p in arr]
+            labels = [l for arr in all_labels for l in arr]
+            metrics.update(compute_metrics(preds, labels, self.tokenizer))
+        return metrics

@@ -1,0 +1,58 @@
+"""Test configuration: force an 8-virtual-device CPU platform BEFORE jax
+initializes, so multi-chip sharding paths are exercised without TPU hardware
+(the "fake backend" the reference never had — SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+import numpy as np
+import pytest
+
+# Full-precision matmuls for exactness assertions (the backend default is a
+# fast low-precision mode with ~1e-3 error, which breaks cached-vs-full
+# decode equivalence checks).
+import jax
+jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compile cache: test models are tiny but shape-diverse; caching
+# compiles across runs keeps the suite fast.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(0)
+
+
+def synth_speech(rng, seconds, sr=16000):
+    """Deterministic pseudo-speech: sum of chirps + noise bursts.  Stands in
+    for librispeech_asr_dummy (the reference's test fixture) since this
+    environment has no network egress."""
+    t = np.arange(int(seconds * sr)) / sr
+    f0 = 110 + 30 * np.sin(2 * np.pi * 0.7 * t)
+    sig = 0.3 * np.sin(2 * np.pi * f0 * t)
+    sig += 0.1 * np.sin(2 * np.pi * 3 * f0 * t)
+    env = 0.5 * (1 + np.sin(2 * np.pi * 2.1 * t))
+    sig = sig * env + 0.01 * rng.randn(len(t))
+    return sig.astype(np.float32)
+
+
+@pytest.fixture(scope="session")
+def tiny_cfg():
+    from speechmix_tpu.config import (SpeechMixConfig, SPEECH_ENCODER_PRESETS,
+                                      SEQ2SEQ_PRESETS)
+    return SpeechMixConfig(
+        encoder=SPEECH_ENCODER_PRESETS["tiny-speech"],
+        decoder=SEQ2SEQ_PRESETS["tiny-bart-bytes"],
+        down_scale=2,
+    )

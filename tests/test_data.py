@@ -1,0 +1,116 @@
+"""Data pipeline tests: tokenizer round-trip, resampling, bucketing/collation,
+metrics, teacher-target semantics (reference test_train.py family)."""
+
+import numpy as np
+import pytest
+
+from speechmix_tpu.data import audio as audio_lib
+from speechmix_tpu.data.collator import BucketBatcher, CollatorConfig
+from speechmix_tpu.data.tokenizer import ByteTokenizer
+from speechmix_tpu import metrics
+
+
+def test_byte_tokenizer_roundtrip():
+    tok = ByteTokenizer()
+    text = "hello world! éàü"
+    ids = tok.encode(text)
+    assert ids[-1] == tok.eos_token_id
+    assert tok.decode(ids) == text
+
+
+def test_resample_preserves_tone():
+    sr_in = 22050
+    t = np.arange(sr_in) / sr_in
+    sig = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    out = audio_lib.resample(sig, sr_in, 16000)
+    assert abs(len(out) - 16000) <= 2
+    # dominant frequency preserved
+    spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+    freq = np.fft.rfftfreq(len(out), 1 / 16000)
+    peak = freq[np.argmax(spec)]
+    assert abs(peak - 440) < 5
+
+
+def test_bucket_batcher_static_shapes():
+    cfg = CollatorConfig(buckets_sec=(1.0, 2.0), max_label_length=8,
+                         pad_token_id=0)
+    rng = np.random.RandomState(0)
+    examples = [{"input_values": rng.randn(n).astype(np.float32),
+                 "labels": [130, 140, 1]}
+                for n in [12000, 15000, 30000, 8000, 31000, 14000]]
+    batcher = BucketBatcher(cfg, batch_size=2)
+    shapes = set()
+    total_real = 0
+    for batch in batcher(examples):
+        shapes.add(batch["input_values"].shape)
+        total_real += int(batch["example_mask"].sum())
+        assert batch["labels"].shape == (2, 8)
+        # labels padded with -100
+        assert (batch["labels"][batch["labels"] < 0] == -100).all()
+    assert total_real == len(examples)
+    assert shapes <= {(2, 16000), (2, 32000)}
+
+
+def test_collator_strips_leading_bos():
+    cfg = CollatorConfig(buckets_sec=(1.0,), max_label_length=8,
+                         pad_token_id=0, bos_token_id=2)
+    examples = [{"input_values": np.zeros(100, np.float32),
+                 "labels": [2, 130, 1]}] * 2
+    batcher = BucketBatcher(cfg, batch_size=2)
+    batch = next(iter(batcher(examples)))
+    assert batch["labels"][0, 0] == 130  # BOS stripped (train.py:127-128)
+
+
+def test_wer_cer():
+    refs = ["the cat sat", "hello world"]
+    hyps = ["the cat sat", "hello word"]
+    assert metrics.wer(refs, refs) == 0.0
+    assert metrics.cer(refs, refs) == 0.0
+    assert 0 < metrics.wer(refs, hyps) < 1
+    assert 0 < metrics.cer(refs, hyps) < 0.2
+    # corpus-level: total errors / total ref words = 1/5
+    assert abs(metrics.wer(refs, hyps) - 1 / 5) < 1e-9
+
+
+def test_synthetic_corpus_deterministic():
+    from speechmix_tpu.data.datasets import synthetic_corpus
+    a = synthetic_corpus(4, seed=3)
+    b = synthetic_corpus(4, seed=3)
+    for x, y in zip(a, b):
+        assert x["text"] == y["text"]
+        np.testing.assert_array_equal(x["audio"], y["audio"])
+
+
+def test_teacher_targets_match_per_token_loop():
+    """Batched teacher generation must reproduce, token-for-token, the
+    reference's serial per-token greedy loop (create_self_decoder_input,
+    train.py:18-34): predict argmax conditioned on the text, stop BEFORE
+    appending EOS, then append the tokenizer EOS (train.py:54,73)."""
+    import jax
+    import jax.numpy as jnp
+    from speechmix_tpu.config import SEQ2SEQ_PRESETS
+    from speechmix_tpu.models import seq2seq as s2s
+    from speechmix_tpu.data.teacher import create_self_decoder_inputs_batched
+
+    dcfg = SEQ2SEQ_PRESETS["tiny-bart-bytes"]
+    params = s2s.init_seq2seq(jax.random.PRNGKey(0), dcfg)
+    tok = ByteTokenizer()
+    sents = ["the ordinary duties", "make some return"]
+    pairs = create_self_decoder_inputs_batched(params, dcfg, tok, sents,
+                                               max_length=12, batch_size=2)
+
+    for sent, (text_ids, teacher_labels) in zip(sents, pairs):
+        # reference-style serial loop (uncached full forward per token)
+        gen_input = tok.encode(sent, add_special_tokens=True)
+        assert gen_input == text_ids
+        predicted = [dcfg.decoder_start_token_id]
+        for _ in range(12):
+            out = s2s.seq2seq_apply(
+                params, dcfg, input_ids=jnp.asarray([gen_input]),
+                decoder_input_ids=jnp.asarray([predicted]))
+            nxt = int(jnp.argmax(out["logits"][0, -1]))
+            if nxt == dcfg.eos_token_id:
+                break
+            predicted.append(nxt)
+        expected = predicted[1:] + [tok.eos_token_id]
+        assert teacher_labels == expected, (teacher_labels, expected)

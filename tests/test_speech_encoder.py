@@ -1,0 +1,79 @@
+"""Speech encoder structural + op tests (mirrors reference
+test/test_model.py:18-53 assertion families)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speechmix_tpu.config import SPEECH_ENCODER_PRESETS, SpeechEncoderConfig
+from speechmix_tpu.models import speech_encoder as se
+
+
+CFG = SPEECH_ENCODER_PRESETS["tiny-speech"]
+
+
+@pytest.fixture(scope="module")
+def params():
+    return se.init_speech_encoder(jax.random.PRNGKey(0), CFG)
+
+
+def test_feature_lengths_formula():
+    # conv stack (k=10,s=5),(3,2),(3,2): 16000 samples -> 799 frames
+    l = CFG.feature_lengths(np.array([16000]))
+    expect = 16000
+    for k, s in zip(CFG.conv_kernels, CFG.conv_strides):
+        expect = (expect - k) // s + 1
+    assert l[0] == expect
+
+
+def test_forward_shapes(params):
+    wav = jnp.zeros((2, 16000))
+    out = se.speech_encoder_apply(params, CFG, wav,
+                                  output_hidden_states=True)
+    t = CFG.feature_lengths(np.array([16000]))[0]
+    assert out["last_hidden_state"].shape == (2, t, CFG.hidden_size)
+    # hidden_states: embedding output + one per layer (HF L+1 convention)
+    assert out["hidden_states"].shape[0] == CFG.num_layers + 1
+
+
+def test_truncate_layers(params):
+    # share_layer_ratio semantics: keep bottom num_keep layers
+    for keep in [0, 2, 4]:
+        p = se.truncate_layers(params, keep)
+        n = jax.tree_util.tree_leaves(p["layers"])[0].shape[0]
+        assert n == keep
+
+
+def test_masking_padded_equals_unpadded(params):
+    """Padded-batch forward == per-example forward on valid region — proves
+    masks actually stop padding leakage (the reference has no masks)."""
+    rng = np.random.RandomState(1)
+    short = rng.randn(8000).astype(np.float32) * 0.1
+    padded = np.zeros(16000, np.float32)
+    padded[:8000] = short
+
+    out_padded = se.speech_encoder_apply(
+        params, CFG, jnp.asarray(padded)[None],
+        lengths=jnp.array([8000]))
+    out_exact = se.speech_encoder_apply(params, CFG, jnp.asarray(short)[None])
+
+    n = int(out_exact["frame_lengths"][0])
+    # pos-conv has a wide receptive field crossing the boundary; interior
+    # frames (outside the kernel half-width) must match closely
+    margin = CFG.pos_conv_kernel
+    a = np.asarray(out_padded["last_hidden_state"])[0, margin:n - margin]
+    b = np.asarray(out_exact["last_hidden_state"])[0, margin:n - margin]
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+
+def test_large_variant_graph():
+    cfg = SpeechEncoderConfig(
+        name="tiny-large", conv_dims=(16, 16), conv_kernels=(10, 3),
+        conv_strides=(5, 2), conv_bias=True, feat_extract_norm="layer",
+        hidden_size=32, num_layers=2, num_heads=2, ffn_dim=64,
+        do_stable_layer_norm=True, pos_conv_kernel=8, pos_conv_groups=2)
+    p = se.init_speech_encoder(jax.random.PRNGKey(0), cfg)
+    out = se.speech_encoder_apply(p, cfg, jnp.zeros((1, 8000)))
+    assert out["last_hidden_state"].shape[-1] == 32
+    assert np.all(np.isfinite(np.asarray(out["last_hidden_state"])))

@@ -1,0 +1,163 @@
+"""CLI training entry point — reference-compatible flag surface
+(/root/reference/train.py:136-186) on top of the TPU-native stack.
+
+    python train.py --SpeechMixEED --speech_model_config wav2vec2 \
+        --nlp_model_config facebook/bart-base --dataset librispeech_asr \
+        --field clean --train_split train.100 --test_split validation \
+        --batch 3 --grad_accum 20 --epoch 30 --lr 4e-5 --warmup_steps 500 \
+        --share_layer_ratio 0 --down_scale 2
+
+Differences from the reference (documented fixes, SURVEY.md §2.5):
+  * one --worker flag used consistently (the reference crashes on the
+    undefined num_proc key, §2.5.1)
+  * audio zero-padded with masks; static-shape bucketing (§2.5.2)
+  * seeded single split for --custom_set (§2.5.3)
+  * teacher-target generation is one batched jitted decode, not a per-token
+    python loop (train.py:18-34)
+  * --bf16 replaces --fp16 (TPU-preferred numerics); --fp16 is accepted as
+    an alias
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+MODEL_FLAGS = [
+    "SpeechMixEED", "SpeechMixED", "SpeechMixSelf", "SpeechMixAdapter",
+    "SpeechMixGAN", "SpeechMixFixed", "HFSpeechMixEED", "HFSpeechMixED",
+    "HFSpeechMixSelf", "HFSpeechMixAdapter", "HFSpeechMixGAN",
+    "HFSpeechMixFixed",
+]
+
+
+def parse_args(args):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--speech_model_config", type=str)
+    parser.add_argument("--nlp_model_config", type=str)
+    for flag in MODEL_FLAGS:
+        parser.add_argument(f"--{flag}", action="store_true")
+    parser.add_argument("--cache", action="store_true")
+    parser.add_argument("--dataset", type=str)
+    parser.add_argument("--prompt", type=str)
+    parser.add_argument("--field", type=str)
+    parser.add_argument("--train_split", type=str)
+    parser.add_argument("--test_split", type=str)
+    parser.add_argument("--notes", type=str)
+    parser.add_argument("--grad_accum", default=3, type=int)
+    parser.add_argument("--logging_steps", default=10, type=int)
+    parser.add_argument("--warmup_steps", default=500, type=int)
+    parser.add_argument("--unfreeze_warmup_steps", default=1000, type=int)
+    parser.add_argument("--save_total_limit", default=2, type=int)
+    parser.add_argument("--max_grad_norm", default=10, type=float)
+    parser.add_argument("--worker", default=10, type=int)
+    parser.add_argument("--batch", type=int, default=3)
+    parser.add_argument("--epoch", default=1000, type=int)
+    parser.add_argument("--lr", type=float, default=4e-5)
+    parser.add_argument("--eval_step", default=700, type=int)
+    parser.add_argument("--share_layer_ratio", default=0, type=float)
+    parser.add_argument("--down_scale", default=8, type=int)
+    parser.add_argument("--weighted_sum", action="store_true")
+    parser.add_argument("--fixed_parameters", action="store_true")
+    parser.add_argument("--custom_set", type=str)
+    parser.add_argument("--max_input_length_in_sec", default=20, type=int)
+    parser.add_argument("--group_by_length", action="store_true")
+    parser.add_argument("--fixed_except", nargs="+",
+                        default=["layer_norm", "encoder_attn",
+                                 "enc_to_dec_proj", "length_adapter",
+                                 "layernorm_embedding", "attention",
+                                 "encoder"])
+    parser.add_argument("--fp16", action="store_true")
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--wandb", action="store_true")
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--model_parallel", default=1, type=int)
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--freeze_epochs", default=3, type=int)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on synthetic data (offline smoke runs)")
+    parser.add_argument("--max_steps", default=0, type=int)
+
+    input_args, model_arg = parser.parse_known_args(args)
+    other = {k.replace("--", ""): v
+             for k, v in zip(model_arg[:-1:2], model_arg[1::2])}
+    return input_args, other
+
+
+def pick_model(input_args, other):
+    import speechmix_tpu as smx_api
+
+    name = next((f for f in MODEL_FLAGS if getattr(input_args, f)),
+                "SpeechMixEED")
+    cls = getattr(smx_api, name)
+    kwargs = dict(
+        speech_model_config=input_args.speech_model_config or "wav2vec2",
+        nlp_model_config=input_args.nlp_model_config or "facebook/bart-base",
+        share_layer_ratio=input_args.share_layer_ratio,
+        down_scale=input_args.down_scale,
+        weighted_sum=input_args.weighted_sum,
+        fixed_parameters=input_args.fixed_parameters,
+        fixed_except=input_args.fixed_except,
+        seed=input_args.seed,
+        dtype="bfloat16" if (input_args.bf16 or input_args.fp16)
+        else "float32",
+    )
+    kwargs.update(other)
+    return name, cls(**kwargs)
+
+
+def main(arg=None):
+    input_args, other = parse_args(sys.argv[1:] if arg is None else arg)
+    model_type, model = pick_model(input_args, other)
+    print(f"model: {model_type} "
+          f"speech_layers={model.speech_encoder_layer} "
+          f"nlp_layers={model.nlp_encoder_layer} "
+          f"trainable={len(model.list_grad)} frozen={len(model.list_no_grad)}")
+
+    from speechmix_tpu.data.datasets import build_datasets
+    from speechmix_tpu.training.trainer import TrainConfig, Trainer, \
+        TrainState, make_train_step
+    from speechmix_tpu.parallel import mesh as mesh_lib
+    from speechmix_tpu.training import trainer as trainer_lib
+
+    train_iter, eval_iter = build_datasets(input_args, model)
+
+    out_dir = input_args.output_dir or (
+        f"./{(input_args.speech_model_config or 'wav2vec2').replace('/', '_')}"
+        f"_{(input_args.nlp_model_config or 'bart').replace('/', '_')}"
+        f"_{model_type}_{input_args.notes or ''}")
+
+    tc = TrainConfig(
+        learning_rate=input_args.lr,
+        warmup_steps=input_args.warmup_steps,
+        max_grad_norm=input_args.max_grad_norm,
+        grad_accum=input_args.grad_accum,
+        num_epochs=input_args.epoch,
+        eval_steps=input_args.eval_step,
+        logging_steps=input_args.logging_steps,
+        save_total_limit=input_args.save_total_limit,
+        freeze_epochs=input_args.freeze_epochs,
+        max_steps=input_args.max_steps,
+        output_dir=out_dir,
+        seed=input_args.seed,
+        bf16=input_args.bf16 or input_args.fp16,
+        model_parallel=input_args.model_parallel,
+    )
+
+    trainer = Trainer(model.config, tc, tokenizer=model.tokenizer)
+    # seed the trainer state from the constructed model params
+    import jax
+    import jax.numpy as jnp
+    optimizer = trainer_lib.make_optimizer(tc)
+    params = mesh_lib.shard_params(trainer.mesh, model.params)
+    state = TrainState(params=params, opt_state=optimizer.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    state = trainer.fit(state, train_iter, eval_iter)
+    model.params = jax.device_get(state.params)
+    model.save_weights(os.path.join(out_dir, "final_weights.npz"))
+    print(f"saved final weights to {out_dir}/final_weights.npz")
+
+
+if __name__ == "__main__":
+    main()
