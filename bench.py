@@ -21,6 +21,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: repeated bench runs skip the multi-minute
+    # first compile
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     from speechmix_tpu.config import (SPEECH_ENCODER_PRESETS,
                                       SEQ2SEQ_PRESETS, SpeechMixConfig)
     from speechmix_tpu.models import speechmix as smx
@@ -59,15 +67,18 @@ def main():
                                 max_length=max_len, use_flash=on_tpu,
                                 dtype=dtype)
 
-    # warmup/compile
+    # warmup/compile (device_get forces a full host round trip; plain
+    # block_until_ready under-reports through tunneled device transports)
     tokens, _ = decode(params, wav, lengths)
-    tokens.block_until_ready()
+    jax.device_get(tokens)
 
-    t0 = time.perf_counter()
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         tokens, _ = decode(params, wav, lengths)
-    tokens.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+        jax.device_get(tokens)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
 
     audio_sec = batch * seconds
     rtfx = audio_sec / dt

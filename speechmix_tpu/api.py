@@ -43,17 +43,21 @@ _DEFAULT_FIXED_EXCEPT = ("layer_norm", "encoder_attn", "enc_to_dec_proj",
                          "encoder")
 
 
-def _prepare_audio(input_values, max_len=None):
+def _prepare_audio(input_values, max_len=None, bucket_samples=16000):
     """Accept a list of 1-D arrays (reference convention,
-    test_model.py:29-31) or a 2-D array; returns (batch, lengths)."""
+    test_model.py:29-31) or a 2-D array; returns (batch, lengths).  Batch
+    length is rounded up to a 1-second bucket so repeated calls with similar
+    audio hit the same jit compilation."""
     if isinstance(input_values, (list, tuple)):
         arrays = [np.asarray(x, np.float32).reshape(-1) for x in input_values]
         lengths = np.array([len(a) for a in arrays], np.int32)
         t = max_len or int(lengths.max())
+        t = max(bucket_samples,
+                int(np.ceil(t / bucket_samples) * bucket_samples))
         batch = np.zeros((len(arrays), t), np.float32)
         for i, a in enumerate(arrays):
             batch[i, : len(a)] = a[:t]
-        return jnp.asarray(batch), jnp.asarray(lengths)
+        return jnp.asarray(batch), jnp.asarray(np.minimum(lengths, t))
     arr = np.asarray(input_values, np.float32)
     if arr.ndim == 1:
         arr = arr[None]
@@ -114,6 +118,11 @@ class _SpeechMixBase:
         return self.params.get("weights_sum")
 
     # -- forward ------------------------------------------------------------
+    @property
+    def _dtype(self):
+        return (jnp.bfloat16 if self.config.dtype == "bfloat16"
+                else jnp.float32)
+
     def forward(self, input_values, labels=None, decoder_input_ids=None,
                 text_input_ids=None, input_text_prompt=None,
                 decoder_text_prompt=None, return_model_detail=False):
@@ -128,15 +137,33 @@ class _SpeechMixBase:
         def to_arr(x):
             return None if x is None else jnp.asarray(np.asarray(x))
 
-        out = smx.speechmix_forward(
-            self.params, self.config, batch, lengths=lengths,
-            labels=to_arr(labels), decoder_input_ids=to_arr(decoder_input_ids),
-            text_input_ids=to_arr(text_input_ids), prompt_ids=prompt_ids,
-            return_model_detail=return_model_detail,
-            dtype=jnp.bfloat16 if self.config.dtype == "bfloat16"
-            else jnp.float32)
-        out["predictions"] = jnp.argmax(out["logits"], -1)
-        return out
+        labels, decoder_input_ids, text_input_ids = map(
+            to_arr, (labels, decoder_input_ids, text_input_ids))
+
+        # jit cache keyed on input shapes + which optionals are present
+        key = ("fwd", batch.shape,
+               None if labels is None else labels.shape,
+               None if decoder_input_ids is None else decoder_input_ids.shape,
+               None if text_input_ids is None else text_input_ids.shape,
+               None if prompt_ids is None else prompt_ids.shape,
+               return_model_detail)
+        fn = self._jit_forward_cache.get(key)
+        if fn is None:
+            def raw(params, batch, lengths, labels, decoder_input_ids,
+                    text_input_ids, prompt_ids):
+                out = smx.speechmix_forward(
+                    params, self.config, batch, lengths=lengths,
+                    labels=labels, decoder_input_ids=decoder_input_ids,
+                    text_input_ids=text_input_ids, prompt_ids=prompt_ids,
+                    return_model_detail=return_model_detail,
+                    use_flash=jax.default_backend() == "tpu",
+                    dtype=self._dtype)
+                out["predictions"] = jnp.argmax(out["logits"], -1)
+                return out
+            fn = jax.jit(raw)
+            self._jit_forward_cache[key] = fn
+        return fn(self.params, batch, lengths, labels, decoder_input_ids,
+                  text_input_ids, prompt_ids)
 
     __call__ = forward
 
@@ -149,10 +176,21 @@ class _SpeechMixBase:
             prompt_ids = jnp.asarray(
                 self.tokenizer.encode(decoder_text_prompt,
                                       add_special_tokens=False), jnp.int32)
-        tokens, out_lengths = gen_lib.generate(
-            self.params, self.config, batch, lengths,
-            prompt_ids=prompt_ids, max_length=max_length,
-            num_beams=num_beams, length_penalty=length_penalty)
+        key = ("gen", batch.shape,
+               None if prompt_ids is None else prompt_ids.shape,
+               max_length, num_beams, length_penalty)
+        fn = self._jit_generate_cache.get(key)
+        if fn is None:
+            def raw(params, batch, lengths, prompt_ids):
+                return gen_lib.generate(
+                    params, self.config, batch, lengths,
+                    prompt_ids=prompt_ids, max_length=max_length,
+                    num_beams=num_beams, length_penalty=length_penalty,
+                    use_flash=jax.default_backend() == "tpu",
+                    dtype=self._dtype)
+            fn = jax.jit(raw)
+            self._jit_generate_cache[key] = fn
+        tokens, _ = fn(self.params, batch, lengths, prompt_ids)
         return tokens
 
     # -- persistence --------------------------------------------------------

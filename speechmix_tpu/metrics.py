@@ -14,12 +14,23 @@ import numpy as np
 
 
 def _edit_distance(ref: Sequence, hyp: Sequence) -> int:
-    """Levenshtein distance with two-row DP."""
+    """Levenshtein distance with two-row DP (native C++ inner loop when the
+    runtime library is built; see runtime/native.cpp)."""
     n, m = len(ref), len(hyp)
     if n == 0:
         return m
     if m == 0:
         return n
+    try:
+        from .runtime import native
+        if native.available():
+            # map tokens to stable int ids
+            vocab = {}
+            def ids(seq):
+                return [vocab.setdefault(t, len(vocab)) for t in seq]
+            return native.edit_distance(ids(ref), ids(hyp))
+    except Exception:
+        pass
     prev = np.arange(m + 1, dtype=np.int32)
     cur = np.empty(m + 1, dtype=np.int32)
     for i in range(1, n + 1):

@@ -185,17 +185,17 @@ def _attn_scale(cfg):
     return 1.0 if cfg.arch == "t5" else None
 
 
-def _encoder_block(block, cfg, x, bias, use_flash, dtype):
+def _encoder_block(block, cfg, x, bias, kv_mask, use_flash, dtype):
     scale = _attn_scale(cfg)
     if cfg.arch == "bart":  # post-LN
-        a, _ = attention(block["self_attn"], x, bias=bias,
+        a, _ = attention(block["self_attn"], x, bias=bias, kv_mask=kv_mask,
                          num_heads=cfg.num_heads, head_dim=cfg.per_head_dim,
                          scale=scale, use_flash=use_flash, dtype=dtype)
         x = _norm(cfg, block["self_attn_layer_norm"], x + a)
         x = _norm(cfg, block["final_layer_norm"], x + _ffn(block, cfg, x, dtype))
     else:  # t5 pre-LN
         h = _norm(cfg, block["self_attn_layer_norm"], x)
-        a, _ = attention(block["self_attn"], h, bias=bias,
+        a, _ = attention(block["self_attn"], h, bias=bias, kv_mask=kv_mask,
                          num_heads=cfg.num_heads, head_dim=cfg.per_head_dim,
                          scale=scale, use_flash=use_flash, dtype=dtype)
         x = x + a
@@ -212,13 +212,15 @@ class DecoderCache(NamedTuple):
 
 
 def _decoder_block(block, cfg, x, self_bias, cross_bias, enc_hidden,
-                   self_cache, cross_kv, use_flash, dtype):
+                   self_cache, cross_kv, use_flash, dtype,
+                   self_kv_mask=None, self_causal=False):
     """One decoder block.  self_cache: Optional[KVCache] (single layer).
     cross_kv: Optional[(k, v)] precomputed cross K/V."""
     scale = _attn_scale(cfg)
     new_cache = None
     if cfg.arch == "bart":
         a, new_cache = attention(block["self_attn"], x, bias=self_bias,
+                                 kv_mask=self_kv_mask, causal=self_causal,
                                  num_heads=cfg.num_heads,
                                  head_dim=cfg.per_head_dim, scale=scale,
                                  cache=self_cache, use_flash=use_flash,
@@ -231,6 +233,7 @@ def _decoder_block(block, cfg, x, self_bias, cross_bias, enc_hidden,
     else:
         h = _norm(cfg, block["self_attn_layer_norm"], x)
         a, new_cache = attention(block["self_attn"], h, bias=self_bias,
+                                 kv_mask=self_kv_mask, causal=self_causal,
                                  num_heads=cfg.num_heads,
                                  head_dim=cfg.per_head_dim, scale=scale,
                                  cache=self_cache, use_flash=use_flash,
@@ -333,22 +336,24 @@ def encode(params, cfg: Seq2SeqConfig, input_ids=None, inputs_embeds=None,
         x = x + pos[None]
         x = layers.layer_norm(enc["layernorm_embedding"], x,
                               cfg.layer_norm_eps)
-    bias = combine_masks_to_bias(kv_mask=attention_mask, dtype=jnp.float32)
+    bias = None
     if cfg.arch == "t5":
-        bias = (bias if bias is not None else 0) + t5_position_bias(
-            enc["rel_bias"], t, t, True, cfg, dtype=jnp.float32)
+        bias = t5_position_bias(enc["rel_bias"], t, t, True, cfg,
+                                dtype=jnp.float32)
 
     if adapters is not None:
         def scan_body(h, xs):
             block, adapter = xs
-            y = _encoder_block(block, cfg, h, bias, use_flash, dtype)
+            y = _encoder_block(block, cfg, h, bias, attention_mask,
+                               use_flash, dtype)
             y = apply_adapter(adapter, y, dtype)
             return y, (y if output_hidden_states else 0)
         x, per_layer = jax.lax.scan(scan_body, x,
                                     (enc["layers"], adapters["encoder"]))
     else:
         def scan_body(h, block):
-            y = _encoder_block(block, cfg, h, bias, use_flash, dtype)
+            y = _encoder_block(block, cfg, h, bias, attention_mask,
+                               use_flash, dtype)
             return y, (y if output_hidden_states else 0)
         x, per_layer = jax.lax.scan(scan_body, x, enc["layers"])
     if cfg.arch == "t5":
@@ -422,21 +427,24 @@ def decode(params, cfg: Seq2SeqConfig, decoder_input_ids, enc_hidden=None,
                               cfg.layer_norm_eps)
     inputs_embeds = x
 
-    # self-attention bias
+    # self-attention masking: cached path uses an explicit bias over the
+    # cache capacity; uncached path passes structured kv_mask+causal so the
+    # flash kernel stays reachable
+    self_kv_mask, self_causal = None, False
     if cache is not None:
         capacity = cache.self_kv.key.shape[2]
         self_bias = cache_position_bias(capacity, offset, q_len)
         kv_len = capacity
     else:
-        self_bias = combine_masks_to_bias(
-            q_mask=jnp.ones((b, q_len), bool),
-            kv_mask=(decoder_mask if decoder_mask is not None
-                     else jnp.ones((b, q_len), bool)),
-            causal=True)
+        self_bias = None
+        self_kv_mask = (decoder_mask if decoder_mask is not None
+                        else jnp.ones((b, q_len), bool))
+        self_causal = True
         kv_len = q_len
     if cfg.arch == "t5":
-        self_bias = self_bias + t5_position_bias(
-            dec["rel_bias"], q_len, kv_len, False, cfg, q_offset=offset)
+        t5_bias = t5_position_bias(dec["rel_bias"], q_len, kv_len, False,
+                                   cfg, q_offset=offset)
+        self_bias = t5_bias if self_bias is None else self_bias + t5_bias
 
     cross_bias = None
     if encoder_mask is not None:
@@ -474,7 +482,9 @@ def decode(params, cfg: Seq2SeqConfig, decoder_input_ids, enc_hidden=None,
         def scan_body(h, xs):
             block, adapter = xs if dec_adapters is not None else (xs, None)
             y, _ = _decoder_block(block, cfg, h, self_bias, cross_bias,
-                                  enc_hidden, None, None, use_flash, dtype)
+                                  enc_hidden, None, None, use_flash, dtype,
+                                  self_kv_mask=self_kv_mask,
+                                  self_causal=self_causal)
             if adapter is not None:
                 y = apply_adapter(adapter, y, dtype)
             return y, (y if output_hidden_states else 0)

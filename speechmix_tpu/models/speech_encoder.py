@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..config import SpeechEncoderConfig
 from ..ops import layers
 from ..ops.attention import attention, init_attention
-from ..ops.masking import combine_masks_to_bias, length_mask
+from ..ops.masking import length_mask
 
 
 # ----------------------------------------------------------------------------
@@ -132,12 +132,12 @@ def extract_features(params, cfg: SpeechEncoderConfig, waveform,
     return x
 
 
-def _encoder_layer(layer_params, x, bias, cfg, use_flash, dtype):
+def _encoder_layer(layer_params, x, kv_mask, cfg, use_flash, dtype):
     if cfg.do_stable_layer_norm:
         # pre-LN (wav2vec2-large)
         h = layers.layer_norm(layer_params["attention_layer_norm"], x,
                               cfg.layer_norm_eps)
-        attn, _ = attention(layer_params["attention"], h, bias=bias,
+        attn, _ = attention(layer_params["attention"], h, kv_mask=kv_mask,
                             num_heads=cfg.num_heads, use_flash=use_flash,
                             dtype=dtype)
         x = x + attn
@@ -149,7 +149,7 @@ def _encoder_layer(layer_params, x, bias, cfg, use_flash, dtype):
         x = x + h
     else:
         # post-LN (wav2vec2-base)
-        attn, _ = attention(layer_params["attention"], x, bias=bias,
+        attn, _ = attention(layer_params["attention"], x, kv_mask=kv_mask,
                             num_heads=cfg.num_heads, use_flash=use_flash,
                             dtype=dtype)
         x = layers.layer_norm(layer_params["attention_layer_norm"], x + attn,
@@ -202,12 +202,10 @@ def speech_encoder_apply(params, cfg: SpeechEncoderConfig, waveform,
         h = layers.layer_norm(params["encoder_layer_norm"], h,
                               cfg.layer_norm_eps)
 
-    bias = combine_masks_to_bias(kv_mask=frame_mask, dtype=jnp.float32)
-
     embed_output = h
 
     def scan_body(x, layer_params):
-        y = _encoder_layer(layer_params, x, bias, cfg, use_flash, dtype)
+        y = _encoder_layer(layer_params, x, frame_mask, cfg, use_flash, dtype)
         return y, (y if output_hidden_states else 0)
 
     h, per_layer = jax.lax.scan(scan_body, h, params["layers"])

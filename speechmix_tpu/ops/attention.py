@@ -72,13 +72,17 @@ def _attend(q, k, v, bias, scale, use_flash=False):
                       preferred_element_type=dtype)
 
 
-def attention(params, x_q, x_kv=None, bias=None, num_heads=None,
-              head_dim=None, scale=None, cache: Optional[KVCache] = None,
-              use_flash=False, dtype=None):
+def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
+              num_heads=None, head_dim=None, scale=None,
+              cache: Optional[KVCache] = None, use_flash=False, dtype=None):
     """General MHA.
 
     x_q: (B, Tq, Dq).  x_kv: (B, Tk, Dk) or None for self-attention.
-    bias: additive attention bias (broadcastable to (B, H, Tq, Tk)).
+    Masking, two forms (combinable):
+      kv_mask: (B, Tk) bool key-padding mask + `causal` flag — structured,
+        lets the fused Pallas flash path run without materializing bias.
+      bias: extra additive attention bias (T5 position bias, cache bias);
+        forces the XLA path.
     cache: if given, new keys/values are written at cache.index and attention
       runs over the full cache capacity (bias must mask unfilled slots).
     Returns (out, new_cache).
@@ -105,7 +109,24 @@ def attention(params, x_q, x_kv=None, bias=None, num_heads=None,
         k = k.astype(dtype)
         v = v.astype(dtype)
 
-    out = _attend(q, k, v, bias, scale, use_flash=use_flash)
+    # fused flash path: structured masks only, no extra bias, no cache
+    if (use_flash and bias is None and cache is None
+            and jax.default_backend() == "tpu"):
+        from .pallas.flash_attention_kernel import flash_attention_masked
+        out = flash_attention_masked(q, k, v, kv_mask=kv_mask, causal=causal,
+                                     scale=scale)
+    else:
+        from .masking import combine_masks_to_bias
+        total_bias = bias
+        if kv_mask is not None or causal:
+            b_sz, q_len = x_q.shape[0], x_q.shape[1]
+            struct = combine_masks_to_bias(
+                q_mask=jnp.ones((b_sz, q_len), bool),
+                kv_mask=(kv_mask if kv_mask is not None
+                         else jnp.ones((b_sz, k.shape[1]), bool)),
+                causal=causal)
+            total_bias = struct if total_bias is None else total_bias + struct
+        out = _attend(q, k, v, total_bias, scale, use_flash=False)
     out = out.reshape(out.shape[0], out.shape[1], num_heads * head_dim)
     out = layers.dense(params["out_proj"], out, dtype)
     return out, new_cache

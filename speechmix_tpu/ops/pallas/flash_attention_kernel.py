@@ -49,8 +49,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # (BQ, BK)
 
-    # key padding mask: (1, BK) -> bias row broadcast over queries
-    kv_valid = mask_ref[0].astype(jnp.float32)  # (BK,)
+    # key padding mask: (1, 1, BK) -> bias row broadcast over queries
+    kv_valid = mask_ref[0, 0].astype(jnp.float32)  # (BK,)
     s = s + (kv_valid - 1.0)[None, :] * (-NEG_INF)  # 0 where valid, -inf pad
 
     if causal:
@@ -109,14 +109,17 @@ def flash_attention_masked(q, k, v, kv_mask=None, causal=False, scale=None,
     vt = v.transpose(0, 2, 1, 3).reshape(b * h, tk, d)
     if kv_mask is None:
         kv_mask = jnp.ones((b, tk), jnp.float32)
-    mask = kv_mask.astype(jnp.float32)
+    # (B, 1, Tk): keeps the block's second-to-last dim == full dim (TPU
+    # lowering requires last-two block dims divisible by (8, 128) or equal
+    # to the array dims)
+    mask = kv_mask.astype(jnp.float32)[:, None, :]
 
     block_q = min(block_q, max(tq, 8))
     block_k = min(block_k, max(tk, 8))
     qt = _pad_axis(qt, block_q, 1)
     kt = _pad_axis(kt, block_k, 1)
     vt = _pad_axis(vt, block_k, 1)
-    mask = _pad_axis(mask, block_k, 1)  # pads with 0 = invalid
+    mask = _pad_axis(mask, block_k, 2)  # pads with 0 = invalid
     tq_p, tk_p = qt.shape[1], kt.shape[1]
     n_q, n_k = tq_p // block_q, tk_p // block_k
 
@@ -130,7 +133,8 @@ def flash_attention_masked(q, k, v, kv_mask=None, causal=False, scale=None,
             pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
-            pl.BlockSpec((1, block_k), lambda bh, qi, ki, h=h: (bh // h, ki)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda bh, qi, ki, h=h: (bh // h, 0, ki)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d),
                                lambda bh, qi, ki: (bh, qi, 0)),

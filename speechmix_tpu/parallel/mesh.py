@@ -117,3 +117,27 @@ def shard_batch(mesh: Mesh, batch):
 
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host initialization over DCN (jax.distributed).  The reference
+    has no multi-host story (SURVEY.md §2.4); on TPU pods call this once per
+    host before building the mesh — with no arguments, JAX autodetects the
+    TPU pod topology."""
+    import jax
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def per_host_batch_slice(global_batch: int) -> slice:
+    """Each host feeds only its shard of the global batch (dataset sharding
+    per host)."""
+    import jax
+    n = jax.process_count()
+    i = jax.process_index()
+    per = global_batch // n
+    return slice(i * per, (i + 1) * per)

@@ -1,0 +1,99 @@
+"""Batched transcription pipeline — the production inference surface.
+
+The reference's inference story is one utterance at a time through HF
+`generate()` (eval.py).  This pipeline feeds arbitrary audio through
+static-shape buckets so XLA compiles once per (bucket, batch) and the MXU
+stays fed:
+
+    pipe = TranscriptionPipeline(model, batch_size=32)
+    texts = pipe(list_of_waveforms)          # order-preserving
+
+Buckets: audio length rounded up to the bucket grid; partial batches padded
+by repetition.  Per-bucket compiled generate functions are cached.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import generation as gen_lib
+from .data import audio as audio_lib
+
+
+class TranscriptionPipeline:
+    def __init__(self, model, batch_size: int = 16, max_length: int = None,
+                 num_beams: int = 1, buckets_sec: Sequence[float] =
+                 audio_lib.DEFAULT_BUCKETS, sample_rate: int = 16000):
+        self.model = model
+        self.batch_size = batch_size
+        self.max_length = max_length or model.config.decoder.max_length
+        self.num_beams = num_beams
+        self.buckets_sec = buckets_sec
+        self.sample_rate = sample_rate
+        self._fns = {}
+
+    def _fn_for(self, t_samples: int):
+        fn = self._fns.get(t_samples)
+        if fn is None:
+            cfg = self.model.config
+            num_beams, max_length = self.num_beams, self.max_length
+
+            def raw(params, batch, lengths):
+                return gen_lib.generate(
+                    params, cfg, batch, lengths, max_length=max_length,
+                    num_beams=num_beams,
+                    use_flash=jax.default_backend() == "tpu",
+                    dtype=jnp.bfloat16
+                    if cfg.dtype == "bfloat16" else jnp.float32)
+
+            fn = jax.jit(raw)
+            self._fns[t_samples] = fn
+        return fn
+
+    def __call__(self, waveforms: List[np.ndarray],
+                 sample_rates: Optional[List[int]] = None) -> List[str]:
+        n = len(waveforms)
+        prepped = []
+        for i, wav in enumerate(waveforms):
+            wav = np.asarray(wav, np.float32).reshape(-1)
+            if sample_rates and sample_rates[i] != self.sample_rate:
+                wav = audio_lib.resample(wav, sample_rates[i],
+                                         self.sample_rate)
+            prepped.append(wav)
+
+        # bucket by padded length
+        pools = defaultdict(list)  # cap -> [(orig_idx, wav)]
+        for i, wav in enumerate(prepped):
+            cap = audio_lib.bucket_length(len(wav), self.buckets_sec,
+                                          self.sample_rate)
+            if cap is None:  # longer than the largest bucket: truncate
+                cap = int(self.buckets_sec[-1] * self.sample_rate)
+                wav = wav[:cap]
+            pools[cap].append((i, wav))
+
+        results: List[Optional[str]] = [None] * n
+        for cap, items in pools.items():
+            fn = self._fn_for(cap)
+            for start in range(0, len(items), self.batch_size):
+                chunk = items[start: start + self.batch_size]
+                real = len(chunk)
+                while len(chunk) < self.batch_size:
+                    chunk.append(chunk[-1])
+                batch = np.zeros((self.batch_size, cap), np.float32)
+                lengths = np.zeros((self.batch_size,), np.int32)
+                for j, (_, wav) in enumerate(chunk):
+                    batch[j, : len(wav)] = wav
+                    lengths[j] = len(wav)
+                tokens, _ = fn(self.model.params, jnp.asarray(batch),
+                               jnp.asarray(lengths))
+                tokens = np.asarray(tokens)
+                for j in range(real):
+                    idx = chunk[j][0]
+                    results[idx] = self.model.tokenizer.decode(
+                        tokens[j], skip_special_tokens=True)
+        return results

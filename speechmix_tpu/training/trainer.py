@@ -102,9 +102,14 @@ def make_train_step(cfg: SpeechMixConfig, tc: TrainConfig, params_example):
         params_example, cfg, tc.fixed_speech, tc.fixed_nlp)
 
     def loss_fn(params, micro):
+        labels = micro["labels"]
+        if "example_mask" in micro:
+            # partial final batches are filled by repeating examples
+            # (data/collator.py); mask the filler rows out of the loss
+            labels = jnp.where(micro["example_mask"][:, None], labels, -100)
         out = smx.speechmix_forward(
             params, cfg, micro["input_values"],
-            lengths=micro.get("lengths"), labels=micro["labels"],
+            lengths=micro.get("lengths"), labels=labels,
             text_input_ids=micro.get("text_input_ids"),
             prompt_ids=micro.get("prompt_ids"), dtype=dtype)
         return out["loss"], out
@@ -156,9 +161,12 @@ def make_eval_step(cfg: SpeechMixConfig, tc: TrainConfig):
     dtype = jnp.bfloat16 if tc.bf16 else jnp.float32
 
     def eval_fn(params, batch):
+        labels = batch["labels"]
+        if "example_mask" in batch:
+            labels = jnp.where(batch["example_mask"][:, None], labels, -100)
         out = smx.speechmix_forward(
             params, cfg, batch["input_values"],
-            lengths=batch.get("lengths"), labels=batch["labels"],
+            lengths=batch.get("lengths"), labels=labels,
             text_input_ids=batch.get("text_input_ids"),
             prompt_ids=batch.get("prompt_ids"), dtype=dtype)
         preds = jnp.argmax(out["logits"], axis=-1)
@@ -216,9 +224,22 @@ class Trainer:
         return state
 
     def fit(self, state: TrainState, train_batches: Callable[[], Iterable],
-            eval_batches: Optional[Callable[[], Iterable]] = None):
+            eval_batches: Optional[Callable[[], Iterable]] = None,
+            resume: bool = True):
         """train_batches/eval_batches: zero-arg callables returning a fresh
-        iterator of batch dicts per epoch (static shapes per bucket)."""
+        iterator of batch dicts per epoch (static shapes per bucket).
+        resume=True restores the latest checkpoint (params + optimizer state
+        + step) from output_dir if one exists."""
+        if resume and self.ckpt is not None and \
+                self.ckpt.latest_step() is not None:
+            restored, meta = self.ckpt.restore(
+                {"params": state.params, "opt_state": state.opt_state,
+                 "step": state.step})
+            if restored is not None:
+                state = TrainState(params=restored["params"],
+                                   opt_state=restored["opt_state"],
+                                   step=restored["step"])
+                self.logger.log({"resumed_from_step": int(state.step)})
         step_fn = make_train_step(self.cfg, self.tc, state.params)
         eval_fn = make_eval_step(self.cfg, self.tc)
 
@@ -250,7 +271,10 @@ class Trainer:
                     self.logger.log({"step": step, **eval_metrics})
                     score = eval_metrics.get("eval_loss", float("inf"))
                     if self.ckpt:
-                        self.ckpt.save(step, {"params": state.params},
+                        self.ckpt.save(step,
+                                       {"params": state.params,
+                                        "opt_state": state.opt_state,
+                                        "step": state.step},
                                        eval_metrics)
                     if score < best_metric:
                         best_metric, best_step = score, step
@@ -269,8 +293,13 @@ class Trainer:
             batch_dev = mesh_lib.shard_batch(self.mesh, batch)
             out = eval_fn(params, batch_dev)
             losses.append(float(out["loss"]))
-            all_preds.append(np.asarray(out["predictions"]))
-            all_labels.append(np.asarray(batch["labels"]))
+            real = batch.get("example_mask")
+            preds = np.asarray(out["predictions"])
+            labels = np.asarray(batch["labels"])
+            if real is not None:
+                preds, labels = preds[real], labels[real]
+            all_preds.append(preds)
+            all_labels.append(labels)
         metrics = {"eval_loss": float(np.mean(losses))}
         if self.tokenizer is not None:
             from ..metrics import compute_metrics

@@ -4,7 +4,9 @@ initializes, so multi-chip sharding paths are exercised without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the surrounding environment may pin JAX_PLATFORMS to a TPU
+# transport (e.g. axon); tests must run on the virtual-device CPU platform
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

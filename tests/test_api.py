@@ -1,0 +1,84 @@
+"""Reference-compatible API surface tests (mirrors the usage patterns of
+test/test_model.py + test/test_hf_model.py against speechmix_tpu.api)."""
+
+import numpy as np
+import pytest
+
+import speechmix_tpu
+
+
+def make(cls_name, **kw):
+    cls = getattr(speechmix_tpu, cls_name)
+    kw.setdefault("speech_model_config", "tiny-speech")
+    kw.setdefault("nlp_model_config", "tiny-bart-bytes")
+    return cls(**kw)
+
+
+def test_constructor_surface_and_bookkeeping():
+    spm = make("SpeechMixEED", share_layer_ratio=0, down_scale=8,
+               weighted_sum=False, fixed_parameters=False)
+    assert spm.speech_encoder_layer == 4
+    assert spm.nlp_encoder_layer == 2
+    assert len(spm.list_no_grad) == 0  # all trainable by default
+
+
+def test_share_layer_pairs():
+    for ratio, expect in [(1, 0), (0.5, 2), (0, 4)]:
+        spm = make("SpeechMixEED", share_layer_ratio=ratio, down_scale=8)
+        assert spm.speech_encoder_layer == expect
+        assert len(spm.list_no_grad) == 0
+
+
+def test_weighted_sum_conventions():
+    s3 = make("SpeechMixEED", weighted_sum=True)
+    hf = make("HFSpeechMixEED", weighted_sum=True)
+    assert s3.weights_sum.shape[0] == 4       # L  (test_model.py:35)
+    assert hf.weights_sum.shape[0] == 5       # L+1 (test_hf_model.py:43)
+
+
+def test_forward_and_generate():
+    spm = make("HFSpeechMixEED", share_layer_ratio=0.5, down_scale=4)
+    rng = np.random.RandomState(0)
+    wav = rng.randn(16000).astype(np.float32) * 0.1
+    labels = np.array([spm.tokenizer.encode("hello")])
+    out = spm([wav], labels=labels, return_model_detail=True)
+    assert np.isfinite(float(out["loss"]))
+    assert out["logits"].shape[-1] == spm.config.decoder.vocab_size
+    before = out["shape_before_length_adapter"][1]
+    after = out["shape_before_enc_dec_projector"][1]
+    assert round(before / after) == 4
+
+    tokens = spm.generate([wav], max_length=8)
+    decoded = spm.tokenizer.decode(np.asarray(tokens[0]),
+                                   skip_special_tokens=True)
+    assert isinstance(decoded, str)
+
+
+def test_fixed_variant_freezes_nlp():
+    spm = make("SpeechMixFixed", fixed_nlp=True, fixed_speech=False)
+    assert any(p.startswith("nlp") for p in spm.list_no_grad)
+    assert all(not p.startswith("nlp") for p in spm.list_grad)
+
+
+def test_ed_variant_forward():
+    spm = make("SpeechMixED")
+    assert spm.config.down_scale == 1  # ED default: no down-scaling
+    rng = np.random.RandomState(0)
+    wav = rng.randn(8000).astype(np.float32) * 0.1
+    labels = np.array([spm.tokenizer.encode("hi")])
+    out = spm([wav], labels=labels)
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_save_load_weights(tmp_path):
+    spm = make("SpeechMixEED", down_scale=4)
+    path = str(tmp_path / "w.npz")
+    spm.save_weights(path)
+    spm2 = make("SpeechMixEED", down_scale=4, seed=99)
+    l_before = np.asarray(
+        spm2.params["enc_to_dec_proj"]["kernel"]).copy()
+    spm2.load_weights(path)
+    l_after = np.asarray(spm2.params["enc_to_dec_proj"]["kernel"])
+    assert not np.allclose(l_before, l_after)
+    np.testing.assert_array_equal(
+        l_after, np.asarray(spm.params["enc_to_dec_proj"]["kernel"]))

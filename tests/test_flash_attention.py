@@ -1,0 +1,53 @@
+"""Flash attention kernel tests.
+
+On CPU the Pallas TPU kernel can't run compiled; these tests exercise the
+kernel in Pallas interpreter mode (semantics) so CI-on-CPU still covers the
+math.  TPU runs execute the real fused kernel (see bench.py / attention's
+use_flash dispatch, which is TPU-gated)."""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _reference(q, k, v, mask, causal, scale):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+    if causal:
+        tq, tk = q.shape[1], k.shape[1]
+        cm = np.arange(tk)[None, :] <= np.arange(tq)[:, None]
+        logits = jnp.where(jnp.asarray(cm)[None, None], logits, -1e9)
+    return jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(logits, -1), v)
+
+
+@pytest.mark.parametrize("case", [
+    dict(b=1, tq=128, tk=128, h=2, d=64, causal=False),
+    dict(b=2, tq=256, tk=192, h=2, d=64, causal=False),
+    dict(b=1, tq=128, tk=128, h=2, d=64, causal=True),
+])
+def test_flash_interpret_matches_reference(case, monkeypatch):
+    from speechmix_tpu.ops.pallas import flash_attention_kernel as fak
+    # run the pallas_call in interpreter mode on CPU
+    orig = fak.pl.pallas_call
+    monkeypatch.setattr(fak.pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+
+    rng = np.random.RandomState(0)
+    b, tq, tk, h, d = (case["b"], case["tq"], case["tk"], case["h"],
+                       case["d"])
+    q = jnp.asarray(rng.randn(b, tq, h, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, tk, h, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, tk, h, d).astype(np.float32))
+    mask = jnp.asarray(
+        np.arange(tk)[None, :] < np.linspace(tk // 2, tk, b,
+                                             dtype=int)[:, None])
+    out = fak.flash_attention_masked.__wrapped__(
+        q, k, v, mask, causal=case["causal"], scale=1 / math.sqrt(d))
+    ref = _reference(q, k, v, mask, case["causal"], 1 / math.sqrt(d))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

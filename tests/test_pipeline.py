@@ -1,0 +1,35 @@
+"""Transcription pipeline tests: bucketing, order preservation, resampling."""
+
+import numpy as np
+import pytest
+
+import speechmix_tpu
+from speechmix_tpu.pipeline import TranscriptionPipeline
+
+
+@pytest.fixture(scope="module")
+def model():
+    return speechmix_tpu.HFSpeechMixEED("tiny-speech", "tiny-bart-bytes",
+                                        down_scale=8)
+
+
+def test_pipeline_buckets_and_order(model):
+    rng = np.random.RandomState(0)
+    waveforms = [rng.randn(n).astype(np.float32) * 0.1
+                 for n in [20000, 50000, 30000, 61000, 20000]]
+    pipe = TranscriptionPipeline(model, batch_size=2, max_length=6,
+                                 buckets_sec=(2.0, 4.0))
+    texts = pipe(waveforms)
+    assert len(texts) == len(waveforms)
+    assert all(isinstance(t, str) for t in texts)
+    # only two bucket shapes compiled
+    assert set(pipe._fns.keys()) <= {32000, 64000}
+
+
+def test_pipeline_resamples(model):
+    rng = np.random.RandomState(1)
+    wav = rng.randn(22050).astype(np.float32) * 0.1
+    pipe = TranscriptionPipeline(model, batch_size=1, max_length=4,
+                                 buckets_sec=(2.0,))
+    texts = pipe([wav], sample_rates=[22050])
+    assert len(texts) == 1
