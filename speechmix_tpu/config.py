@@ -50,6 +50,9 @@ class SpeechEncoderConfig:
     pos_conv_kernel: int = 128
     pos_conv_groups: int = 16
     dropout: float = 0.1
+    # rematerialize transformer layers in the backward pass (jax.checkpoint):
+    # trades ~30% extra FLOPs for O(layers) less activation HBM
+    remat: bool = False
 
     @property
     def feature_dim(self) -> int:
@@ -99,6 +102,8 @@ class Seq2SeqConfig:
     # generation default (reference uses decoder_model.config.max_length,
     # train.py:23)
     max_length: int = 128
+    # rematerialize enc/dec layers in the backward pass (jax.checkpoint)
+    remat: bool = False
 
     @property
     def kv_dim(self) -> int:

@@ -341,19 +341,24 @@ def encode(params, cfg: Seq2SeqConfig, input_ids=None, inputs_embeds=None,
         bias = t5_position_bias(enc["rel_bias"], t, t, True, cfg,
                                 dtype=jnp.float32)
 
+    enc_block = _encoder_block
+    if cfg.remat:
+        enc_block = jax.checkpoint(_encoder_block,
+                                   static_argnums=(1, 5, 6))
+
     if adapters is not None:
         def scan_body(h, xs):
             block, adapter = xs
-            y = _encoder_block(block, cfg, h, bias, attention_mask,
-                               use_flash, dtype)
+            y = enc_block(block, cfg, h, bias, attention_mask,
+                          use_flash, dtype)
             y = apply_adapter(adapter, y, dtype)
             return y, (y if output_hidden_states else 0)
         x, per_layer = jax.lax.scan(scan_body, x,
                                     (enc["layers"], adapters["encoder"]))
     else:
         def scan_body(h, block):
-            y = _encoder_block(block, cfg, h, bias, attention_mask,
-                               use_flash, dtype)
+            y = enc_block(block, cfg, h, bias, attention_mask,
+                          use_flash, dtype)
             return y, (y if output_hidden_states else 0)
         x, per_layer = jax.lax.scan(scan_body, x, enc["layers"])
     if cfg.arch == "t5":
@@ -479,12 +484,21 @@ def decode(params, cfg: Seq2SeqConfig, decoder_input_ids, enc_hidden=None,
                             index=cache.self_kv.index + q_len),
             cross_k=cache.cross_k, cross_v=cache.cross_v)
     else:
-        def scan_body(h, xs):
-            block, adapter = xs if dec_adapters is not None else (xs, None)
+        def block_fn(block, h, self_bias, cross_bias, enc_hidden,
+                     self_kv_mask):
             y, _ = _decoder_block(block, cfg, h, self_bias, cross_bias,
                                   enc_hidden, None, None, use_flash, dtype,
                                   self_kv_mask=self_kv_mask,
                                   self_causal=self_causal)
+            return y
+
+        if cfg.remat:
+            block_fn = jax.checkpoint(block_fn)
+
+        def scan_body(h, xs):
+            block, adapter = xs if dec_adapters is not None else (xs, None)
+            y = block_fn(block, h, self_bias, cross_bias, enc_hidden,
+                         self_kv_mask)
             if adapter is not None:
                 y = apply_adapter(adapter, y, dtype)
             return y, (y if output_hidden_states else 0)

@@ -204,8 +204,13 @@ def speech_encoder_apply(params, cfg: SpeechEncoderConfig, waveform,
 
     embed_output = h
 
+    layer_fn = _encoder_layer
+    if cfg.remat:
+        layer_fn = jax.checkpoint(_encoder_layer,
+                                  static_argnums=(3, 4, 5))
+
     def scan_body(x, layer_params):
-        y = _encoder_layer(layer_params, x, frame_mask, cfg, use_flash, dtype)
+        y = layer_fn(layer_params, x, frame_mask, cfg, use_flash, dtype)
         return y, (y if output_hidden_states else 0)
 
     h, per_layer = jax.lax.scan(scan_body, h, params["layers"])

@@ -89,7 +89,8 @@ def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
     """
     dtype = dtype or x_q.dtype
     x_kv = x_q if x_kv is None else x_kv
-    inner = params["q_proj"]["kernel"].shape[1]
+    qp = params["q_proj"]
+    inner = (qp["kernel"] if "kernel" in qp else qp["kernel_q"]).shape[-1]
     num_heads = num_heads or (inner // (head_dim or inner))
     head_dim = head_dim or inner // num_heads
     scale = scale if scale is not None else 1.0 / math.sqrt(head_dim)

@@ -53,8 +53,15 @@ def init_dense(key, in_dim, out_dim, use_bias=True, stddev=0.02):
 
 def dense(params, x, dtype=None):
     dtype = dtype or x.dtype
-    y = jnp.dot(x, params["kernel"].astype(dtype),
-                preferred_element_type=dtype)
+    if "kernel_q" in params:
+        # int8 weight-only quantization (utils/quantize.py): dequantize
+        # per-output-channel on the fly; XLA fuses the scale multiply into
+        # the matmul epilogue, and weight HBM traffic drops 4x vs fp32 —
+        # the win for memory-bound decode steps
+        w = params["kernel_q"].astype(dtype) * params["kernel_scale"].astype(dtype)
+    else:
+        w = params["kernel"].astype(dtype)
+    y = jnp.dot(x, w, preferred_element_type=dtype)
     if "bias" in params:
         y = y + params["bias"].astype(dtype)
     return y

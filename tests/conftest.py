@@ -23,6 +23,11 @@ import pytest
 import jax
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# The surrounding environment may force-register a TPU transport plugin and
+# override JAX_PLATFORMS (observed: jax.config.jax_platforms == "axon,cpu"
+# regardless of the env var).  Post-import config update is authoritative.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compile cache: test models are tiny but shape-diverse; caching
 # compiles across runs keeps the suite fast.
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
