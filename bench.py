@@ -41,7 +41,7 @@ def main():
             encoder=SPEECH_ENCODER_PRESETS["wav2vec2-base"],
             decoder=SEQ2SEQ_PRESETS["bart-base"],
             down_scale=2)
-        batch, seconds, max_len, iters = 32, 16.0, 64, 5
+        batch, seconds, max_len, iters = 128, 16.0, 64, 3
     else:
         cfg = SpeechMixConfig(
             encoder=SPEECH_ENCODER_PRESETS["tiny-speech"],

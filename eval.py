@@ -24,7 +24,14 @@ def main():
     p.add_argument("--beam", default=1, type=int)
     p.add_argument("--share_layer_ratio", default=0, type=float)
     p.add_argument("--down_scale", default=8, type=int)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX platform (the environment may override "
+                        "JAX_PLATFORMS; this flag wins)")
     args = p.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from speechmix_tpu import HFSpeechMixEED
     spm = HFSpeechMixEED(args.speech_model_config, args.nlp_model_config,

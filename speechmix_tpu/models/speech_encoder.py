@@ -107,10 +107,17 @@ def extract_features(params, cfg: SpeechEncoderConfig, waveform,
                      lengths=None, dtype=jnp.float32):
     """(B, T_samples) -> (B, T_frames, feature_dim).
 
-    `lengths` (valid sample counts) gates normalization statistics and zeroes
-    padded frames after every conv layer, so a zero-padded batch computes
-    exactly what the per-example forward would (the reference/HF leaks
-    group-norm statistics across padding — SURVEY.md §2.5.2)."""
+    `lengths` (valid sample counts) gates normalization statistics so a
+    zero-padded batch computes exactly what the per-example forward would at
+    every VALID position (the reference/HF leaks group-norm statistics across
+    padding — SURVEY.md §2.5.2).
+
+    No intermediate padding-zeroing is needed: VALID convolutions only read
+    input positions < the valid input length when producing output positions
+    < the valid output length (that is exactly the conv length formula), so
+    padded-region garbage never contaminates valid frames.  Only (a) the
+    group-norm statistics and (b) the caller's final frame mask must know the
+    lengths — this keeps the extractor free of O(B*T*C) mask traffic."""
     x = waveform.astype(dtype)[..., None]  # (B, T, 1)
     l = lengths
     for i, layer in enumerate(params["feature_extractor"]["layers"]):
@@ -118,7 +125,8 @@ def extract_features(params, cfg: SpeechEncoderConfig, waveform,
         mask = None
         if l is not None:
             l = (l - cfg.conv_kernels[i]) // cfg.conv_strides[i] + 1
-            mask = length_mask(l, x.shape[1])
+            if "norm" in layer and cfg.feat_extract_norm == "group" and i == 0:
+                mask = length_mask(l, x.shape[1])
         if "norm" in layer:
             if cfg.feat_extract_norm == "group" and i == 0:
                 x = layers.group_norm_per_channel(layer["norm"], x,
@@ -127,8 +135,6 @@ def extract_features(params, cfg: SpeechEncoderConfig, waveform,
             else:
                 x = layers.layer_norm(layer["norm"], x, cfg.layer_norm_eps)
         x = jax.nn.gelu(x, approximate=False)
-        if mask is not None:
-            x = x * mask[..., None].astype(x.dtype)
     return x
 
 

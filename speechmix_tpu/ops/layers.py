@@ -118,19 +118,31 @@ def group_norm_per_channel(params, x, eps=1e-5, mask=None):
     mask: optional (B, T) bool; statistics are computed over valid frames
     only.  HF wav2vec2 computes group-norm stats over padded frames too, which
     is why upstream disables attention masks for group-norm checkpoints; the
-    masked statistics make padded batches exactly consistent."""
+    masked statistics make padded batches exactly consistent.
+
+    HBM-friendly: statistics use fp32 sum-reductions over the (large) bf16
+    input without materializing an fp32 copy; var = E[x^2] - E[x]^2 (fine for
+    O(1)-scale conv features)."""
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
     if mask is None:
-        mean = xf.mean(axis=1, keepdims=True)
-        var = jnp.square(xf - mean).mean(axis=1, keepdims=True)
+        n = jnp.float32(x.shape[1])
+        s1 = jnp.sum(x, axis=1, keepdims=True, dtype=jnp.float32)
+        s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=1,
+                     keepdims=True)
     else:
-        m = mask[..., None].astype(jnp.float32)
-        denom = jnp.maximum(m.sum(axis=1, keepdims=True), 1.0)
-        mean = (xf * m).sum(axis=1, keepdims=True) / denom
-        var = (jnp.square(xf - mean) * m).sum(axis=1, keepdims=True) / denom
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return (y * params["scale"] + params["bias"]).astype(dtype)
+        m = mask[..., None]
+        n = jnp.maximum(
+            jnp.sum(m, axis=1, keepdims=True, dtype=jnp.float32), 1.0)
+        xm = jnp.where(m, x, 0)
+        s1 = jnp.sum(xm, axis=1, keepdims=True, dtype=jnp.float32)
+        s2 = jnp.sum(jnp.square(xm.astype(jnp.float32)), axis=1,
+                     keepdims=True)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+    scale = (jax.lax.rsqrt(var + eps) *
+             params["scale"].astype(jnp.float32))
+    shift = params["bias"].astype(jnp.float32) - mean * scale
+    return (x.astype(jnp.float32) * scale + shift).astype(dtype)
 
 
 # ----------------------------------------------------------------------------

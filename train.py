@@ -78,6 +78,10 @@ def parse_args(args):
     parser.add_argument("--synthetic", action="store_true",
                         help="train on synthetic data (offline smoke runs)")
     parser.add_argument("--max_steps", default=0, type=int)
+    parser.add_argument("--platform", default=None,
+                        choices=["cpu", "tpu"],
+                        help="force a JAX platform (the environment may "
+                             "override JAX_PLATFORMS; this flag wins)")
 
     input_args, model_arg = parser.parse_known_args(args)
     other = {k.replace("--", ""): v
@@ -109,6 +113,9 @@ def pick_model(input_args, other):
 
 def main(arg=None):
     input_args, other = parse_args(sys.argv[1:] if arg is None else arg)
+    if input_args.platform:
+        import jax
+        jax.config.update("jax_platforms", input_args.platform)
     model_type, model = pick_model(input_args, other)
     print(f"model: {model_type} "
           f"speech_layers={model.speech_encoder_layer} "
