@@ -202,6 +202,33 @@ class _SpeechMixBase:
         from .training.checkpoint import load_pytree_npz
         self.params = load_pytree_npz(path, self.params)
 
+    def save_pretrained(self, directory: str):
+        """Write config.json + weights.npz (the PreTrainedModel
+        save_pretrained analogue for round-tripping full models)."""
+        import os
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            f.write(self.config.to_json())
+        self.save_weights(os.path.join(directory, "weights.npz"))
+
+    @classmethod
+    def from_pretrained(cls, directory: str):
+        """Rebuild a model saved with save_pretrained."""
+        import os
+        from .config import SpeechMixConfig
+        with open(os.path.join(directory, "config.json")) as f:
+            cfg = SpeechMixConfig.from_json(f.read())
+        self = cls.__new__(cls)
+        self.config = cfg
+        self.tokenizer = load_tokenizer(cfg.decoder.name)
+        self.params = smx.init_speechmix(jax.random.PRNGKey(0), cfg)
+        self._variant_kwargs = {}
+        self._refresh_grad_lists()
+        self._jit_forward_cache = {}
+        self._jit_generate_cache = {}
+        self.load_weights(os.path.join(directory, "weights.npz"))
+        return self
+
     def load_hf_checkpoint(self, speech_path=None, nlp_path=None):
         """Import pretrained weights from local HF checkpoints (torch
         state_dicts); see speechmix_tpu.convert."""

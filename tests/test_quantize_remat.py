@@ -1,0 +1,83 @@
+"""int8 weight-only quantization + rematerialization tests."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speechmix_tpu.config import (SEQ2SEQ_PRESETS, SPEECH_ENCODER_PRESETS,
+                                  SpeechMixConfig)
+from speechmix_tpu.models import speechmix as smx
+from speechmix_tpu.ops import layers
+from speechmix_tpu.utils.quantize import quantize_weights, \
+    quantization_report
+from speechmix_tpu import generation as gen_lib
+
+ENC = SPEECH_ENCODER_PRESETS["tiny-speech"]
+DEC = SEQ2SEQ_PRESETS["tiny-bart-bytes"]
+
+
+def test_dense_int8_accuracy():
+    p = {"proj": layers.init_dense(jax.random.PRNGKey(0), 256, 512)}
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 256))
+    y_fp = layers.dense(p["proj"], x)
+    qp = quantize_weights(p)
+    assert "kernel_q" in qp["proj"]
+    y_q = layers.dense(qp["proj"], x)
+    rel = float(jnp.abs(y_fp - y_q).max() / jnp.abs(y_fp).max())
+    assert rel < 0.02
+
+
+def test_quantized_generate_runs():
+    cfg = SpeechMixConfig(encoder=ENC, decoder=DEC, down_scale=4)
+    params = smx.init_speechmix(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_weights(params, min_size=2048)
+    nq, nt = quantization_report(qparams)
+    assert nq > 0.3 * nt  # most big weights quantized
+    wav = jnp.asarray(
+        np.random.RandomState(0).randn(1, 16000).astype(np.float32) * 0.1)
+    t_q, _ = gen_lib.generate(qparams, cfg, wav, max_length=6)
+    assert t_q.shape == (1, 6)
+
+
+def test_remat_matches_no_remat():
+    """remat must not change values, only the backward memory profile."""
+    cfg = SpeechMixConfig(encoder=ENC, decoder=DEC, down_scale=4)
+    cfg_r = dataclasses.replace(
+        cfg,
+        encoder=dataclasses.replace(ENC, remat=True),
+        decoder=dataclasses.replace(DEC, remat=True))
+    params = smx.init_speechmix(jax.random.PRNGKey(0), cfg)
+    wav = jnp.asarray(
+        np.random.RandomState(0).randn(2, 16000).astype(np.float32) * 0.1)
+    labels = jnp.array([[130, 140, DEC.eos_token_id]] * 2)
+
+    def loss(cfg_use):
+        def f(p):
+            return smx.speechmix_forward(p, cfg_use, wav,
+                                         labels=labels)["loss"]
+        return jax.value_and_grad(f)(params)
+
+    l0, g0 = loss(cfg)
+    l1, g1 = loss(cfg_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    leaves0 = jax.tree_util.tree_leaves(g0)
+    leaves1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(leaves0, leaves1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_save_from_pretrained_roundtrip(tmp_path):
+    import speechmix_tpu
+    spm = speechmix_tpu.HFSpeechMixEED("tiny-speech", "tiny-bart-bytes",
+                                       down_scale=4, weighted_sum=True)
+    spm.save_pretrained(str(tmp_path / "model"))
+    spm2 = speechmix_tpu.HFSpeechMixEED.from_pretrained(
+        str(tmp_path / "model"))
+    assert spm2.config == spm.config
+    a = jax.tree_util.tree_leaves(spm.params)
+    b = jax.tree_util.tree_leaves(spm2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
