@@ -29,9 +29,15 @@ def main():
                         "JAX_PLATFORMS; this flag wins)")
     args = p.parse_args()
 
+    import os
+    import jax
     if args.platform:
-        import jax
         jax.config.update("jax_platforms", args.platform)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache_tpu")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
     from speechmix_tpu import HFSpeechMixEED
     spm = HFSpeechMixEED(args.speech_model_config, args.nlp_model_config,

@@ -166,6 +166,10 @@ def build_datasets(input_args, model) -> Tuple[Callable, Callable]:
             input_args.dataset or input_args.custom_set):
         train_raw = synthetic_corpus(256, seed=input_args.seed)
         eval_raw = synthetic_corpus(32, seed=input_args.seed + 1)
+        # teacher-generated targets presume a pretrained NLP model
+        # (train.py:18-34); with a fresh decoder the synthetic smoke path
+        # trains on ground-truth transcripts
+        use_teacher = False
     elif input_args.custom_set:
         train_raw, eval_raw = _load_custom_csv(input_args.custom_set,
                                                seed=input_args.seed)

@@ -56,6 +56,9 @@ class TrainConfig:
     # parameter the callback treats as epochs; we keep epochs semantics)
     freeze_epochs: int = 0
     max_steps: int = 0  # 0 = no cap
+    # also run free-running generate() + WER/CER at each eval (the real ASR
+    # metric; teacher-forced eval alone mirrors the reference Trainer)
+    predict_with_generate: bool = False
     output_dir: str = "./checkpoints"
     seed: int = 0
     bf16: bool = False  # compute dtype (reference --fp16 equivalent)
@@ -268,6 +271,9 @@ class Trainer:
                 if eval_batches and step % self.tc.eval_steps == 0:
                     eval_metrics = self.evaluate(state.params, eval_fn,
                                                  eval_batches)
+                    if self.tc.predict_with_generate:
+                        eval_metrics.update(self.predict(state.params,
+                                                         eval_batches))
                     self.logger.log({"step": step, **eval_metrics})
                     score = eval_metrics.get("eval_loss", float("inf"))
                     if self.ckpt:
@@ -286,6 +292,45 @@ class Trainer:
                                              "best_step": best_step})
                             return state
         return state
+
+    def predict(self, params, eval_batches, max_length=None, num_beams=1):
+        """Free-running ASR eval: greedy/beam generate() per batch + WER/CER
+        against the label transcripts.  This is the real decoding metric (the
+        teacher-forced eval in `evaluate` mirrors the reference's Trainer
+        semantics, train.py:76-88)."""
+        from .. import generation as gen_lib
+        from ..metrics import cer, wer
+        max_length = max_length or self.cfg.decoder.max_length
+        fns = {}
+        refs, hyps = [], []
+        for batch in eval_batches():
+            shape = batch["input_values"].shape
+            fn = fns.get(shape)
+            if fn is None:
+                def raw(params, wav, lengths):
+                    return gen_lib.generate(
+                        params, self.cfg, wav, lengths,
+                        max_length=max_length, num_beams=num_beams,
+                        dtype=jnp.bfloat16 if self.tc.bf16 else jnp.float32)
+                fn = jax.jit(raw)
+                fns[shape] = fn
+            tokens, _ = fn(params, jnp.asarray(batch["input_values"]),
+                           jnp.asarray(batch["lengths"]))
+            tokens = np.asarray(tokens)
+            labels = np.asarray(batch["labels"])
+            real = batch.get("example_mask",
+                             np.ones(len(tokens), bool))
+            for i in range(len(tokens)):
+                if not real[i]:
+                    continue
+                hyps.append(self.tokenizer.decode(
+                    tokens[i], skip_special_tokens=True))
+                lab = labels[i]
+                refs.append(self.tokenizer.decode(
+                    lab[lab != -100], skip_special_tokens=True))
+        return {"predict_wer": wer(refs, hyps),
+                "predict_cer": cer(refs, hyps),
+                "n_examples": len(refs)}
 
     def evaluate(self, params, eval_fn, eval_batches):
         losses, all_preds, all_labels = [], [], []

@@ -113,9 +113,16 @@ def pick_model(input_args, other):
 
 def main(arg=None):
     input_args, other = parse_args(sys.argv[1:] if arg is None else arg)
+    import jax
     if input_args.platform:
-        import jax
         jax.config.update("jax_platforms", input_args.platform)
+    # persistent compile cache (first compiles through tunneled TPU
+    # transports take minutes; cached runs start in seconds)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache_tpu")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     model_type, model = pick_model(input_args, other)
     print(f"model: {model_type} "
           f"speech_layers={model.speech_encoder_layer} "
