@@ -53,6 +53,9 @@ class SpeechEncoderConfig:
     # rematerialize transformer layers in the backward pass (jax.checkpoint):
     # trades ~30% extra FLOPs for O(layers) less activation HBM
     remat: bool = False
+    # conv extractor lowering: "auto" picks patch-matmul on TPU (see
+    # ops/layers.py conv1d impl="patches" and PERF.md), lax.conv elsewhere
+    extractor_impl: str = "auto"  # "auto" | "conv" | "patches"
 
     @property
     def feature_dim(self) -> int:

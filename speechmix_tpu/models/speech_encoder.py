@@ -118,10 +118,14 @@ def extract_features(params, cfg: SpeechEncoderConfig, waveform,
     padded-region garbage never contaminates valid frames.  Only (a) the
     group-norm statistics and (b) the caller's final frame mask must know the
     lengths — this keeps the extractor free of O(B*T*C) mask traffic."""
+    impl = cfg.extractor_impl
+    if impl == "auto":
+        impl = "patches" if jax.default_backend() == "tpu" else "conv"
     x = waveform.astype(dtype)[..., None]  # (B, T, 1)
     l = lengths
     for i, layer in enumerate(params["feature_extractor"]["layers"]):
-        x = layers.conv1d(layer["conv"], x, cfg.conv_strides[i], dtype)
+        x = layers.conv1d(layer["conv"], x, cfg.conv_strides[i], dtype,
+                          impl=impl)
         mask = None
         if l is not None:
             l = (l - cfg.conv_kernels[i]) // cfg.conv_strides[i] + 1

@@ -175,24 +175,45 @@ def init_conv1d(key, in_ch, out_ch, kernel, use_bias=True):
     return p
 
 
-def conv1d(params, x, stride, dtype=None):
+def conv1d(params, x, stride, dtype=None, impl="conv"):
     """x: (B, T, C_in) -> (B, T_out, C_out), VALID padding.
 
-    Lowered to lax.conv_general_dilated with (B, T, C) layout; XLA maps this
-    onto the MXU.  For kernel==stride (the length adapter's k=2,s=2 case) this
-    is exactly a reshape + matmul, which XLA recognizes.
+    impl="conv": lax.conv_general_dilated in (B, T, C) layout.
+    impl="patches": explicit strided-slice unfold + one (k*Cin, Cout) matmul —
+      a contraction the MXU tiles well; XLA's strided-NWC conv lowering was
+      measured ~5x off roofline on TPU for the wav2vec2 extractor shapes
+      (PERF.md), so the extractor uses this path on TPU.
     """
     dtype = dtype or x.dtype
     kernel = params["kernel"].astype(dtype)  # (K, Cin, Cout)
-    y = jax.lax.conv_general_dilated(
-        x.astype(dtype), kernel,
-        window_strides=(stride,), padding="VALID",
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=dtype,
-    )
+    if impl == "patches":
+        y = _conv1d_patches(kernel, x.astype(dtype), stride, dtype)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel,
+            window_strides=(stride,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=dtype,
+        )
     if "bias" in params:
         y = y + params["bias"].astype(dtype)
     return y
+
+
+def _conv1d_patches(kernel, x, stride, dtype):
+    """VALID strided conv as unfold + matmul.  kernel: (K, Cin, Cout)."""
+    k, cin, cout = kernel.shape
+    b, t, _ = x.shape
+    t_out = (t - k) // stride + 1
+    cols = []
+    for j in range(k):
+        limit = j + (t_out - 1) * stride + 1
+        cols.append(jax.lax.slice(x, (0, j, 0), (b, limit, cin),
+                                  (1, stride, 1)))
+    patches = jnp.concatenate(cols, axis=-1)  # (B, t_out, K*Cin)
+    # kernel (K, Cin, Cout) -> (K*Cin, Cout), matching concat-over-j order
+    w = kernel.reshape(k * cin, cout)
+    return jnp.dot(patches, w, preferred_element_type=dtype)
 
 
 def conv1d_same_grouped(params, x, groups, dtype=None):
