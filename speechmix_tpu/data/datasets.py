@@ -36,24 +36,29 @@ _WORDS = ("the quick brown fox jumps over a lazy dog while seven wizards "
 
 
 def synthetic_corpus(n: int, seed: int = 0, min_sec=1.2, max_sec=6.0):
-    """Deterministic pseudo-speech + transcripts.  The audio encodes the
-    word sequence as chirp segments so the mapping is learnable."""
+    """Deterministic pseudo-speech + transcripts.  Each vocabulary word maps
+    to a fixed two-tone signature (cross-process deterministic — python's
+    salted hash() must NOT be used here, or train and eval processes would
+    generate different audio for the same text)."""
     rng = np.random.RandomState(seed)
+    sr = 16000
     out = []
     for i in range(n):
         k = rng.randint(3, 9)
-        words = [_WORDS[rng.randint(len(_WORDS))] for _ in range(k)]
+        idxs = rng.randint(len(_WORDS), size=k)
+        words = [_WORDS[j] for j in idxs]
         text = " ".join(words)
         dur = float(np.clip(0.5 + 0.35 * k, min_sec, max_sec))
-        sr = 16000
         t = np.arange(int(dur * sr)) / sr
         sig = np.zeros_like(t, np.float32)
         seg = len(t) // max(k, 1)
-        for j, w in enumerate(words):
-            f = 100 + 40 * (hash(w) % 17)
+        for j, widx in enumerate(idxs):
+            f1 = 150.0 + 90.0 * widx          # word-indexed fundamentals
+            f2 = 2000.0 + 130.0 * widx
             sl = slice(j * seg, (j + 1) * seg)
             tt = t[sl]
-            sig[sl] = 0.3 * np.sin(2 * np.pi * f * tt).astype(np.float32)
+            sig[sl] = (0.25 * np.sin(2 * np.pi * f1 * tt) +
+                       0.15 * np.sin(2 * np.pi * f2 * tt)).astype(np.float32)
         sig += 0.01 * rng.randn(len(t)).astype(np.float32)
         out.append({"audio": sig, "text": text})
     return out

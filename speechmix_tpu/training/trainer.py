@@ -250,6 +250,9 @@ class Trainer:
         best_step = 0
         patience_left = self.tc.early_stopping_patience
         t0 = time.time()
+        # host-side step counter: reading state.step would force a
+        # device->host sync on every step
+        step = int(state.step)
 
         for epoch in range(self.tc.num_epochs):
             progress = (epoch / self.tc.freeze_epochs
@@ -258,7 +261,7 @@ class Trainer:
                 batch = mesh_lib.shard_batch(self.mesh, batch)
                 state, metrics = step_fn(state, batch,
                                          jnp.float32(progress))
-                step = int(state.step)
+                step += 1
                 if self.tc.max_steps and step >= self.tc.max_steps:
                     self.logger.log({"step": step, "loss": metrics["loss"],
                                      "max_steps_reached": True})
