@@ -34,29 +34,59 @@ from .models import speechmix as smx
 # ----------------------------------------------------------------------------
 
 def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
-                  dtype=jnp.float32, adapters=None):
+                  dtype=jnp.float32, adapters=None, early_stop=False):
     """Greedy decode against a computed text-encoder output.
 
     Returns (tokens (B, max_length) padded with pad_token_id after EOS,
     lengths (B,)).  The EOS token itself is included in the output.
+
+    early_stop=True uses lax.while_loop and exits as soon as every row has
+    emitted EOS (output identical; saves up to ~half the decode time on real
+    speech where transcripts end well before max_length).  The default scan
+    always runs max_length steps — predictable cost, donation-friendly.
     """
     b = enc_hidden.shape[0]
     cache = seq2seq.init_decoder_cache(params, dcfg, enc_hidden, b,
                                        max_length, dtype)
     start = jnp.full((b, 1), dcfg.decoder_start_token_id, jnp.int32)
 
-    def step(carry, _):
-        tok, cache, finished = carry
+    def one_step(tok, cache, finished):
         out = seq2seq.decode(params, dcfg, tok, encoder_mask=enc_mask,
                              cache=cache, adapters=adapters, dtype=dtype)
-        next_tok = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(jnp.int32)
+        next_tok = jnp.argmax(out["logits"][:, -1, :],
+                              axis=-1).astype(jnp.int32)
         next_tok = jnp.where(finished, dcfg.pad_token_id, next_tok)
         new_finished = finished | (next_tok == dcfg.eos_token_id)
-        return (next_tok[:, None], out["cache"], new_finished), next_tok
+        return next_tok, out["cache"], new_finished
 
-    (_, _, finished), tokens = jax.lax.scan(
-        step, (start, cache, jnp.zeros((b,), bool)), None, length=max_length)
-    tokens = tokens.T  # (B, max_length)
+    if early_stop:
+        tokens_buf = jnp.full((b, max_length), dcfg.pad_token_id, jnp.int32)
+
+        def cond(carry):
+            _, _, finished, _, t = carry
+            return (t < max_length) & ~jnp.all(finished)
+
+        def body(carry):
+            tok, cache, finished, buf, t = carry
+            next_tok, cache, finished = one_step(tok, cache, finished)
+            buf = jax.lax.dynamic_update_slice(buf, next_tok[:, None],
+                                               (0, t))
+            return (next_tok[:, None], cache, finished, buf, t + 1)
+
+        (_, _, finished, tokens, _) = jax.lax.while_loop(
+            cond, body,
+            (start, cache, jnp.zeros((b,), bool), tokens_buf,
+             jnp.int32(0)))
+    else:
+        def step(carry, _):
+            tok, cache, finished = carry
+            next_tok, cache, finished = one_step(tok, cache, finished)
+            return (next_tok[:, None], cache, finished), next_tok
+
+        (_, _, finished), tokens = jax.lax.scan(
+            step, (start, cache, jnp.zeros((b,), bool)), None,
+            length=max_length)
+        tokens = tokens.T  # (B, max_length)
     lengths = jnp.sum((tokens != dcfg.pad_token_id).astype(jnp.int32), axis=1)
     return tokens, lengths
 
@@ -163,7 +193,8 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
 
 def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
              prompt_ids=None, max_length=None, num_beams=1,
-             length_penalty=1.0, use_flash=False, dtype=jnp.float32):
+             length_penalty=1.0, use_flash=False, dtype=jnp.float32,
+             early_stop=False):
     """Full pipeline: waveform -> fused embeds -> text encoder (once) ->
     cached decode loop.  Equivalent of HFSpeechMixEED.generate
     (hf_model.py:304-338 + eval.py:12-14), including decoder_text_prompt via
@@ -185,7 +216,8 @@ def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
         enc_hidden = enc_out["last_hidden_state"]
     if num_beams <= 1:
         return greedy_decode(params["nlp"], cfg.decoder, enc_hidden,
-                             enc_mask, max_length, dtype, adapters)
+                             enc_mask, max_length, dtype, adapters,
+                             early_stop=early_stop)
     return beam_search(params["nlp"], cfg.decoder, enc_hidden, enc_mask,
                        max_length, num_beams, length_penalty, dtype, adapters)
 
