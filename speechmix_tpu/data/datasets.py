@@ -35,17 +35,20 @@ _WORDS = ("the quick brown fox jumps over a lazy dog while seven wizards "
           "toast bright vivid morning coffee near azure hills").split()
 
 
-def synthetic_corpus(n: int, seed: int = 0, min_sec=1.2, max_sec=6.0):
+def synthetic_corpus(n: int, seed: int = 0, min_sec=1.2, max_sec=6.0,
+                     min_words=2, max_words=5, vocab_size=10):
     """Deterministic pseudo-speech + transcripts.  Each vocabulary word maps
     to a fixed two-tone signature (cross-process deterministic — python's
     salted hash() must NOT be used here, or train and eval processes would
-    generate different audio for the same text)."""
+    generate different audio for the same text).  Difficulty knobs:
+    words-per-utterance range and vocabulary size."""
     rng = np.random.RandomState(seed)
     sr = 16000
+    vocab = min(vocab_size, len(_WORDS))
     out = []
     for i in range(n):
-        k = rng.randint(3, 9)
-        idxs = rng.randint(len(_WORDS), size=k)
+        k = rng.randint(min_words, max_words + 1)
+        idxs = rng.randint(vocab, size=k)
         words = [_WORDS[j] for j in idxs]
         text = " ".join(words)
         dur = float(np.clip(0.5 + 0.35 * k, min_sec, max_sec))
