@@ -45,6 +45,11 @@ from .checkpoint import CheckpointManager
 class TrainConfig:
     learning_rate: float = 4e-5
     warmup_steps: int = 500
+    # LR decay after warmup.  The reference's HF Trainer defaults to linear
+    # decay to 0 over the full run (TrainingArguments lr_scheduler_type
+    # "linear"; train.py:291-311 never overrides it) — mirrored here when the
+    # total step count is known (max_steps > 0), else constant.
+    lr_schedule: str = "linear"  # "linear" | "cosine" | "constant"
     max_grad_norm: float = 10.0
     grad_accum: int = 1
     num_epochs: int = 10
@@ -73,11 +78,22 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_optimizer(tc: TrainConfig):
-    schedule = optax.join_schedules(
+def make_lr_schedule(tc: TrainConfig):
+    decay_steps = max(tc.max_steps - tc.warmup_steps, 1)
+    if tc.lr_schedule == "linear" and tc.max_steps > 0:
+        tail = optax.linear_schedule(tc.learning_rate, 0.0, decay_steps)
+    elif tc.lr_schedule == "cosine" and tc.max_steps > 0:
+        tail = optax.cosine_decay_schedule(tc.learning_rate, decay_steps)
+    else:  # "constant", or unbounded runs where the horizon is unknown
+        tail = optax.constant_schedule(tc.learning_rate)
+    return optax.join_schedules(
         [optax.linear_schedule(0.0, tc.learning_rate, tc.warmup_steps),
-         optax.constant_schedule(tc.learning_rate)],
+         tail],
         [tc.warmup_steps])
+
+
+def make_optimizer(tc: TrainConfig):
+    schedule = make_lr_schedule(tc)
     return optax.chain(
         optax.clip_by_global_norm(tc.max_grad_norm),
         optax.adafactor(learning_rate=schedule),

@@ -121,3 +121,27 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(r0))
     steps = [s for s, _ in mgr._step_paths()]
     assert steps == [20, 30]
+
+
+def test_lr_schedule_decay():
+    """Warmup then decay-to-0 mirrors the reference's HF Trainer default
+    (lr_scheduler_type 'linear', never overridden at train.py:291-311);
+    constant/unbounded runs keep a flat post-warmup LR."""
+    lin = trainer_lib.make_lr_schedule(
+        TrainConfig(learning_rate=1e-3, warmup_steps=10, max_steps=110,
+                    lr_schedule="linear", output_dir=""))
+    assert float(lin(0)) == 0.0
+    assert abs(float(lin(10)) - 1e-3) < 1e-9
+    assert abs(float(lin(60)) - 5e-4) < 1e-6   # halfway through decay
+    assert float(lin(110)) < 1e-8
+
+    cos = trainer_lib.make_lr_schedule(
+        TrainConfig(learning_rate=1e-3, warmup_steps=10, max_steps=110,
+                    lr_schedule="cosine", output_dir=""))
+    assert abs(float(cos(10)) - 1e-3) < 1e-9
+    assert float(cos(110)) < float(cos(60)) < 1e-3
+
+    const = trainer_lib.make_lr_schedule(
+        TrainConfig(learning_rate=1e-3, warmup_steps=10, max_steps=0,
+                    lr_schedule="linear", output_dir=""))
+    assert abs(float(const(1000)) - 1e-3) < 1e-9  # unknown horizon: flat

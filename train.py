@@ -55,6 +55,10 @@ def parse_args(args):
     parser.add_argument("--batch", type=int, default=3)
     parser.add_argument("--epoch", default=1000, type=int)
     parser.add_argument("--lr", type=float, default=4e-5)
+    parser.add_argument("--lr_scheduler", default="linear",
+                        choices=["linear", "cosine", "constant"],
+                        help="post-warmup LR decay (linear = HF Trainer "
+                             "default; decaying schedules need --max_steps)")
     parser.add_argument("--eval_step", default=700, type=int)
     parser.add_argument("--share_layer_ratio", default=0, type=float)
     parser.add_argument("--down_scale", default=8, type=int)
@@ -144,6 +148,7 @@ def main(arg=None):
 
     tc = TrainConfig(
         learning_rate=input_args.lr,
+        lr_schedule=input_args.lr_scheduler,
         warmup_steps=input_args.warmup_steps,
         max_grad_norm=input_args.max_grad_norm,
         grad_accum=input_args.grad_accum,
