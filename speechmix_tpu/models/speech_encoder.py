@@ -118,9 +118,14 @@ def extract_features(params, cfg: SpeechEncoderConfig, waveform,
     padded-region garbage never contaminates valid frames.  Only (a) the
     group-norm statistics and (b) the caller's final frame mask must know the
     lengths — this keeps the extractor free of O(B*T*C) mask traffic."""
+    # measured on TPU v5e (B=32, 16 s, bf16): XLA's NWC conv lowering 62.6 ms
+    # vs the unfold+matmul "patches" formulation 227.5 ms — materializing the
+    # k strided slices + concat is HBM-bound and loses despite the wider MXU
+    # contraction (and OOMs at B=128).  "patches" stays available as an
+    # explicit opt-in for future shapes where it might win.
     impl = cfg.extractor_impl
     if impl == "auto":
-        impl = "patches" if jax.default_backend() == "tpu" else "conv"
+        impl = "conv"
     x = waveform.astype(dtype)[..., None]  # (B, T, 1)
     l = lengths
     for i, layer in enumerate(params["feature_extractor"]["layers"]):

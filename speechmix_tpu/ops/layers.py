@@ -178,11 +178,12 @@ def init_conv1d(key, in_ch, out_ch, kernel, use_bias=True):
 def conv1d(params, x, stride, dtype=None, impl="conv"):
     """x: (B, T, C_in) -> (B, T_out, C_out), VALID padding.
 
-    impl="conv": lax.conv_general_dilated in (B, T, C) layout.
-    impl="patches": explicit strided-slice unfold + one (k*Cin, Cout) matmul —
-      a contraction the MXU tiles well; XLA's strided-NWC conv lowering was
-      measured ~5x off roofline on TPU for the wav2vec2 extractor shapes
-      (PERF.md), so the extractor uses this path on TPU.
+    impl="conv": lax.conv_general_dilated in (B, T, C) layout (the default:
+      measured 3.6x faster than "patches" on TPU v5e at extractor shapes,
+      PERF.md).
+    impl="patches": explicit strided-slice unfold + one (k*Cin, Cout) matmul.
+      Wider MXU contraction, but materializing the k strided slices + concat
+      is HBM-bandwidth-bound and loses at wav2vec2 shapes; opt-in only.
     """
     dtype = dtype or x.dtype
     kernel = params["kernel"].astype(dtype)  # (K, Cin, Cout)
