@@ -145,3 +145,26 @@ def test_lr_schedule_decay():
         TrainConfig(learning_rate=1e-3, warmup_steps=10, max_steps=0,
                     lr_schedule="linear", output_dir=""))
     assert abs(float(const(1000)) - 1e-3) < 1e-9  # unknown horizon: flat
+
+
+def test_cli_passthrough_coercion():
+    """Unknown --key value pairs become typed model kwargs; the reference
+    forwarded raw strings so '--fixed_speech False' was truthy (SURVEY.md §5
+    config-system note)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import train as train_cli
+
+    ia, other = train_cli.parse_args(
+        ["--SpeechMixFixed", "--speech_model_config", "tiny-speech",
+         "--nlp_model_config", "tiny-bart-bytes",
+         "--fixed_speech", "False", "--fixed_nlp", "true",
+         "--some_ratio", "0.25", "--some_count", "7",
+         "--some_name", "hello"])
+    assert other["fixed_speech"] is False
+    assert other["fixed_nlp"] is True
+    assert other["some_ratio"] == 0.25
+    assert other["some_count"] == 7
+    assert other["some_name"] == "hello"
+    assert ia.SpeechMixFixed

@@ -88,9 +88,24 @@ def parse_args(args):
                              "override JAX_PLATFORMS; this flag wins)")
 
     input_args, model_arg = parser.parse_known_args(args)
-    other = {k.replace("--", ""): v
+    other = {k.replace("--", ""): _coerce(v)
              for k, v in zip(model_arg[:-1:2], model_arg[1::2])}
     return input_args, other
+
+
+def _coerce(v):
+    """Pass-through kwargs arrive as strings; interpret the obvious literals
+    (the reference forwards raw strings, so --fixed_speech False was truthy —
+    SURVEY.md §5 config-system note)."""
+    low = v.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    return v
 
 
 def pick_model(input_args, other):
@@ -162,6 +177,10 @@ def main(arg=None):
         seed=input_args.seed,
         bf16=input_args.bf16 or input_args.fp16,
         model_parallel=input_args.model_parallel,
+        # keep the optimizer's trainable mask in lockstep with the model's
+        # freezing bookkeeping (SpeechMixFixed fixed_speech/fixed_nlp kwargs)
+        fixed_speech=bool(other.get("fixed_speech", False)),
+        fixed_nlp=bool(other.get("fixed_nlp", True)),
     )
 
     trainer = Trainer(model.config, tc, tokenizer=model.tokenizer)
