@@ -23,6 +23,8 @@ rates 16 kHz -> 50 Hz -> 50/down_scale Hz.
 
 from __future__ import annotations
 
+import functools
+import math
 from typing import Optional
 
 import jax
@@ -118,16 +120,30 @@ def extract_features(params, cfg: SpeechEncoderConfig, waveform,
     padded-region garbage never contaminates valid frames.  Only (a) the
     group-norm statistics and (b) the caller's final frame mask must know the
     lengths — this keeps the extractor free of O(B*T*C) mask traffic."""
-    # measured on TPU v5e (B=32, 16 s, bf16): XLA's NWC conv lowering 62.6 ms
-    # vs the unfold+matmul "patches" formulation 227.5 ms — materializing the
-    # k strided slices + concat is HBM-bound and loses despite the wider MXU
-    # contraction (and OOMs at B=128).  "patches" stays available as an
-    # explicit opt-in for future shapes where it might win.
+    # Extractor lowering, measured on TPU v5e (B=32, 16 s, bf16):
+    #   "conv"    XLA NWC conv            62.6 ms
+    #   "patches" strided unfold + concat 227.5 ms (HBM-bound; OOMs at B=128)
+    #   "pairs"   row-merge reshapes + dense matmuls (layers._conv1d_pairs)
+    # "pairs" avoids the strided gathers that sank "patches" — see PERF.md.
     impl = cfg.extractor_impl
     if impl == "auto":
         impl = "conv"
     x = waveform.astype(dtype)[..., None]  # (B, T, 1)
     l = lengths
+    t_expect = None
+    if impl == "pairs":
+        # the pairs formulation needs T >= s*(t+1) slack at every k>s layer;
+        # pad the raw waveform once (cheap: (B, T, 1)) and slice the final
+        # frames back to the unpadded count.  Padded samples only ever feed
+        # output frames >= the unpadded frame count (VALID conv), so valid
+        # frames are untouched; group-norm statistics are gated by `l`.
+        t_expect = _conv_out_len(x.shape[1], cfg.conv_kernels,
+                                 cfg.conv_strides)
+        pad = _pairs_slack_pad(x.shape[1], cfg.conv_kernels, cfg.conv_strides)
+        if pad:
+            if l is None:
+                l = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
     for i, layer in enumerate(params["feature_extractor"]["layers"]):
         x = layers.conv1d(layer["conv"], x, cfg.conv_strides[i], dtype,
                           impl=impl)
@@ -144,7 +160,34 @@ def extract_features(params, cfg: SpeechEncoderConfig, waveform,
             else:
                 x = layers.layer_norm(layer["norm"], x, cfg.layer_norm_eps)
         x = jax.nn.gelu(x, approximate=False)
+    if t_expect is not None and x.shape[1] != t_expect:
+        x = x[:, :t_expect]
     return x
+
+
+def _conv_out_len(t, kernels, strides):
+    for k, s in zip(kernels, strides):
+        t = (t - k) // s + 1
+    return t
+
+
+@functools.lru_cache(maxsize=None)
+def _pairs_slack_pad(t_samples, kernels, strides):
+    """Smallest waveform pad giving every k>s layer the T >= s*(t+1) slack
+    the pairs reshape needs (layers._conv1d_pairs)."""
+    bound = 2 * math.prod(strides) + 1
+    for pad in range(bound):
+        t = t_samples + pad
+        ok = True
+        for k, s in zip(kernels, strides):
+            t_out = (t - k) // s + 1
+            if k > s and t < s * (t_out + 1):
+                ok = False
+                break
+            t = t_out
+        if ok:
+            return pad
+    raise ValueError("no pairs-compatible pad found")  # pragma: no cover
 
 
 def _encoder_layer(layer_params, x, kv_mask, cfg, use_flash, dtype):

@@ -184,11 +184,20 @@ def conv1d(params, x, stride, dtype=None, impl="conv"):
     impl="patches": explicit strided-slice unfold + one (k*Cin, Cout) matmul.
       Wider MXU contraction, but materializing the k strided slices + concat
       is HBM-bandwidth-bound and loses at wav2vec2 shapes; opt-in only.
+    impl="pairs": row-merging-reshape formulation for k <= 2*stride (true of
+      every wav2vec2 extractor layer).  (B, s*t, C) -> (B, t, s*C) merges
+      adjacent rows WITHOUT the strided gathers of "patches" (row-major
+      layout-compatible), so the conv becomes at most two dense matmuls with
+      contraction s*C: taps [0, s) against W[:s], taps [s, 2s) against W[s:]
+      zero-padded.  Needs input slack: T >= s*(t+1) when k > s (the caller
+      pads the waveform once; see speech_encoder.extract_features).
     """
     dtype = dtype or x.dtype
     kernel = params["kernel"].astype(dtype)  # (K, Cin, Cout)
     if impl == "patches":
         y = _conv1d_patches(kernel, x.astype(dtype), stride, dtype)
+    elif impl == "pairs":
+        y = _conv1d_pairs(kernel, x.astype(dtype), stride, dtype)
     else:
         y = jax.lax.conv_general_dilated(
             x.astype(dtype), kernel,
@@ -198,6 +207,42 @@ def conv1d(params, x, stride, dtype=None, impl="conv"):
         )
     if "bias" in params:
         y = y + params["bias"].astype(dtype)
+    return y
+
+
+def _conv1d_pairs(kernel, x, stride, dtype):
+    """VALID strided conv via row-merging reshapes; requires k <= 2*stride.
+
+    Output row t covers input rows [s*t, s*t+k).  Split the window at the
+    row-group boundary: rows [s*t, s*t+s) hit weights W[:s], rows
+    [s*t+s, s*t+2s) hit W[s:] (zero-padded to s taps).  Each group is a
+    contiguous reshape (B, s*t', C) -> (B, t', s*C) — layout-preserving in
+    row-major, no gather/concat traffic — followed by one dense matmul.
+    """
+    k, cin, cout = kernel.shape
+    s = stride
+    if k > 2 * s:
+        raise ValueError(f"pairs impl needs k<=2*stride, got k={k} s={s}")
+    b, t_in, _ = x.shape
+    t = (t_in - k) // s + 1
+    ka = min(k, s)
+    wa = kernel[:ka].reshape(ka * cin, cout)
+    if ka < s:  # k < s: pad the head weights to a full row group
+        wa = jnp.concatenate(
+            [wa, jnp.zeros(((s - ka) * cin, cout), dtype)], axis=0)
+    r0 = x[:, :s * t].reshape(b, t, s * cin)
+    y = jnp.dot(r0, wa, preferred_element_type=dtype)
+    if k > s:
+        if t_in < s * (t + 1):
+            raise ValueError(
+                f"pairs impl needs input slack T>=s*(t+1) when k>s "
+                f"(T={t_in}, s={s}, t={t}); pad the input first")
+        wb = kernel[s:].reshape((k - s) * cin, cout)
+        if k < 2 * s:
+            wb = jnp.concatenate(
+                [wb, jnp.zeros(((2 * s - k) * cin, cout), dtype)], axis=0)
+        r1 = x[:, s:s * (t + 1)].reshape(b, t, s * cin)
+        y = y + jnp.dot(r1, wb, preferred_element_type=dtype)
     return y
 
 

@@ -77,3 +77,44 @@ def test_large_variant_graph():
     out = se.speech_encoder_apply(p, cfg, jnp.zeros((1, 8000)))
     assert out["last_hidden_state"].shape[-1] == 32
     assert np.all(np.isfinite(np.asarray(out["last_hidden_state"])))
+
+
+@pytest.mark.parametrize("preset", ["tiny-speech", "wav2vec2-base"])
+@pytest.mark.parametrize("t_samples", [16000, 16001, 12345])
+def test_extractor_pairs_matches_conv(preset, t_samples):
+    """The row-merge "pairs" lowering (layers._conv1d_pairs) is numerically
+    the conv it replaces, for every wav2vec2 layer shape (k<=2s) and for
+    awkward input lengths that need slack padding."""
+    import dataclasses
+    cfg = SPEECH_ENCODER_PRESETS[preset]
+    params = se.init_speech_encoder(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(0)
+    b = 2
+    wav = jnp.asarray(rng.randn(b, t_samples).astype(np.float32) * 0.1)
+    lengths = jnp.asarray([t_samples, t_samples - 2111], jnp.int32)
+
+    cfg_conv = dataclasses.replace(cfg, extractor_impl="conv")
+    cfg_pairs = dataclasses.replace(cfg, extractor_impl="pairs")
+    ref = se.extract_features(params, cfg_conv, wav, lengths)
+    got = se.extract_features(params, cfg_pairs, wav, lengths)
+    assert got.shape == ref.shape
+    valid = np.asarray(cfg.feature_lengths(np.asarray(lengths)))
+    for i in range(b):
+        np.testing.assert_allclose(np.asarray(got[i, :valid[i]]),
+                                   np.asarray(ref[i, :valid[i]]),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_extractor_pairs_no_lengths():
+    """lengths=None: pairs padding must not leak into group-norm stats."""
+    import dataclasses
+    cfg = SPEECH_ENCODER_PRESETS["tiny-speech"]
+    params = se.init_speech_encoder(jax.random.PRNGKey(2), cfg)
+    rng = np.random.RandomState(3)
+    wav = jnp.asarray(rng.randn(1, 8000).astype(np.float32) * 0.1)
+    ref = se.extract_features(params, dataclasses.replace(
+        cfg, extractor_impl="conv"), wav, None)
+    got = se.extract_features(params, dataclasses.replace(
+        cfg, extractor_impl="pairs"), wav, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
