@@ -70,6 +70,10 @@ class TrainConfig:
     model_parallel: int = 1
     fixed_speech: bool = False
     fixed_nlp: bool = True
+    # failure detection: abort (exit 98) if no train-loop heartbeat for this
+    # many seconds — a wedged device call otherwise blocks forever; a
+    # supervisor relaunch resumes from the latest checkpoint.  0 = disabled.
+    stall_timeout_s: float = 0.0
 
 
 class TrainState(NamedTuple):
@@ -270,10 +274,28 @@ class Trainer:
         # device->host sync on every step
         step = int(state.step)
 
+        watchdog = None
+        if self.tc.stall_timeout_s > 0:
+            from ..utils.watchdog import StallWatchdog
+            watchdog = StallWatchdog(self.tc.stall_timeout_s)
+            watchdog.log_path = self.logger.path
+            watchdog.start()
+        try:
+            return self._fit_loop(state, train_batches, eval_batches,
+                                  step_fn, eval_fn, best_metric, best_step,
+                                  patience_left, t0, step, watchdog)
+        finally:
+            if watchdog is not None:
+                watchdog.stop()
+
+    def _fit_loop(self, state, train_batches, eval_batches, step_fn, eval_fn,
+                  best_metric, best_step, patience_left, t0, step, watchdog):
         for epoch in range(self.tc.num_epochs):
             progress = (epoch / self.tc.freeze_epochs
                         if self.tc.freeze_epochs > 0 else 1.0)
             for batch in train_batches():
+                if watchdog is not None:
+                    watchdog.beat()
                 batch = mesh_lib.shard_batch(self.mesh, batch)
                 state, metrics = step_fn(state, batch,
                                          jnp.float32(progress))

@@ -82,6 +82,16 @@ def parse_args(args):
     parser.add_argument("--synthetic", action="store_true",
                         help="train on synthetic data (offline smoke runs)")
     parser.add_argument("--max_steps", default=0, type=int)
+    parser.add_argument("--stall_timeout", default=0.0, type=float,
+                        help="failure detection: exit 98 if no train-loop "
+                             "heartbeat for this many seconds (restart "
+                             "resumes from the latest checkpoint); set well "
+                             "above worst-case XLA compile time (~600s on "
+                             "tunneled TPU). 0 disables")
+    parser.add_argument("--predict_with_generate", action="store_true",
+                        help="also run free-running generate() + WER/CER at "
+                             "each eval (the real ASR metric; teacher-forced "
+                             "eval alone mirrors the reference Trainer)")
     parser.add_argument("--platform", default=None,
                         choices=["cpu", "tpu"],
                         help="force a JAX platform (the environment may "
@@ -181,6 +191,8 @@ def main(arg=None):
         # freezing bookkeeping (SpeechMixFixed fixed_speech/fixed_nlp kwargs)
         fixed_speech=bool(other.get("fixed_speech", False)),
         fixed_nlp=bool(other.get("fixed_nlp", True)),
+        predict_with_generate=input_args.predict_with_generate,
+        stall_timeout_s=input_args.stall_timeout,
     )
 
     trainer = Trainer(model.config, tc, tokenizer=model.tokenizer)
