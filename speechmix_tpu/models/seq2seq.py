@@ -37,6 +37,7 @@ from ..ops import layers
 from ..ops.attention import KVCache, attention, init_attention, \
     cache_position_bias
 from ..ops.masking import NEG_INF, combine_masks_to_bias, length_mask
+from ..parallel import mesh as mesh_lib
 
 
 # ----------------------------------------------------------------------------
@@ -352,6 +353,7 @@ def encode(params, cfg: Seq2SeqConfig, input_ids=None, inputs_embeds=None,
             y = enc_block(block, cfg, h, bias, attention_mask,
                           use_flash, dtype)
             y = apply_adapter(adapter, y, dtype)
+            y = mesh_lib.constrain_time_sharded(y)
             return y, (y if output_hidden_states else 0)
         x, per_layer = jax.lax.scan(scan_body, x,
                                     (enc["layers"], adapters["encoder"]))
@@ -359,6 +361,7 @@ def encode(params, cfg: Seq2SeqConfig, input_ids=None, inputs_embeds=None,
         def scan_body(h, block):
             y = enc_block(block, cfg, h, bias, attention_mask,
                           use_flash, dtype)
+            y = mesh_lib.constrain_time_sharded(y)
             return y, (y if output_hidden_states else 0)
         x, per_layer = jax.lax.scan(scan_body, x, enc["layers"])
     if cfg.arch == "t5":

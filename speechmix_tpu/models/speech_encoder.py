@@ -34,6 +34,7 @@ from ..config import SpeechEncoderConfig
 from ..ops import layers
 from ..ops.attention import attention, init_attention
 from ..ops.masking import length_mask
+from ..parallel import mesh as mesh_lib
 
 
 # ----------------------------------------------------------------------------
@@ -243,6 +244,11 @@ def speech_encoder_apply(params, cfg: SpeechEncoderConfig, waveform,
     t_frames = feats.shape[1]
     frame_mask = length_mask(frame_lengths, t_frames)
 
+    # sequence-parallel annotation point: frames shard their time axis here
+    # (identity unless tracing under parallel.mesh.seq_sharding)
+    feats = mesh_lib.constrain_time_sharded(feats)
+    frame_mask = mesh_lib.constrain_time_sharded(frame_mask)
+
     # feature projection
     fp = params["feature_projection"]
     h = layers.layer_norm(fp["layer_norm"], feats, cfg.layer_norm_eps)
@@ -269,6 +275,7 @@ def speech_encoder_apply(params, cfg: SpeechEncoderConfig, waveform,
 
     def scan_body(x, layer_params):
         y = layer_fn(layer_params, x, frame_mask, cfg, use_flash, dtype)
+        y = mesh_lib.constrain_time_sharded(y)
         return y, (y if output_hidden_states else 0)
 
     h, per_layer = jax.lax.scan(scan_body, h, params["layers"])

@@ -39,6 +39,7 @@ from ..ops import layers
 from ..ops.masking import downscale_lengths, length_mask
 from . import seq2seq
 from . import speech_encoder as se
+from ..parallel import mesh as mesh_lib
 
 
 # ----------------------------------------------------------------------------
@@ -123,6 +124,10 @@ def encode_speech(params, cfg: SpeechMixConfig, input_values, lengths=None,
     frame_lengths = downscale_lengths(enc_out["frame_lengths"], cfg.downloop)
     mask = length_mask(frame_lengths, h.shape[1])
     h = h * mask[..., None].astype(h.dtype)
+    # sequence-parallel annotation (identity unless tracing under
+    # parallel.mesh.seq_sharding): the fused embeds stay time-sharded into
+    # the NLP text encoder
+    h = mesh_lib.constrain_time_sharded(h)
 
     if prompt_ids is not None:
         if prompt_ids.ndim == 1:

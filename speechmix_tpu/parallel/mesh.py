@@ -3,21 +3,28 @@
 The reference has no in-repo parallelism (SURVEY.md §2.4) — scaling came
 implicitly from HF Trainer's DDP.  Here the mesh is first-class from day one:
 
-  axes: ("data", "model")
+  axes: ("data", "model", "seq")
     data  — batch sharding (DP); gradient all-reduce rides ICI via jit's
             automatic psum insertion
     model — reserved tensor-parallel axis: attention heads / FFN hidden are
             sharded over it when model_parallel > 1
+    seq   — sequence-parallel axis (long audio): encoder activations shard
+            their time dimension over it; XLA inserts the K/V all-gathers
+            the attention contraction needs.  The reference's only answer
+            to long input was filtering it out (SURVEY.md §5 long-context).
 
 Entry points:
-  make_mesh(n_data, n_model)        -> jax.sharding.Mesh
-  param_sharding(mesh, params)      -> pytree of NamedSharding for params
-  batch_sharding(mesh)              -> NamedSharding for (B, ...) arrays
-  shard_params / shard_batch        -> device_put helpers
+  make_mesh(n_data, n_model, n_seq)  -> jax.sharding.Mesh
+  param_sharding(mesh, params)       -> pytree of NamedSharding for params
+  batch_sharding(mesh)               -> NamedSharding for (B, ...) arrays
+  shard_params / shard_batch         -> device_put helpers
+  seq_sharding(spec) / constrain_time_sharded(x) -> sequence-parallel
+      activation annotations (applied while tracing the train step)
 """
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
@@ -27,19 +34,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
-              devices=None) -> Mesh:
+              n_seq: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n_total = len(devices)
     if n_data is None:
-        n_data = n_total // n_model
-    assert n_data * n_model <= n_total, \
-        f"mesh {n_data}x{n_model} needs {n_data*n_model} devices, have {n_total}"
-    dev_array = np.asarray(devices[: n_data * n_model]).reshape(
-        n_data, n_model)
-    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+        n_data = n_total // (n_model * n_seq)
+    used = n_data * n_model * n_seq
+    assert used <= n_total, \
+        f"mesh {n_data}x{n_model}x{n_seq} needs {used} devices, have {n_total}"
+    dev_array = np.asarray(devices[:used]).reshape(n_data, n_model, n_seq)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
 
 
 def batch_spec() -> P:
@@ -117,6 +125,47 @@ def shard_batch(mesh: Mesh, batch):
 
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
+
+
+# ----------------------------------------------------------------------------
+# sequence parallelism (activation time-axis sharding)
+# ----------------------------------------------------------------------------
+
+# (mesh, PartitionSpec) applied to (B, T, C) activations while tracing under
+# seq_sharding(); None outside.  Set during trace-time only: the constraint
+# ops are baked into the jaxpr, so executions need no global state.
+_SEQ_SHARDING = None
+
+
+@contextlib.contextmanager
+def seq_sharding(mesh: Optional[Mesh],
+                 spec: P = P(DATA_AXIS, SEQ_AXIS, None)):
+    """Enable constrain_time_sharded() for the enclosed trace.  Wrap the BODY
+    of the jitted step (runs at trace time), not the jit call site.  Pass
+    mesh=None to disable (identity)."""
+    global _SEQ_SHARDING
+    prev = _SEQ_SHARDING
+    _SEQ_SHARDING = (mesh, spec) if mesh is not None else None
+    try:
+        yield
+    finally:
+        _SEQ_SHARDING = prev
+
+
+def constrain_time_sharded(x):
+    """Annotate a (B, T, C) activation (or a (B, T) mask) as sequence-
+    sharded.  Identity when no seq_sharding() trace is active."""
+    if _SEQ_SHARDING is None:
+        return x
+    mesh, spec = _SEQ_SHARDING
+    ndim = getattr(x, "ndim", 0)
+    if ndim == 3:
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, spec))
+    if ndim == 2:
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*tuple(spec)[:2])))
+    return x
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None,

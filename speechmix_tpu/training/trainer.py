@@ -68,6 +68,7 @@ class TrainConfig:
     seed: int = 0
     bf16: bool = False  # compute dtype (reference --fp16 equivalent)
     model_parallel: int = 1
+    sequence_parallel: int = 1  # mesh `seq` axis size (long-audio scaling)
     fixed_speech: bool = False
     fixed_nlp: bool = True
     # failure detection: abort (exit 98) if no train-loop heartbeat for this
@@ -112,17 +113,24 @@ def create_train_state(rng, cfg: SpeechMixConfig, tc: TrainConfig):
                       step=jnp.zeros((), jnp.int32))
 
 
-def make_train_step(cfg: SpeechMixConfig, tc: TrainConfig, params_example):
+def make_train_step(cfg: SpeechMixConfig, tc: TrainConfig, params_example,
+                    mesh=None):
     """Build the jitted train step.
 
     Signature: step_fn(state, batch, unfreeze_progress) -> (state, metrics)
     batch leaves are (accum * micro_b, ...); the step reshapes to
     (accum, micro_b, ...) and lax.scan-accumulates gradients.
+
+    mesh: required when tc.sequence_parallel > 1 — encoder activations are
+    annotated time-sharded over the mesh's `seq` axis while tracing (XLA
+    inserts the attention K/V all-gathers).
     """
     optimizer = make_optimizer(tc)
     dtype = jnp.bfloat16 if tc.bf16 else jnp.float32
     static_mask = freezing.variant_trainable_mask(
         params_example, cfg, tc.fixed_speech, tc.fixed_nlp)
+    seq_mesh = mesh if (mesh is not None and tc.sequence_parallel > 1) \
+        else None
 
     def loss_fn(params, micro):
         labels = micro["labels"]
@@ -130,11 +138,12 @@ def make_train_step(cfg: SpeechMixConfig, tc: TrainConfig, params_example):
             # partial final batches are filled by repeating examples
             # (data/collator.py); mask the filler rows out of the loss
             labels = jnp.where(micro["example_mask"][:, None], labels, -100)
-        out = smx.speechmix_forward(
-            params, cfg, micro["input_values"],
-            lengths=micro.get("lengths"), labels=labels,
-            text_input_ids=micro.get("text_input_ids"),
-            prompt_ids=micro.get("prompt_ids"), dtype=dtype)
+        with mesh_lib.seq_sharding(seq_mesh):
+            out = smx.speechmix_forward(
+                params, cfg, micro["input_values"],
+                lengths=micro.get("lengths"), labels=labels,
+                text_input_ids=micro.get("text_input_ids"),
+                prompt_ids=micro.get("prompt_ids"), dtype=dtype)
         return out["loss"], out
 
     def step_fn(state: TrainState, batch, unfreeze_progress):
@@ -232,7 +241,8 @@ class Trainer:
         self.cfg = cfg
         self.tc = tc
         self.tokenizer = tokenizer
-        self.mesh = mesh or mesh_lib.make_mesh(n_model=tc.model_parallel)
+        self.mesh = mesh or mesh_lib.make_mesh(
+            n_model=tc.model_parallel, n_seq=tc.sequence_parallel)
         self.logger = JSONLLogger(os.path.join(tc.output_dir, "metrics.jsonl")
                                   if tc.output_dir else None)
         self.ckpt = CheckpointManager(tc.output_dir, tc.save_total_limit) \
@@ -263,7 +273,8 @@ class Trainer:
                                    opt_state=restored["opt_state"],
                                    step=restored["step"])
                 self.logger.log({"resumed_from_step": int(state.step)})
-        step_fn = make_train_step(self.cfg, self.tc, state.params)
+        step_fn = make_train_step(self.cfg, self.tc, state.params,
+                                  mesh=self.mesh)
         eval_fn = make_eval_step(self.cfg, self.tc)
 
         best_metric = float("inf")

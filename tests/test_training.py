@@ -168,3 +168,27 @@ def test_cli_passthrough_coercion():
     assert other["some_count"] == 7
     assert other["some_name"] == "hello"
     assert ia.SpeechMixFixed
+
+
+def test_sequence_parallel_matches_single_device():
+    """DP×SP (2×1×4) mesh: encoder activations time-sharded over `seq`;
+    loss must equal the single-device loss (SPMD semantics preserved —
+    XLA inserts the attention K/V collectives)."""
+    mesh = mesh_lib.make_mesh(n_data=2, n_model=1, n_seq=4)
+    tc = TrainConfig(learning_rate=1e-3, warmup_steps=0, grad_accum=1,
+                     sequence_parallel=4, output_dir="")
+    batch = make_batch(4, t=16000)
+
+    tc0 = TrainConfig(learning_rate=1e-3, warmup_steps=0, grad_accum=1,
+                      output_dir="")
+    s0 = trainer_lib.create_train_state(jax.random.PRNGKey(0), CFG, tc0)
+    f0 = trainer_lib.make_train_step(CFG, tc0, s0.params)
+    _, m0 = f0(s0, batch, jnp.float32(1.0))
+
+    s1 = trainer_lib.create_train_state(jax.random.PRNGKey(0), CFG, tc)
+    s1 = TrainState(params=mesh_lib.shard_params(mesh, s1.params),
+                    opt_state=s1.opt_state, step=s1.step)
+    f1 = trainer_lib.make_train_step(CFG, tc, s1.params, mesh=mesh)
+    _, m1 = f1(s1, mesh_lib.shard_batch(mesh, batch), jnp.float32(1.0))
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-4)

@@ -77,6 +77,9 @@ def parse_args(args):
     parser.add_argument("--wandb", action="store_true")
     parser.add_argument("--output_dir", type=str, default=None)
     parser.add_argument("--model_parallel", default=1, type=int)
+    parser.add_argument("--sequence_parallel", default=1, type=int,
+                        help="mesh `seq` axis: shard encoder activations "
+                             "over time for long audio")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--freeze_epochs", default=3, type=int)
     parser.add_argument("--synthetic", action="store_true",
@@ -187,6 +190,7 @@ def main(arg=None):
         seed=input_args.seed,
         bf16=input_args.bf16 or input_args.fp16,
         model_parallel=input_args.model_parallel,
+        sequence_parallel=input_args.sequence_parallel,
         # keep the optimizer's trainable mask in lockstep with the model's
         # freezing bookkeeping (SpeechMixFixed fixed_speech/fixed_nlp kwargs)
         fixed_speech=bool(other.get("fixed_speech", False)),
