@@ -69,6 +69,7 @@ class TrainConfig:
     bf16: bool = False  # compute dtype (reference --fp16 equivalent)
     model_parallel: int = 1
     sequence_parallel: int = 1  # mesh `seq` axis size (long-audio scaling)
+    wandb: bool = False  # mirror metrics to wandb when installed
     fixed_speech: bool = False
     fixed_nlp: bool = True
     # failure detection: abort (exit 98) if no train-loop heartbeat for this
@@ -209,15 +210,29 @@ def make_eval_step(cfg: SpeechMixConfig, tc: TrainConfig):
 
 class JSONLLogger:
     """Minimal metrics logger (reference reported to wandb via Trainer,
-    train.py:310; this writes wandb-compatible JSONL and echoes to stdout)."""
+    train.py:310; this writes wandb-compatible JSONL and echoes to stdout).
 
-    def __init__(self, path: Optional[str]):
+    use_wandb=True additionally mirrors records to wandb when the package is
+    installed (project from WANDB_PROJECT, reference README.md:28-29);
+    silently degrades to JSONL-only otherwise — this image has no wandb."""
+
+    def __init__(self, path: Optional[str], use_wandb: bool = False):
         self.path = path
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self._f = open(path, "a")
         else:
             self._f = None
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+                self._wandb = wandb
+                if wandb.run is None:
+                    wandb.init(project=os.environ.get("WANDB_PROJECT",
+                                                      "speechmix_tpu"))
+            except ImportError:
+                pass
 
     def log(self, record: dict):
         record = {k: (float(v) if hasattr(v, "item") else v)
@@ -225,6 +240,9 @@ class JSONLLogger:
         if self._f:
             self._f.write(json.dumps(record) + "\n")
             self._f.flush()
+        if self._wandb is not None:
+            step = record.get("step")
+            self._wandb.log(record, step=int(step) if step else None)
         print(json.dumps(record))
 
     def close(self):
@@ -244,7 +262,8 @@ class Trainer:
         self.mesh = mesh or mesh_lib.make_mesh(
             n_model=tc.model_parallel, n_seq=tc.sequence_parallel)
         self.logger = JSONLLogger(os.path.join(tc.output_dir, "metrics.jsonl")
-                                  if tc.output_dir else None)
+                                  if tc.output_dir else None,
+                                  use_wandb=tc.wandb)
         self.ckpt = CheckpointManager(tc.output_dir, tc.save_total_limit) \
             if tc.output_dir else None
 

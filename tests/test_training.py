@@ -192,3 +192,13 @@ def test_sequence_parallel_matches_single_device():
     _, m1 = f1(s1, mesh_lib.shard_batch(mesh, batch), jnp.float32(1.0))
     np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
                                rtol=1e-4)
+
+
+def test_wandb_flag_degrades_gracefully(tmp_path):
+    """--wandb without the package installed: JSONL-only, no crash
+    (reference reported via Trainer report_to, train.py:310)."""
+    from speechmix_tpu.training.trainer import JSONLLogger
+    lg = JSONLLogger(str(tmp_path / "m.jsonl"), use_wandb=True)
+    lg.log({"step": 1, "loss": 2.0})
+    lg.close()
+    assert (tmp_path / "m.jsonl").read_text().strip()

@@ -191,6 +191,7 @@ def main(arg=None):
         bf16=input_args.bf16 or input_args.fp16,
         model_parallel=input_args.model_parallel,
         sequence_parallel=input_args.sequence_parallel,
+        wandb=input_args.wandb,
         # keep the optimizer's trainable mask in lockstep with the model's
         # freezing bookkeeping (SpeechMixFixed fixed_speech/fixed_nlp kwargs)
         fixed_speech=bool(other.get("fixed_speech", False)),
