@@ -41,7 +41,10 @@ def main():
             encoder=SPEECH_ENCODER_PRESETS["wav2vec2-base"],
             decoder=SEQ2SEQ_PRESETS["bart-base"],
             down_scale=2)
-        batch, seconds, max_len, iters = 128, 16.0, 64, 3
+        # min-of-8: the tunneled transport's per-run throughput swings ~45%
+        # hour-to-hour (PERF.md); extra iterations are ~1 s each and protect
+        # the single recorded reading from an unlucky window
+        batch, seconds, max_len, iters = 128, 16.0, 64, 8
     else:
         cfg = SpeechMixConfig(
             encoder=SPEECH_ENCODER_PRESETS["tiny-speech"],
@@ -64,7 +67,7 @@ def main():
     @jax.jit
     def decode(params, wav, lengths):
         return gen_lib.generate(params, cfg, wav, lengths,
-                                max_length=max_len, use_flash=on_tpu,
+                                max_length=max_len, use_flash=False,
                                 dtype=dtype)
 
     # warmup/compile (device_get forces a full host round trip; plain

@@ -156,7 +156,7 @@ class _SpeechMixBase:
                     labels=labels, decoder_input_ids=decoder_input_ids,
                     text_input_ids=text_input_ids, prompt_ids=prompt_ids,
                     return_model_detail=return_model_detail,
-                    use_flash=jax.default_backend() == "tpu",
+                    use_flash=False,  # measured slower at speech shapes, PERF.md
                     dtype=self._dtype)
                 out["predictions"] = jnp.argmax(out["logits"], -1)
                 return out
@@ -186,7 +186,7 @@ class _SpeechMixBase:
                     params, self.config, batch, lengths,
                     prompt_ids=prompt_ids, max_length=max_length,
                     num_beams=num_beams, length_penalty=length_penalty,
-                    use_flash=jax.default_backend() == "tpu",
+                    use_flash=False,  # measured slower at speech shapes, PERF.md
                     dtype=self._dtype)
             fn = jax.jit(raw)
             self._jit_generate_cache[key] = fn

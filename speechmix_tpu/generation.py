@@ -34,7 +34,8 @@ from .models import speechmix as smx
 # ----------------------------------------------------------------------------
 
 def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
-                  dtype=jnp.float32, adapters=None, early_stop=False):
+                  dtype=jnp.float32, adapters=None, early_stop=False,
+                  use_flash=False):
     """Greedy decode against a computed text-encoder output.
 
     Returns (tokens (B, max_length) padded with pad_token_id after EOS,
@@ -52,7 +53,8 @@ def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
 
     def one_step(tok, cache, finished):
         out = seq2seq.decode(params, dcfg, tok, encoder_mask=enc_mask,
-                             cache=cache, adapters=adapters, dtype=dtype)
+                             cache=cache, adapters=adapters, dtype=dtype,
+                             use_flash=use_flash)
         next_tok = jnp.argmax(out["logits"][:, -1, :],
                               axis=-1).astype(jnp.int32)
         next_tok = jnp.where(finished, dcfg.pad_token_id, next_tok)
@@ -123,7 +125,8 @@ def _gather_cache(cache: seq2seq.DecoderCache, idx, batch, beams):
 
 
 def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
-                length_penalty=1.0, dtype=jnp.float32, adapters=None):
+                length_penalty=1.0, dtype=jnp.float32, adapters=None,
+                use_flash=False):
     """Batched beam search.  Returns (tokens (B, max_length), lengths (B,))
     for the best finished beam (falls back to the best live beam)."""
     b = enc_hidden.shape[0]
@@ -145,7 +148,8 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
     def step(carry, t):
         tok, cache, scores, tokens_buf, finished = carry
         out = seq2seq.decode(params, dcfg, tok, encoder_mask=enc_mask_t,
-                             cache=cache, adapters=adapters, dtype=dtype)
+                             cache=cache, adapters=adapters, dtype=dtype,
+                             use_flash=use_flash)
         logprobs = jax.nn.log_softmax(
             out["logits"][:, -1, :].astype(jnp.float32), axis=-1)  # (B*K, V)
         vocab = logprobs.shape[-1]
@@ -217,9 +221,10 @@ def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
     if num_beams <= 1:
         return greedy_decode(params["nlp"], cfg.decoder, enc_hidden,
                              enc_mask, max_length, dtype, adapters,
-                             early_stop=early_stop)
+                             early_stop=early_stop, use_flash=use_flash)
     return beam_search(params["nlp"], cfg.decoder, enc_hidden, enc_mask,
-                       max_length, num_beams, length_penalty, dtype, adapters)
+                       max_length, num_beams, length_penalty, dtype, adapters,
+                       use_flash=use_flash)
 
 
 def jit_generate(cfg: SpeechMixConfig, max_length=None, num_beams=1,

@@ -214,7 +214,7 @@ class DecoderCache(NamedTuple):
 
 def _decoder_block(block, cfg, x, self_bias, cross_bias, enc_hidden,
                    self_cache, cross_kv, use_flash, dtype,
-                   self_kv_mask=None, self_causal=False):
+                   self_kv_mask=None, self_causal=False, cross_kv_mask=None):
     """One decoder block.  self_cache: Optional[KVCache] (single layer).
     cross_kv: Optional[(k, v)] precomputed cross K/V."""
     scale = _attn_scale(cfg)
@@ -228,7 +228,8 @@ def _decoder_block(block, cfg, x, self_bias, cross_bias, enc_hidden,
                                  dtype=dtype)
         x = _norm(cfg, block["self_attn_layer_norm"], x + a)
         a = _cross_attention(block["encoder_attn"], cfg, x, enc_hidden,
-                             cross_bias, cross_kv, scale, dtype)
+                             cross_bias, cross_kv, scale, dtype,
+                             kv_mask=cross_kv_mask, use_flash=use_flash)
         x = _norm(cfg, block["encoder_attn_layer_norm"], x + a)
         x = _norm(cfg, block["final_layer_norm"], x + _ffn(block, cfg, x, dtype))
     else:
@@ -242,7 +243,8 @@ def _decoder_block(block, cfg, x, self_bias, cross_bias, enc_hidden,
         x = x + a
         h = _norm(cfg, block["encoder_attn_layer_norm"], x)
         a = _cross_attention(block["encoder_attn"], cfg, h, enc_hidden,
-                             cross_bias, cross_kv, scale, dtype)
+                             cross_bias, cross_kv, scale, dtype,
+                             kv_mask=cross_kv_mask, use_flash=use_flash)
         x = x + a
         h = _norm(cfg, block["final_layer_norm"], x)
         x = x + _ffn(block, cfg, h, dtype)
@@ -250,9 +252,11 @@ def _decoder_block(block, cfg, x, self_bias, cross_bias, enc_hidden,
 
 
 def _cross_attention(attn_params, cfg, x_q, enc_hidden, bias, cross_kv,
-                     scale, dtype):
+                     scale, dtype, kv_mask=None, use_flash=False):
     """Cross-attention; uses precomputed K/V when given (decode hot path —
-    the reference recomputes these every step through HF, SURVEY.md §3.3)."""
+    the reference recomputes these every step through HF, SURVEY.md §3.3).
+    With use_flash + q_len==1 + a structured kv_mask, runs the fused Pallas
+    decode-attention kernel (ops/pallas/decode_attention.py)."""
     if cross_kv is None:
         out, _ = attention(attn_params, x_q, x_kv=enc_hidden, bias=bias,
                            num_heads=cfg.num_heads, head_dim=cfg.per_head_dim,
@@ -264,6 +268,15 @@ def _cross_attention(attn_params, cfg, x_q, enc_hidden, bias, cross_kv,
     s = scale if scale is not None else 1.0 / _math.sqrt(d)
     q = layers.dense(attn_params["q_proj"], x_q, dtype)
     q = q.reshape(*q.shape[:2], cfg.num_heads, d)
+    if (use_flash and x_q.shape[1] == 1 and kv_mask is not None
+            and bias is None and jax.default_backend() == "tpu"):
+        from ..ops.pallas.decode_attention import decode_attention
+        out = decode_attention(q, k.astype(dtype), v.astype(dtype), kv_mask,
+                               scale=s, num_heads=cfg.num_heads)
+        out = out.reshape(*out.shape[:2], cfg.num_heads * d)
+        return layers.dense(attn_params["out_proj"], out, dtype)
+    if bias is None and kv_mask is not None:
+        bias = combine_masks_to_bias(kv_mask=kv_mask)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k.astype(dtype),
                         preferred_element_type=jnp.float32) * s
     if bias is not None:
@@ -441,7 +454,16 @@ def decode(params, cfg: Seq2SeqConfig, decoder_input_ids, enc_hidden=None,
     self_kv_mask, self_causal = None, False
     if cache is not None:
         capacity = cache.self_kv.key.shape[2]
-        self_bias = cache_position_bias(capacity, offset, q_len)
+        if q_len == 1 and cfg.arch != "t5":
+            # single-token step: validity is just "slot filled" (the new
+            # token occupies slot `offset`) — a structured kv_mask instead
+            # of an additive bias keeps the fused Pallas decode-attention
+            # kernel reachable (ops/pallas/decode_attention.py)
+            self_bias = None
+            self_kv_mask = jnp.broadcast_to(
+                jnp.arange(capacity)[None, :] <= offset, (b, capacity))
+        else:
+            self_bias = cache_position_bias(capacity, offset, q_len)
         kv_len = capacity
     else:
         self_bias = None
@@ -455,7 +477,10 @@ def decode(params, cfg: Seq2SeqConfig, decoder_input_ids, enc_hidden=None,
         self_bias = t5_bias if self_bias is None else self_bias + t5_bias
 
     cross_bias = None
-    if encoder_mask is not None:
+    if encoder_mask is not None and not (cache is not None and q_len == 1):
+        # cached single-token steps pass the raw mask instead, keeping the
+        # fused decode-attention kernel reachable; _cross_attention's XLA
+        # fallback builds the identical bias from it
         cross_bias = combine_masks_to_bias(kv_mask=encoder_mask)
 
     dec_adapters = adapters["decoder"] if adapters is not None else None
@@ -467,7 +492,8 @@ def decode(params, cfg: Seq2SeqConfig, decoder_input_ids, enc_hidden=None,
                                   index=cache.self_kv.index)
             y, new_c = _decoder_block(
                 block, cfg, h, self_bias, cross_bias, None, layer_cache,
-                (ck, cv), use_flash, dtype)
+                (ck, cv), use_flash, dtype,
+                self_kv_mask=self_kv_mask, cross_kv_mask=encoder_mask)
             if adapter is not None:
                 y = apply_adapter(adapter, y, dtype)
             return y, (new_c.key, new_c.value,

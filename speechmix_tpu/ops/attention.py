@@ -110,8 +110,16 @@ def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
         k = k.astype(dtype)
         v = v.astype(dtype)
 
+    # fused single-query decode path: cached incremental decoding with a
+    # structured validity mask (ops/pallas/decode_attention.py)
+    if (use_flash and bias is None and cache is not None
+            and x_q.shape[1] == 1 and kv_mask is not None and not causal
+            and jax.default_backend() == "tpu"):
+        from .pallas.decode_attention import decode_attention
+        out = decode_attention(q, k, v, kv_mask, scale=scale,
+                               num_heads=num_heads)
     # fused flash path: structured masks only, no extra bias, no cache
-    if (use_flash and bias is None and cache is None
+    elif (use_flash and bias is None and cache is None
             and jax.default_backend() == "tpu"):
         from .pallas.flash_attention_kernel import flash_attention_masked
         out = flash_attention_masked(q, k, v, kv_mask=kv_mask, causal=causal,

@@ -47,7 +47,7 @@ class TranscriptionPipeline:
                 return gen_lib.generate(
                     params, cfg, batch, lengths, max_length=max_length,
                     num_beams=num_beams,
-                    use_flash=jax.default_backend() == "tpu",
+                    use_flash=False,  # measured slower at speech shapes, PERF.md
                     dtype=jnp.bfloat16
                     if cfg.dtype == "bfloat16" else jnp.float32)
 
