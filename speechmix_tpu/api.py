@@ -125,7 +125,8 @@ class _SpeechMixBase:
 
     def forward(self, input_values, labels=None, decoder_input_ids=None,
                 text_input_ids=None, input_text_prompt=None,
-                decoder_text_prompt=None, return_model_detail=False):
+                decoder_text_prompt=None, return_model_detail=False,
+                use_flash=False):
         batch, lengths = _prepare_audio(input_values)
         prompt = input_text_prompt or decoder_text_prompt
         prompt_ids = None
@@ -146,7 +147,7 @@ class _SpeechMixBase:
                None if decoder_input_ids is None else decoder_input_ids.shape,
                None if text_input_ids is None else text_input_ids.shape,
                None if prompt_ids is None else prompt_ids.shape,
-               return_model_detail)
+               return_model_detail, use_flash)
         fn = self._jit_forward_cache.get(key)
         if fn is None:
             def raw(params, batch, lengths, labels, decoder_input_ids,
@@ -156,8 +157,7 @@ class _SpeechMixBase:
                     labels=labels, decoder_input_ids=decoder_input_ids,
                     text_input_ids=text_input_ids, prompt_ids=prompt_ids,
                     return_model_detail=return_model_detail,
-                    use_flash=False,  # measured slower at speech shapes, PERF.md
-                    dtype=self._dtype)
+                    use_flash=use_flash, dtype=self._dtype)
                 out["predictions"] = jnp.argmax(out["logits"], -1)
                 return out
             fn = jax.jit(raw)
@@ -169,7 +169,12 @@ class _SpeechMixBase:
 
     # -- generation ---------------------------------------------------------
     def generate(self, input_values, decoder_text_prompt=None,
-                 max_length=None, num_beams=1, length_penalty=1.0):
+                 max_length=None, num_beams=1, length_penalty=1.0,
+                 use_flash=False):
+        """use_flash opts into the Pallas attention kernels — O(T·D)
+        memory for long sequences, but measured SLOWER at speech-scale
+        shapes (PERF.md), hence off by default."""
+
         batch, lengths = _prepare_audio(input_values)
         prompt_ids = None
         if decoder_text_prompt is not None:
@@ -178,7 +183,7 @@ class _SpeechMixBase:
                                       add_special_tokens=False), jnp.int32)
         key = ("gen", batch.shape,
                None if prompt_ids is None else prompt_ids.shape,
-               max_length, num_beams, length_penalty)
+               max_length, num_beams, length_penalty, use_flash)
         fn = self._jit_generate_cache.get(key)
         if fn is None:
             def raw(params, batch, lengths, prompt_ids):
@@ -186,8 +191,7 @@ class _SpeechMixBase:
                     params, self.config, batch, lengths,
                     prompt_ids=prompt_ids, max_length=max_length,
                     num_beams=num_beams, length_penalty=length_penalty,
-                    use_flash=False,  # measured slower at speech shapes, PERF.md
-                    dtype=self._dtype)
+                    use_flash=use_flash, dtype=self._dtype)
             fn = jax.jit(raw)
             self._jit_generate_cache[key] = fn
         tokens, _ = fn(self.params, batch, lengths, prompt_ids)

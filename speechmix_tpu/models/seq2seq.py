@@ -268,13 +268,13 @@ def _cross_attention(attn_params, cfg, x_q, enc_hidden, bias, cross_kv,
     s = scale if scale is not None else 1.0 / _math.sqrt(d)
     q = layers.dense(attn_params["q_proj"], x_q, dtype)
     q = q.reshape(*q.shape[:2], cfg.num_heads, d)
-    if (use_flash and x_q.shape[1] == 1 and kv_mask is not None
-            and bias is None and jax.default_backend() == "tpu"):
-        from ..ops.pallas.decode_attention import decode_attention
-        out = decode_attention(q, k.astype(dtype), v.astype(dtype), kv_mask,
-                               scale=s, num_heads=cfg.num_heads)
-        out = out.reshape(*out.shape[:2], cfg.num_heads * d)
-        return layers.dense(attn_params["out_proj"], out, dtype)
+    if bias is None:
+        from ..ops.attention import maybe_decode_kernel
+        out = maybe_decode_kernel(q, k.astype(dtype), v.astype(dtype),
+                                  kv_mask, s, cfg.num_heads, use_flash)
+        if out is not None:
+            out = out.reshape(*out.shape[:2], cfg.num_heads * d)
+            return layers.dense(attn_params["out_proj"], out, dtype)
     if bias is None and kv_mask is not None:
         bias = combine_masks_to_bias(kv_mask=kv_mask)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k.astype(dtype),

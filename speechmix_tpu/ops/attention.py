@@ -72,6 +72,19 @@ def _attend(q, k, v, bias, scale, use_flash=False):
                       preferred_element_type=dtype)
 
 
+def maybe_decode_kernel(q, k, v, kv_mask, scale, num_heads, use_flash):
+    """Dispatch the fused single-query decode-attention kernel
+    (ops/pallas/decode_attention.py) when eligible; None otherwise.  Shared
+    by attention() (cached self-attn) and seq2seq._cross_attention
+    (precomputed-K/V cross-attn) so the gating stays in one place."""
+    if (use_flash and q.shape[1] == 1 and kv_mask is not None
+            and jax.default_backend() == "tpu"):
+        from .pallas.decode_attention import decode_attention
+        return decode_attention(q, k, v, kv_mask, scale=scale,
+                                num_heads=num_heads)
+    return None
+
+
 def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
               num_heads=None, head_dim=None, scale=None,
               cache: Optional[KVCache] = None, use_flash=False, dtype=None):
@@ -111,13 +124,13 @@ def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
         v = v.astype(dtype)
 
     # fused single-query decode path: cached incremental decoding with a
-    # structured validity mask (ops/pallas/decode_attention.py)
-    if (use_flash and bias is None and cache is not None
-            and x_q.shape[1] == 1 and kv_mask is not None and not causal
-            and jax.default_backend() == "tpu"):
-        from .pallas.decode_attention import decode_attention
-        out = decode_attention(q, k, v, kv_mask, scale=scale,
-                               num_heads=num_heads)
+    # structured validity mask
+    decode_out = None
+    if bias is None and cache is not None and not causal:
+        decode_out = maybe_decode_kernel(q, k, v, kv_mask, scale, num_heads,
+                                         use_flash)
+    if decode_out is not None:
+        out = decode_out
     # fused flash path: structured masks only, no extra bias, no cache
     elif (use_flash and bias is None and cache is None
             and jax.default_backend() == "tpu"):

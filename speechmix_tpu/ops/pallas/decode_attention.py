@@ -89,9 +89,10 @@ def decode_attention(q, k, v, mask, *, scale, num_heads, force_pallas=False):
     # rows per program: amortize grid overhead, stay under ~4 MB of K/V
     # block per buffer so pipelining has headroom
     rows = 1
+    itemsize = jnp.dtype(k.dtype).itemsize
     for cand in (8, 4, 2):
         # k+v blocks, double-buffered by the pipeline: 4 copies in flight
-        if b % cand == 0 and 4 * cand * t * hd * 2 <= 12 * 1024 * 1024:
+        if b % cand == 0 and 4 * cand * t * hd * itemsize <= 12 * 1024 * 1024:
             rows = cand
             break
     qf = q.reshape(b, 1, hd)

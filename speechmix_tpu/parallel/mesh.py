@@ -43,6 +43,9 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     n_total = len(devices)
     if n_data is None:
         n_data = n_total // (n_model * n_seq)
+    assert n_data >= 1, (
+        f"mesh needs n_model*n_seq={n_model * n_seq} <= {n_total} devices "
+        f"(model_parallel x sequence_parallel exceeds the device count)")
     used = n_data * n_model * n_seq
     assert used <= n_total, \
         f"mesh {n_data}x{n_model}x{n_seq} needs {used} devices, have {n_total}"

@@ -231,8 +231,8 @@ class JSONLLogger:
                 if wandb.run is None:
                     wandb.init(project=os.environ.get("WANDB_PROJECT",
                                                       "speechmix_tpu"))
-            except ImportError:
-                pass
+            except Exception:  # no package / no auth / offline: JSONL-only
+                self._wandb = None
 
     def log(self, record: dict):
         record = {k: (float(v) if hasattr(v, "item") else v)
@@ -242,7 +242,8 @@ class JSONLLogger:
             self._f.flush()
         if self._wandb is not None:
             step = record.get("step")
-            self._wandb.log(record, step=int(step) if step else None)
+            self._wandb.log(record,
+                            step=int(step) if step is not None else None)
         print(json.dumps(record))
 
     def close(self):
@@ -340,11 +341,13 @@ class Trainer:
                                      "grad_norm": metrics["grad_norm"],
                                      "elapsed": time.time() - t0})
                 if eval_batches and step % self.tc.eval_steps == 0:
+                    beat = watchdog.beat if watchdog is not None else None
                     eval_metrics = self.evaluate(state.params, eval_fn,
-                                                 eval_batches)
+                                                 eval_batches,
+                                                 heartbeat=beat)
                     if self.tc.predict_with_generate:
-                        eval_metrics.update(self.predict(state.params,
-                                                         eval_batches))
+                        eval_metrics.update(self.predict(
+                            state.params, eval_batches, heartbeat=beat))
                     self.logger.log({"step": step, **eval_metrics})
                     score = eval_metrics.get("eval_loss", float("inf"))
                     if self.ckpt:
@@ -364,7 +367,8 @@ class Trainer:
                             return state
         return state
 
-    def predict(self, params, eval_batches, max_length=None, num_beams=1):
+    def predict(self, params, eval_batches, max_length=None, num_beams=1,
+                heartbeat=None):
         """Free-running ASR eval: greedy/beam generate() per batch + WER/CER
         against the label transcripts.  This is the real decoding metric (the
         teacher-forced eval in `evaluate` mirrors the reference's Trainer
@@ -375,6 +379,8 @@ class Trainer:
         fns = {}
         refs, hyps = [], []
         for batch in eval_batches():
+            if heartbeat is not None:
+                heartbeat()
             shape = batch["input_values"].shape
             fn = fns.get(shape)
             if fn is None:
@@ -403,9 +409,11 @@ class Trainer:
                 "predict_cer": cer(refs, hyps),
                 "n_examples": len(refs)}
 
-    def evaluate(self, params, eval_fn, eval_batches):
+    def evaluate(self, params, eval_fn, eval_batches, heartbeat=None):
         losses, all_preds, all_labels = [], [], []
         for batch in eval_batches():
+            if heartbeat is not None:
+                heartbeat()
             batch_dev = mesh_lib.shard_batch(self.mesh, batch)
             out = eval_fn(params, batch_dev)
             losses.append(float(out["loss"]))
