@@ -76,6 +76,9 @@ class TrainConfig:
     # many seconds — a wedged device call otherwise blocks forever; a
     # supervisor relaunch resumes from the latest checkpoint.  0 = disabled.
     stall_timeout_s: float = 0.0
+    # async input pipeline: batches sharded+staged to device this many steps
+    # ahead by a host thread (data/prefetch.py).  0 = synchronous.
+    prefetch_depth: int = 2
 
 
 class TrainState(NamedTuple):
@@ -324,10 +327,16 @@ class Trainer:
         for epoch in range(self.tc.num_epochs):
             progress = (epoch / self.tc.freeze_epochs
                         if self.tc.freeze_epochs > 0 else 1.0)
-            for batch in train_batches():
+            if self.tc.prefetch_depth > 0:
+                from ..data.prefetch import prefetch_to_device
+                epoch_batches = prefetch_to_device(
+                    train_batches(), self.mesh, self.tc.prefetch_depth)
+            else:
+                epoch_batches = (mesh_lib.shard_batch(self.mesh, b)
+                                 for b in train_batches())
+            for batch in epoch_batches:
                 if watchdog is not None:
                     watchdog.beat()
-                batch = mesh_lib.shard_batch(self.mesh, batch)
                 state, metrics = step_fn(state, batch,
                                          jnp.float32(progress))
                 step += 1
