@@ -82,3 +82,32 @@ def test_save_load_weights(tmp_path):
     assert not np.allclose(l_before, l_after)
     np.testing.assert_array_equal(
         l_after, np.asarray(spm.params["enc_to_dec_proj"]["kernel"]))
+
+
+def test_ed_variant_generate():
+    """M8 parity: the ED (cross-attention fusion) family exposes the full
+    generation surface too (ref hf_model.py:82-182 is a PreTrainedModel)."""
+    spm = make("SpeechMixED", down_scale=4)
+    wav = np.random.RandomState(0).randn(2, 8000).astype(np.float32) * 0.1
+    toks = spm.generate(wav, max_length=8)
+    assert np.asarray(toks).shape == (2, 8)
+    text = spm.tokenizer.decode(np.asarray(toks[0]), skip_special_tokens=True)
+    assert isinstance(text, str)
+
+
+def test_generate_early_stop_matches_full_scan():
+    """early_stop=True (lax.while_loop exit once all rows emit EOS) must be
+    output-identical to the fixed-length scan."""
+    import jax.numpy as jnp
+    from speechmix_tpu import generation as gen_lib
+
+    spm = make("SpeechMixEED", down_scale=4)
+    rng = np.random.RandomState(1)
+    wav = jnp.asarray(rng.randn(2, 8000).astype(np.float32) * 0.1)
+    lengths = jnp.asarray([8000, 6000], np.int32)
+    a, la = gen_lib.generate(spm.params, spm.config, wav, lengths,
+                             max_length=12, early_stop=False)
+    b, lb = gen_lib.generate(spm.params, spm.config, wav, lengths,
+                             max_length=12, early_stop=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
