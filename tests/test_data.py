@@ -114,3 +114,53 @@ def test_teacher_targets_match_per_token_loop():
             predicted.append(nxt)
         expected = predicted[1:] + [tok.eos_token_id]
         assert teacher_labels == expected, (teacher_labels, expected)
+
+
+def test_cache_roundtrip(tmp_path):
+    """D5 parity: save_examples/load_examples round-trip (ref train.py:229-274
+    save_to_disk caching)."""
+    from speechmix_tpu.data.datasets import save_examples, load_examples
+    exs = [{"input_values": np.arange(5, dtype=np.float32),
+            "labels": [4, 5, 6], "text": "hello"},
+           {"input_values": np.zeros(3, np.float32),
+            "labels": [7], "text": "hi"}]
+    p = str(tmp_path / "cache.npz")
+    save_examples(p, exs)
+    back = load_examples(p)
+    assert len(back) == 2
+    np.testing.assert_array_equal(back[0]["input_values"],
+                                  exs[0]["input_values"])
+    assert back[0]["labels"] == [4, 5, 6] and back[1]["text"] == "hi"
+
+
+def test_custom_csv_seeded_single_split(tmp_path):
+    """D2 + quirk §2.5.3: CSV datasets split ONCE with a fixed seed — no
+    train/test leakage, reproducible across calls."""
+    import wave
+    import struct
+    from speechmix_tpu.data.datasets import _load_custom_csv
+
+    paths = []
+    for i in range(10):
+        p = str(tmp_path / f"a{i}.wav")
+        with wave.open(p, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(struct.pack("<160h", *([i * 100] * 160)))
+        paths.append(p)
+    csv_path = str(tmp_path / "set.csv")
+    with open(csv_path, "w") as f:
+        f.write("path,text\n")
+        for i, p in enumerate(paths):
+            f.write(f"{p},utt {i}\n")
+
+    tr1, te1 = _load_custom_csv(csv_path, seed=3)
+    tr2, te2 = _load_custom_csv(csv_path, seed=3)
+    assert [e["text"] for e in tr1] == [e["text"] for e in tr2]
+    assert [e["text"] for e in te1] == [e["text"] for e in te2]
+    # disjoint, covering
+    tr_texts = {e["text"] for e in tr1}
+    te_texts = {e["text"] for e in te1}
+    assert not (tr_texts & te_texts)
+    assert len(tr_texts) + len(te_texts) == 10
