@@ -29,14 +29,19 @@ class TranscriptionPipeline:
     def __init__(self, model, batch_size: int = 16, max_length: int = None,
                  num_beams: int = 1, buckets_sec: Sequence[float] =
                  audio_lib.DEFAULT_BUCKETS, sample_rate: int = 16000,
-                 use_flash: bool = False):
+                 use_flash: bool = False, early_stop: bool = True):
         # use_flash: Pallas-kernel opt-in for long sequences — measured
-        # slower at speech-scale shapes (PERF.md), so off by default
+        # slower at speech-scale shapes (PERF.md), so off by default.
+        # early_stop: exit the decode loop once every row has emitted EOS
+        # (output-identical to the full scan — pinned by
+        # test_generate_early_stop_matches_full_scan; real speech stops at
+        # 30-60 tokens, saving up to ~half the decode time)
         self.model = model
         self.batch_size = batch_size
         self.max_length = max_length or model.config.decoder.max_length
         self.num_beams = num_beams
         self.use_flash = use_flash
+        self.early_stop = early_stop
         self.buckets_sec = buckets_sec
         self.sample_rate = sample_rate
         self._fns = {}
@@ -46,12 +51,13 @@ class TranscriptionPipeline:
         if fn is None:
             cfg = self.model.config
             num_beams, max_length = self.num_beams, self.max_length
-            use_flash = self.use_flash
+            use_flash, early_stop = self.use_flash, self.early_stop
 
             def raw(params, batch, lengths):
                 return gen_lib.generate(
                     params, cfg, batch, lengths, max_length=max_length,
                     num_beams=num_beams, use_flash=use_flash,
+                    early_stop=early_stop,
                     dtype=jnp.bfloat16
                     if cfg.dtype == "bfloat16" else jnp.float32)
 
