@@ -119,3 +119,41 @@ def test_t5_parity():
                             decoder_input_ids=jnp.asarray(dec_ids))
     np.testing.assert_allclose(np.asarray(out["logits"]), ref,
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("family", ["hubert", "unispeech_sat"])
+def test_hubert_unispeech_parity(family):
+    """M9's encoder families beyond wav2vec2 (ref hf_model.py:210-215 picks
+    HubertModel / UniSpeechSatModel by name substring): same graph, same
+    converter, activation parity on a fixed utterance."""
+    kw = dict(vocab_size=32, hidden_size=32, num_hidden_layers=2,
+              num_attention_heads=2, intermediate_size=64,
+              conv_dim=(16, 16, 16), conv_kernel=(10, 3, 3),
+              conv_stride=(5, 2, 2), num_conv_pos_embeddings=16,
+              num_conv_pos_embedding_groups=2, do_stable_layer_norm=False,
+              feat_extract_norm="group", hidden_dropout=0.0,
+              attention_dropout=0.0, activation_dropout=0.0,
+              feat_proj_dropout=0.0, layerdrop=0.0)
+    if family == "hubert":
+        hf = transformers.HubertModel(transformers.HubertConfig(**kw)).eval()
+    else:
+        hf = transformers.UniSpeechSatModel(
+            transformers.UniSpeechSatConfig(**kw)).eval()
+
+    cfg = SpeechEncoderConfig(
+        name=family, conv_dims=(16, 16, 16), conv_kernels=(10, 3, 3),
+        conv_strides=(5, 2, 2), conv_bias=False, feat_extract_norm="group",
+        hidden_size=32, num_layers=2, num_heads=2, ffn_dim=64,
+        pos_conv_kernel=16, pos_conv_groups=2)
+
+    sd_path = _save_sd(hf)
+    params = convert.load_speech_encoder(sd_path, cfg)
+    os.remove(sd_path)
+
+    wav = np.random.RandomState(1).randn(1, 4000).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref = hf(torch.tensor(wav)).last_hidden_state.numpy()
+    out = se.speech_encoder_apply(params, cfg, jnp.asarray(wav))
+    got = np.asarray(out["last_hidden_state"])
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
