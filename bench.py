@@ -67,7 +67,7 @@ def main():
     @jax.jit
     def decode(params, wav, lengths):
         return gen_lib.generate(params, cfg, wav, lengths,
-                                max_length=max_len, use_flash=False,
+                                max_length=max_len, use_flash=on_tpu,
                                 dtype=dtype)
 
     # warmup/compile (device_get forces a full host round trip; plain

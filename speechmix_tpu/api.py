@@ -126,7 +126,9 @@ class _SpeechMixBase:
     def forward(self, input_values, labels=None, decoder_input_ids=None,
                 text_input_ids=None, input_text_prompt=None,
                 decoder_text_prompt=None, return_model_detail=False,
-                use_flash=False):
+                use_flash=None):
+        if use_flash is None:  # auto: single-pass kernel wins on TPU, PERF.md
+            use_flash = jax.default_backend() == "tpu"
         batch, lengths = _prepare_audio(input_values)
         prompt = input_text_prompt or decoder_text_prompt
         prompt_ids = None
@@ -170,10 +172,12 @@ class _SpeechMixBase:
     # -- generation ---------------------------------------------------------
     def generate(self, input_values, decoder_text_prompt=None,
                  max_length=None, num_beams=1, length_penalty=1.0,
-                 use_flash=False):
-        """use_flash opts into the Pallas attention kernels — O(T·D)
-        memory for long sequences, but measured SLOWER at speech-scale
-        shapes (PERF.md), hence off by default."""
+                 use_flash=None):
+        """use_flash=None auto-enables the single-pass Pallas attention
+        kernel on TPU (measured faster in situ at speech shapes — PERF.md);
+        pass False/True to override."""
+        if use_flash is None:
+            use_flash = jax.default_backend() == "tpu"
 
         batch, lengths = _prepare_audio(input_values)
         prompt_ids = None

@@ -72,12 +72,25 @@ def _attend(q, k, v, bias, scale, use_flash=False):
                       preferred_element_type=dtype)
 
 
+# The single-query decode kernel measured FASTER in isolation but SLOWER
+# inside the real decode loop at speech-scale T_kv (PERF.md) — it needs its
+# own opt-in (set_decode_kernel(True)) so use_flash can enable the winning
+# encoder kernel without dragging this one in.
+DECODE_KERNEL_ENABLED = False
+
+
+def set_decode_kernel(enabled: bool):
+    global DECODE_KERNEL_ENABLED
+    DECODE_KERNEL_ENABLED = bool(enabled)
+
+
 def maybe_decode_kernel(q, k, v, kv_mask, scale, num_heads, use_flash):
     """Dispatch the fused single-query decode-attention kernel
     (ops/pallas/decode_attention.py) when eligible; None otherwise.  Shared
     by attention() (cached self-attn) and seq2seq._cross_attention
     (precomputed-K/V cross-attn) so the gating stays in one place."""
-    if (use_flash and q.shape[1] == 1 and kv_mask is not None
+    if (DECODE_KERNEL_ENABLED and use_flash and q.shape[1] == 1
+            and kv_mask is not None
             and jax.default_backend() == "tpu"):
         from .pallas.decode_attention import decode_attention
         return decode_attention(q, k, v, kv_mask, scale=scale,

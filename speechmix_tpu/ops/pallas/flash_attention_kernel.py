@@ -83,6 +83,41 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
         o_ref[0] = (acc_scr[:] / denom[:, None]).astype(o_ref.dtype)
 
 
+def _attn_single_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
+                        causal):
+    """Single-pass attention for speech-scale T: the full (Tq, Tk) score
+    matrix lives in VMEM registers (never HBM) and each grid step handles a
+    whole (batch, head) — ~B*H large programs instead of B*H*nQ*nK tiny
+    ones.  Matmuls take bf16 inputs with f32 accumulation (MXU fast path);
+    the tiled online-softmax kernel upcast everything to f32 first."""
+    q = q_ref[0]                               # (Tq, D) input dtype
+    k = k_ref[0]                               # (Tk, D)
+    v = v_ref[0]                               # (Tk, D)
+    kv_valid = mask_ref[0, 0].astype(jnp.float32)  # (Tk,)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # (Tq, Tk) f32
+    s = s + (kv_valid - 1.0)[None, :] * (-NEG_INF)
+    if causal:
+        tq, tk = s.shape
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+        s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+# largest padded T for the single-pass path: (T, T) f32 scores + blocks must
+# fit VMEM (1024^2 f32 = 4 MB) — covers every speech-encoder shape (<= ~1000
+# frames, SURVEY.md §5 long-context note)
+_SINGLE_PASS_MAX_T = 1024
+
+
 def _pad_axis(x, multiple, axis):
     size = x.shape[axis]
     target = -(-size // multiple) * multiple
@@ -113,6 +148,27 @@ def flash_attention_masked(q, k, v, kv_mask=None, causal=False, scale=None,
     # lowering requires last-two block dims divisible by (8, 128) or equal
     # to the array dims)
     mask = kv_mask.astype(jnp.float32)[:, None, :]
+
+    if max(tq, tk) <= _SINGLE_PASS_MAX_T:
+        qt = _pad_axis(qt, 8, 1)
+        kt = _pad_axis(kt, 8, 1)
+        vt = _pad_axis(vt, 8, 1)
+        mask = _pad_axis(mask, 8, 2)  # pads with 0 = invalid
+        tq_p, tk_p = qt.shape[1], kt.shape[1]
+        out = pl.pallas_call(
+            functools.partial(_attn_single_kernel, scale=scale,
+                              causal=causal),
+            grid=(b * h,),
+            in_specs=[
+                pl.BlockSpec((1, tq_p, d), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec((1, tk_p, d), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec((1, tk_p, d), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec((1, 1, tk_p), lambda bh, h=h: (bh // h, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, tq_p, d), lambda bh: (bh, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
+        )(qt, kt, vt, mask)
+        return out[:, :tq].reshape(b, h, tq, d).transpose(0, 2, 1, 3)
 
     block_q = min(block_q, max(tq, 8))
     block_k = min(block_k, max(tk, 8))

@@ -29,9 +29,9 @@ class TranscriptionPipeline:
     def __init__(self, model, batch_size: int = 16, max_length: int = None,
                  num_beams: int = 1, buckets_sec: Sequence[float] =
                  audio_lib.DEFAULT_BUCKETS, sample_rate: int = 16000,
-                 use_flash: bool = False, early_stop: bool = True):
-        # use_flash: Pallas-kernel opt-in for long sequences — measured
-        # slower at speech-scale shapes (PERF.md), so off by default.
+                 use_flash: bool = None, early_stop: bool = True):
+        # use_flash=None: auto — the single-pass Pallas attention kernel on
+        # TPU (measured faster in situ, PERF.md); False/True to override.
         # early_stop: exit the decode loop once every row has emitted EOS
         # (output-identical to the full scan — pinned by
         # test_generate_early_stop_matches_full_scan; real speech stops at
@@ -40,6 +40,8 @@ class TranscriptionPipeline:
         self.batch_size = batch_size
         self.max_length = max_length or model.config.decoder.max_length
         self.num_beams = num_beams
+        if use_flash is None:
+            use_flash = jax.default_backend() == "tpu"
         self.use_flash = use_flash
         self.early_stop = early_stop
         self.buckets_sec = buckets_sec

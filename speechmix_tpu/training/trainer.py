@@ -397,6 +397,10 @@ class Trainer:
                     return gen_lib.generate(
                         params, self.cfg, wav, lengths,
                         max_length=max_length, num_beams=num_beams,
+                        # inference-only: the single-pass flash kernel wins
+                        # on TPU (PERF.md); training keeps XLA attention
+                        # (no custom VJP needed)
+                        use_flash=jax.default_backend() == "tpu",
                         dtype=jnp.bfloat16 if self.tc.bf16 else jnp.float32)
                 fn = jax.jit(raw)
                 fns[shape] = fn

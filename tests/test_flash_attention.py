@@ -29,6 +29,9 @@ def _reference(q, k, v, mask, causal, scale):
     dict(b=1, tq=128, tk=128, h=2, d=64, causal=False),
     dict(b=2, tq=256, tk=192, h=2, d=64, causal=False),
     dict(b=1, tq=128, tk=128, h=2, d=64, causal=True),
+    # force the tiled online-softmax path (long-T regime)
+    dict(b=2, tq=256, tk=192, h=2, d=64, causal=False, tiled=True),
+    dict(b=1, tq=128, tk=128, h=2, d=64, causal=True, tiled=True),
 ])
 def test_flash_interpret_matches_reference(case, monkeypatch):
     from speechmix_tpu.ops.pallas import flash_attention_kernel as fak
@@ -36,6 +39,8 @@ def test_flash_interpret_matches_reference(case, monkeypatch):
     orig = fak.pl.pallas_call
     monkeypatch.setattr(fak.pl, "pallas_call",
                         functools.partial(orig, interpret=True))
+    if case.get("tiled"):
+        monkeypatch.setattr(fak, "_SINGLE_PASS_MAX_T", 0)
 
     rng = np.random.RandomState(0)
     b, tq, tk, h, d = (case["b"], case["tq"], case["tk"], case["h"],
