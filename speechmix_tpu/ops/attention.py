@@ -144,12 +144,13 @@ def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
                                          use_flash)
     if decode_out is not None:
         out = decode_out
-    # fused flash path: structured masks only, no extra bias, no cache
+    # fused flash path: structured masks only, no extra bias, no cache.
+    # flash_attention_trainable carries a custom VJP (single-pass backward
+    # kernel) so this path is safe under jax.grad for training too.
     elif (use_flash and bias is None and cache is None
             and jax.default_backend() == "tpu"):
-        from .pallas.flash_attention_kernel import flash_attention_masked
-        out = flash_attention_masked(q, k, v, kv_mask=kv_mask, causal=causal,
-                                     scale=scale)
+        from .pallas.flash_attention_kernel import flash_attention_trainable
+        out = flash_attention_trainable(q, k, v, kv_mask, scale, causal)
     else:
         from .masking import combine_masks_to_bias
         total_bias = bias

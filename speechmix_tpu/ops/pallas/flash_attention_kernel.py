@@ -204,3 +204,158 @@ def flash_attention_masked(q, k, v, kv_mask=None, causal=False, scale=None,
 
     out = out[:, :tq].reshape(b, h, tq, d).transpose(0, 2, 1, 3)
     return out
+
+
+# ----------------------------------------------------------------------------
+# differentiable wrapper (training): custom VJP with a single-pass backward
+# kernel — XLA attention keeps the (B, H, T, T) probabilities alive as a
+# backward residual (22.7 G HBM for the flagship at B=16, PERF.md); here the
+# backward RECOMPUTES scores/probs in VMEM per (batch, head), so activations
+# stay O(T·D).
+# ----------------------------------------------------------------------------
+
+def _attn_ref_fwd(q, k, v, kv_mask, scale, causal):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :], logits, NEG_INF)
+    if causal:
+        tq, tk = q.shape[1], k.shape[1]
+        cm = (jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+              <= jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0))
+        logits = jnp.where(cm[None, None], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                      preferred_element_type=q.dtype)
+
+
+def _attn_ref_bwd(q, k, v, kv_mask, scale, causal, g):
+    """Recompute-based attention backward (the formulas the kernel fuses)."""
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :], logits, NEG_INF)
+    if causal:
+        tq, tk = q.shape[1], k.shape[1]
+        cm = (jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+              <= jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0))
+        logits = jnp.where(cm[None, None], logits, NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1)                       # f32
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p.astype(g.dtype), g,
+                    preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g, v,
+                    preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = ds.astype(g.dtype)
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k,
+                    preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q,
+                    preferred_element_type=jnp.float32) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale, causal):
+    q = q_ref[0]                               # (Tq, D)
+    k = k_ref[0]                               # (Tk, D)
+    v = v_ref[0]
+    g = g_ref[0]                               # (Tq, D)
+    kv_valid = mask_ref[0, 0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = s + (kv_valid - 1.0)[None, :] * (-NEG_INF)
+    if causal:
+        tq, tk = s.shape
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+        s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)                # (Tq, Tk) f32
+
+    pb = p.astype(v.dtype)
+    dv_ref[0] = jax.lax.dot_general(                          # p^T @ g
+        pb, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(                                 # g @ v^T
+        g, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dsb = ds.astype(q.dtype)
+    dq_ref[0] = (jax.lax.dot_general(
+        dsb, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+    dk_ref[0] = (jax.lax.dot_general(                         # ds^T @ q
+        dsb, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+
+
+def _single_pass_ok(tq, tk):
+    return (max(tq, tk) <= _SINGLE_PASS_MAX_T
+            and jax.default_backend() == "tpu")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_attention_trainable(q, k, v, kv_mask, scale, causal):
+    """Differentiable attention: q (B, Tq, H, D), k/v (B, Tk, H, D),
+    kv_mask (B, Tk) bool or None.  Single-pass Pallas kernels on TPU for
+    padded T <= 1024 (forward AND backward recompute in VMEM); XLA reference
+    math elsewhere."""
+    if _single_pass_ok(q.shape[1], k.shape[1]):
+        return flash_attention_masked(q, k, v, kv_mask=kv_mask,
+                                      causal=causal, scale=scale)
+    return _attn_ref_fwd(q, k, v, kv_mask, scale, causal)
+
+
+def _trainable_fwd(q, k, v, kv_mask, scale, causal):
+    return (flash_attention_trainable(q, k, v, kv_mask, scale, causal),
+            (q, k, v, kv_mask))
+
+
+def _trainable_bwd(scale, causal, res, g):
+    q, k, v, kv_mask = res
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    if not _single_pass_ok(tq, tk):
+        dq, dk, dv = _attn_ref_bwd(q, k, v, kv_mask, scale, causal, g)
+        return dq, dk, dv, None
+
+    qt = _pad_axis(q.transpose(0, 2, 1, 3).reshape(b * h, tq, d), 8, 1)
+    kt = _pad_axis(k.transpose(0, 2, 1, 3).reshape(b * h, tk, d), 8, 1)
+    vt = _pad_axis(v.transpose(0, 2, 1, 3).reshape(b * h, tk, d), 8, 1)
+    gt = _pad_axis(g.transpose(0, 2, 1, 3).reshape(b * h, tq, d), 8, 1)
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, tk), jnp.float32)
+    mask = _pad_axis(kv_mask.astype(jnp.float32)[:, None, :], 8, 2)
+    tq_p, tk_p = qt.shape[1], kt.shape[1]
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, causal=causal),
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, tq_p, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, tk_p, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, tk_p, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, tk_p), lambda bh, h=h: (bh // h, 0, 0)),
+            pl.BlockSpec((1, tq_p, d), lambda bh: (bh, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tq_p, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, tk_p, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, tk_p, d), lambda bh: (bh, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, tk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, tk_p, d), v.dtype),
+        ],
+    )(qt, kt, vt, mask, gt)
+
+    def unflat(x, t):
+        return x[:, :t].reshape(b, h, t, d).transpose(0, 2, 1, 3)
+    return unflat(dq, tq), unflat(dk, tk), unflat(dv, tk), None
+
+
+flash_attention_trainable.defvjp(_trainable_fwd, _trainable_bwd)

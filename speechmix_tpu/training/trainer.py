@@ -67,6 +67,9 @@ class TrainConfig:
     output_dir: str = "./checkpoints"
     seed: int = 0
     bf16: bool = False  # compute dtype (reference --fp16 equivalent)
+    # single-pass Pallas attention in the train step (custom-VJP backward
+    # recomputes scores in VMEM instead of storing (B, H, T, T) probs)
+    use_flash: bool = False
     model_parallel: int = 1
     sequence_parallel: int = 1  # mesh `seq` axis size (long-audio scaling)
     wandb: bool = False  # mirror metrics to wandb when installed
@@ -147,7 +150,8 @@ def make_train_step(cfg: SpeechMixConfig, tc: TrainConfig, params_example,
                 params, cfg, micro["input_values"],
                 lengths=micro.get("lengths"), labels=labels,
                 text_input_ids=micro.get("text_input_ids"),
-                prompt_ids=micro.get("prompt_ids"), dtype=dtype)
+                prompt_ids=micro.get("prompt_ids"),
+                use_flash=tc.use_flash, dtype=dtype)
         return out["loss"], out
 
     def step_fn(state: TrainState, batch, unfreeze_progress):

@@ -56,3 +56,38 @@ def test_flash_interpret_matches_reference(case, monkeypatch):
     ref = _reference(q, k, v, mask, case["causal"], 1 / math.sqrt(d))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_trainable_grad_matches_reference(causal, monkeypatch):
+    """Custom-VJP backward kernel (recompute in VMEM) == autodiff through
+    the reference math, for dq/dk/dv under a padding mask."""
+    from speechmix_tpu.ops.pallas import flash_attention_kernel as fak
+    orig = fak.pl.pallas_call
+    monkeypatch.setattr(fak.pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+    # force the kernel path on CPU
+    monkeypatch.setattr(fak, "_single_pass_ok", lambda tq, tk: True)
+
+    b, tq, tk, h, d = 2, 40, 40, 2, 32
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, tq, h, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, tk, h, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, tk, h, d).astype(np.float32))
+    mask = jnp.asarray(np.arange(tk)[None, :] < np.array([[tk], [tk - 9]]))
+    scale = 1.0 / math.sqrt(d)
+    w = jnp.asarray(rng.randn(b, tq, h, d).astype(np.float32))  # loss weights
+
+    def loss_kernel(q, k, v):
+        out = fak.flash_attention_trainable(q, k, v, mask, scale, causal)
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v):
+        out = fak._attn_ref_fwd(q, k, v, mask, scale, causal)
+        return jnp.sum(out * w)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)

@@ -85,6 +85,11 @@ def parse_args(args):
     parser.add_argument("--synthetic", action="store_true",
                         help="train on synthetic data (offline smoke runs)")
     parser.add_argument("--max_steps", default=0, type=int)
+    parser.add_argument("--flash_attention", action="store_true",
+                        help="single-pass Pallas attention in the train "
+                             "step (custom-VJP backward recomputes scores "
+                             "in VMEM — fits 2x the batch; +33%% measured "
+                             "throughput, PERF.md)")
     parser.add_argument("--stall_timeout", default=0.0, type=float,
                         help="failure detection: exit 98 if no train-loop "
                              "heartbeat for this many seconds (restart "
@@ -189,6 +194,7 @@ def main(arg=None):
         output_dir=out_dir,
         seed=input_args.seed,
         bf16=input_args.bf16 or input_args.fp16,
+        use_flash=input_args.flash_attention,
         model_parallel=input_args.model_parallel,
         sequence_parallel=input_args.sequence_parallel,
         wandb=input_args.wandb,
