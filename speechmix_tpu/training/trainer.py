@@ -138,6 +138,12 @@ def make_train_step(cfg: SpeechMixConfig, tc: TrainConfig, params_example,
         params_example, cfg, tc.fixed_speech, tc.fixed_nlp)
     seq_mesh = mesh if (mesh is not None and tc.sequence_parallel > 1) \
         else None
+    if seq_mesh is not None and tc.use_flash:
+        # XLA cannot partition a pallas custom call over the time axis; it
+        # would silently all-gather the sharded activations around every
+        # attention, defeating sequence parallelism
+        raise ValueError("sequence_parallel > 1 is incompatible with "
+                         "use_flash (Pallas attention); pick one")
 
     def loss_fn(params, micro):
         labels = micro["labels"]

@@ -202,3 +202,11 @@ def test_wandb_flag_degrades_gracefully(tmp_path):
     lg.log({"step": 1, "loss": 2.0})
     lg.close()
     assert (tmp_path / "m.jsonl").read_text().strip()
+
+
+def test_sp_flash_incompatible():
+    tc = TrainConfig(sequence_parallel=4, use_flash=True, output_dir="")
+    mesh = mesh_lib.make_mesh(n_data=2, n_model=1, n_seq=4)
+    state = trainer_lib.create_train_state(jax.random.PRNGKey(0), CFG, tc)
+    with pytest.raises(ValueError, match="sequence_parallel"):
+        trainer_lib.make_train_step(CFG, tc, state.params, mesh=mesh)
