@@ -67,6 +67,19 @@ class TranscriptionPipeline:
             self._fns[t_samples] = fn
         return fn
 
+    def warmup(self):
+        """Precompile every length bucket before serving traffic (first
+        compiles take seconds to minutes; without warmup the first request
+        of each bucket pays that latency)."""
+        for sec in self.buckets_sec:
+            cap = int(sec * self.sample_rate)
+            fn = self._fn_for(cap)
+            batch = jnp.zeros((self.batch_size, cap), jnp.float32)
+            lengths = jnp.full((self.batch_size,), cap, jnp.int32)
+            tokens, _ = fn(self.model.params, batch, lengths)
+            tokens.block_until_ready()
+        return self
+
     def __call__(self, waveforms: List[np.ndarray],
                  sample_rates: Optional[List[int]] = None) -> List[str]:
         n = len(waveforms)

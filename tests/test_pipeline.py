@@ -33,3 +33,12 @@ def test_pipeline_resamples(model):
                                  buckets_sec=(2.0,))
     texts = pipe([wav], sample_rates=[22050])
     assert len(texts) == 1
+
+
+def test_pipeline_warmup_precompiles(model):
+    from speechmix_tpu.pipeline import TranscriptionPipeline
+    pipe = TranscriptionPipeline(model, batch_size=2, max_length=8,
+                                 buckets_sec=(0.5, 1.0))
+    pipe.warmup()
+    caps = {int(s * pipe.sample_rate) for s in pipe.buckets_sec}
+    assert set(pipe._fns) == caps
