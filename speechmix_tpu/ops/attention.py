@@ -11,8 +11,9 @@ function over a param dict, with:
   * a functional KV cache carry for incremental decoding, replacing the
     reference's mutable `self.decoder_outputs` / HF `past_key_values`
     (hf_model.py:302,354-376)
-  * optional fused Pallas flash-attention path (ops/pallas/flash_attention.py)
-    selected with `use_flash=True` when shapes qualify; XLA fallback otherwise.
+  * fused Pallas attention paths (ops/pallas/flash_attention_kernel.py,
+    ops/pallas/decode_attention.py) selected with `use_flash=True` when
+    shapes qualify; XLA path otherwise (and always for extra additive bias).
 """
 
 from __future__ import annotations
@@ -57,11 +58,11 @@ def _split_heads(x, num_heads):
     return x.reshape(b, t, num_heads, inner // num_heads)
 
 
-def _attend(q, k, v, bias, scale, use_flash=False):
-    """q: (B,Tq,H,D), k/v: (B,Tk,H,D), bias: (B|1, 1|H, Tq, Tk) or None."""
-    if use_flash:
-        from .pallas.flash_attention import flash_attention_or_fallback
-        return flash_attention_or_fallback(q, k, v, bias, scale)
+def _attend(q, k, v, bias, scale):
+    """q: (B,Tq,H,D), k/v: (B,Tk,H,D), bias: (B|1, 1|H, Tq, Tk) or None.
+    XLA path — arbitrary additive bias (T5 rel-pos, cache positions); the
+    structured-mask fused kernels live in ops/pallas/flash_attention_kernel
+    and are dispatched by attention() before reaching here."""
     dtype = q.dtype
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
@@ -80,6 +81,10 @@ DECODE_KERNEL_ENABLED = False
 
 
 def set_decode_kernel(enabled: bool):
+    """Opt into the single-query decode kernel.  TRACE-TIME switch: call it
+    BEFORE the first generate()/pipeline call — jit caches (api, pipeline,
+    trainer.predict) are not keyed on it, so flipping it later has no effect
+    on already-compiled executables."""
     global DECODE_KERNEL_ENABLED
     DECODE_KERNEL_ENABLED = bool(enabled)
 
@@ -162,7 +167,7 @@ def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
                          else jnp.ones((b_sz, k.shape[1]), bool)),
                 causal=causal)
             total_bias = struct if total_bias is None else total_bias + struct
-        out = _attend(q, k, v, total_bias, scale, use_flash=False)
+        out = _attend(q, k, v, total_bias, scale)
     out = out.reshape(out.shape[0], out.shape[1], num_heads * head_dim)
     out = layers.dense(params["out_proj"], out, dtype)
     return out, new_cache

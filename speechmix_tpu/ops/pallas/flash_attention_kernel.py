@@ -297,13 +297,27 @@ def _single_pass_ok(tq, tk):
             and jax.default_backend() == "tpu")
 
 
+# the backward kernel holds several (T, T) f32 intermediates live at once
+# (p, dp, ds) — cap it tighter than the forward so VMEM allocation is safe
+_BWD_MAX_T = 1024  # validated on v5e below; lower if Mosaic VMEM-fails
+
+
+def _bwd_kernel_ok(tq, tk):
+    return (max(tq, tk) <= _BWD_MAX_T
+            and jax.default_backend() == "tpu")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def flash_attention_trainable(q, k, v, kv_mask, scale, causal):
     """Differentiable attention: q (B, Tq, H, D), k/v (B, Tk, H, D),
-    kv_mask (B, Tk) bool or None.  Single-pass Pallas kernels on TPU for
-    padded T <= 1024 (forward AND backward recompute in VMEM); XLA reference
-    math elsewhere."""
-    if _single_pass_ok(q.shape[1], k.shape[1]):
+    kv_mask (B, Tk) bool or None.
+
+    Forward on TPU always runs a Pallas kernel: single-pass for padded
+    T <= 1024, the tiled online-softmax kernel (O(T·D) memory) beyond.
+    Backward: single-pass recompute kernel for T <= _BWD_MAX_T, XLA
+    reference formulas elsewhere (long-T TRAINING materializes the score
+    matrix; long-T INFERENCE never does)."""
+    if jax.default_backend() == "tpu":
         return flash_attention_masked(q, k, v, kv_mask=kv_mask,
                                       causal=causal, scale=scale)
     return _attn_ref_fwd(q, k, v, kv_mask, scale, causal)
@@ -318,7 +332,7 @@ def _trainable_bwd(scale, causal, res, g):
     q, k, v, kv_mask = res
     b, tq, h, d = q.shape
     tk = k.shape[1]
-    if not _single_pass_ok(tq, tk):
+    if not _bwd_kernel_ok(tq, tk):
         dq, dk, dv = _attn_ref_bwd(q, k, v, kv_mask, scale, causal, g)
         return dq, dk, dv, None
 

@@ -35,7 +35,8 @@ class TranscriptionPipeline:
         # early_stop: exit the decode loop once every row has emitted EOS
         # (output-identical to the full scan — pinned by
         # test_generate_early_stop_matches_full_scan; real speech stops at
-        # 30-60 tokens, saving up to ~half the decode time)
+        # 30-60 tokens, saving up to ~half the decode time).  GREEDY ONLY:
+        # beam search (num_beams > 1) always runs the full max_length scan.
         self.model = model
         self.batch_size = batch_size
         self.max_length = max_length or model.config.decoder.max_length
@@ -70,14 +71,15 @@ class TranscriptionPipeline:
     def warmup(self):
         """Precompile every length bucket before serving traffic (first
         compiles take seconds to minutes; without warmup the first request
-        of each bucket pays that latency)."""
+        of each bucket pays that latency).  Uses AOT lower+compile — no
+        decode is executed; the first real call per bucket re-traces but
+        hits the populated XLA compilation cache."""
         for sec in self.buckets_sec:
             cap = int(sec * self.sample_rate)
             fn = self._fn_for(cap)
             batch = jnp.zeros((self.batch_size, cap), jnp.float32)
             lengths = jnp.full((self.batch_size,), cap, jnp.int32)
-            tokens, _ = fn(self.model.params, batch, lengths)
-            tokens.block_until_ready()
+            fn.lower(self.model.params, batch, lengths).compile()
         return self
 
     def __call__(self, waveforms: List[np.ndarray],
