@@ -164,3 +164,26 @@ def test_custom_csv_seeded_single_split(tmp_path):
     te_texts = {e["text"] for e in te1}
     assert not (tr_texts & te_texts)
     assert len(tr_texts) + len(te_texts) == 10
+
+
+def test_bucket_length_edges():
+    """Bucket grid boundary conditions (audio_lib.bucket_length)."""
+    from speechmix_tpu.data.audio import bucket_length
+    buckets = (1.0, 2.0)
+    assert bucket_length(1, buckets, 16000) == 16000       # tiny -> smallest
+    assert bucket_length(16000, buckets, 16000) == 16000   # exact boundary
+    assert bucket_length(16001, buckets, 16000) == 32000   # just over
+    assert bucket_length(32001, buckets, 16000) is None    # over the grid
+
+
+def test_pipeline_single_short_sample():
+    """One sub-second waveform through the full serving pipeline (padding,
+    filler-replication, decode) — the smallest possible request."""
+    import speechmix_tpu
+    from speechmix_tpu.pipeline import TranscriptionPipeline
+    spm = speechmix_tpu.SpeechMixEED("tiny-speech", "tiny-bart-bytes",
+                                     down_scale=4)
+    pipe = TranscriptionPipeline(spm, batch_size=4, max_length=6,
+                                 buckets_sec=(0.5, 1.0))
+    out = pipe([np.zeros(1600, np.float32)])
+    assert len(out) == 1 and isinstance(out[0], str)
