@@ -116,7 +116,15 @@ def load_speech_encoder(path: str, cfg: SpeechEncoderConfig,
                         num_layers: Optional[int] = None):
     """Convert a wav2vec2-family checkpoint; `num_layers` truncates to the
     bottom N transformer layers (share_layer_ratio semantics)."""
-    sd = _strip_prefix(load_state_dict(path))
+    return speech_encoder_from_state_dict(
+        _strip_prefix(load_state_dict(path)), cfg, num_layers)
+
+
+def speech_encoder_from_state_dict(sd, cfg: SpeechEncoderConfig,
+                                   num_layers: Optional[int] = None):
+    """Convert an already-loaded (prefix-stripped) wav2vec2-family state
+    dict.  Split out of load_speech_encoder so the fused-model converter
+    (load_speechmix) can reuse it on a sub-dict."""
     n_layers = num_layers if num_layers is not None else cfg.num_layers
 
     conv_layers = []
@@ -217,7 +225,11 @@ def _t5_block(sd, b, is_decoder, gated):
 
 
 def load_seq2seq(path: str, cfg: Seq2SeqConfig):
-    sd = _strip_prefix(load_state_dict(path))
+    return seq2seq_from_state_dict(_strip_prefix(load_state_dict(path)), cfg)
+
+
+def seq2seq_from_state_dict(sd, cfg: Seq2SeqConfig):
+    """Convert an already-loaded (prefix-stripped) BART/T5 state dict."""
     params = {"shared": {"embedding": jnp.asarray(sd["shared.weight"])}}
     if cfg.arch == "bart":
         enc = {
@@ -261,4 +273,59 @@ def load_seq2seq(path: str, cfg: Seq2SeqConfig):
     params["decoder"] = dec
     if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
         params["lm_head"] = {"kernel": jnp.asarray(sd["lm_head.weight"].T)}
+    return params
+
+
+# ----------------------------------------------------------------------------
+# fused SpeechMix model
+# ----------------------------------------------------------------------------
+
+def load_speechmix(sd_or_path, cfg):
+    """Convert a FULL reference HFSpeechMixEED-family state dict
+    (reference: speechmix/hf_model.py:185-447) into this framework's fused
+    param pytree.
+
+    Accepts a path (file/dir) or an in-memory state dict (torch tensors or
+    numpy arrays).  Maps:
+      encoder_model.*        -> params["speech_encoder"]
+      decoder_model.*        -> params["nlp"]
+      length_adapters.{i}.*  -> params["length_adapter"][i]
+      enc_to_dec_proj.*      -> params["enc_to_dec_proj"]
+      weights_sum            -> params["weights_sum"]
+    (nlp_emb.weight is the tied input embedding, already covered by
+    decoder_model shared weights; discriminator/adapter keys are converted
+    when the variant config asks for them.)
+
+    `cfg` is a speechmix_tpu.config.SpeechMixConfig; the speech encoder
+    sub-dict is converted at cfg.num_speech_encoder_layers depth (the
+    reference physically removes truncated layers before saving,
+    hf_model.py:235-240, so the state dict holds exactly that many).
+    """
+    if isinstance(sd_or_path, dict):
+        sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach")
+                  else np.asarray(v))
+              for k, v in sd_or_path.items()}
+    else:
+        sd = load_state_dict(sd_or_path)
+
+    def sub(prefix):
+        n = len(prefix)
+        return _strip_prefix({k[n:]: v for k, v in sd.items()
+                              if k.startswith(prefix)})
+
+    params = {
+        "speech_encoder": speech_encoder_from_state_dict(
+            sub("encoder_model."), cfg.encoder,
+            cfg.num_speech_encoder_layers),
+        "nlp": seq2seq_from_state_dict(sub("decoder_model."), cfg.decoder),
+        "enc_to_dec_proj": _lin(sd, "enc_to_dec_proj"),
+        "length_adapter": [_conv(sd, f"length_adapters.{i}")
+                           for i in range(cfg.downloop)],
+    }
+    if cfg.weighted_sum:
+        params["weights_sum"] = (
+            jnp.asarray(sd["weights_sum"]) if "weights_sum" in sd
+            else jnp.zeros((cfg.num_weighted_sum,), jnp.float32))
+    if cfg.variant == "gan" and "discriminator.weight" in sd:
+        params["discriminator"] = _lin(sd, "discriminator")
     return params
