@@ -49,13 +49,19 @@ class SpeechEncoderConfig:
     # positional conv embedding
     pos_conv_kernel: int = 128
     pos_conv_groups: int = 16
-    dropout: float = 0.1
+    # training-time dropout at the HF placements (wav2vec2-base checkpoint
+    # defaults; applied only when a dropout_rng is threaded into the forward)
+    dropout: float = 0.1             # hidden_dropout: post-attn/post-FFN/embed
+    attention_dropout: float = 0.1   # on attention probabilities
+    activation_dropout: float = 0.1  # inside the FFN, after the activation
+    feat_proj_dropout: float = 0.1   # after the feature projection
     # rematerialize transformer layers in the backward pass (jax.checkpoint):
     # trades ~30% extra FLOPs for O(layers) less activation HBM
     remat: bool = False
-    # conv extractor lowering: "auto" picks patch-matmul on TPU (see
-    # ops/layers.py conv1d impl="patches" and PERF.md), lax.conv elsewhere
-    extractor_impl: str = "auto"  # "auto" | "conv" | "patches"
+    # conv extractor lowering: "auto" resolves to "conv" (XLA lax.conv — the
+    # measured optimum on TPU; patch-matmul was 3.6x slower and reverted,
+    # see PERF.md and speech_encoder.extract_features)
+    extractor_impl: str = "auto"  # "auto" | "conv" | "patches" | "pairs"
 
     @property
     def feature_dim(self) -> int:
@@ -91,7 +97,12 @@ class Seq2SeqConfig:
     activation: str = "gelu"  # bart: gelu; t5 v1.0: relu; t5 v1.1: gated-gelu
     max_positions: int = 1024  # bart learned position table size (pre-offset)
     layer_norm_eps: float = 1e-5
+    # training-time dropout (facebook/bart-base checkpoint sets all three to
+    # 0.1; T5 uses one dropout_rate for every site).  Applied only when a
+    # dropout_rng is threaded into the forward.
     dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
     scale_embedding: bool = False
     tie_word_embeddings: bool = True
     # token ids

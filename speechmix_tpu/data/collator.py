@@ -76,15 +76,40 @@ class BucketBatcher:
     batch_size must be divisible by (grad_accum * data_parallel) upstream;
     partial final batches are filled by repeating examples, with
     `example_mask` identifying real rows.
+
+    shuffle_seed: when set, every call (= every epoch) shuffles the example
+    order with RandomState(shuffle_seed + epoch) — the functional equivalent
+    of the reference's per-epoch HF Trainer sampler (train.py:315-330).  The
+    epoch counter increments per __call__; same seed -> reproducible run,
+    different epochs -> different batch composition and order, identical
+    example multiset.
+
+    group_by_length: True (reference train.py:306 sets it in
+    TrainingArguments) pads each example to its LENGTH BUCKET (the bucketed
+    static-shape design); False disables length grouping — every example pads
+    to the single largest bucket, exactly what HF does without a length-
+    grouped sampler (more pad compute, one compile).
     """
 
     def __init__(self, cfg: CollatorConfig, batch_size: int,
-                 drop_too_long: bool = True):
+                 drop_too_long: bool = True,
+                 shuffle_seed: Optional[int] = None,
+                 group_by_length: bool = True):
         self.cfg = cfg
         self.batch_size = batch_size
         self.drop_too_long = drop_too_long
+        self.shuffle_seed = shuffle_seed
+        self.group_by_length = group_by_length
+        self.epoch = 0
 
     def __call__(self, examples: Iterable[dict]) -> Iterator[dict]:
+        if self.shuffle_seed is not None:
+            examples = list(examples)
+            order = np.random.RandomState(
+                self.shuffle_seed + self.epoch).permutation(len(examples))
+            examples = [examples[i] for i in order]
+            self.epoch += 1
+        max_cap = int(self.cfg.buckets_sec[-1] * self.cfg.sample_rate)
         pools: Dict[int, List[dict]] = defaultdict(list)
         for ex in examples:
             n = len(ex["input_values"])
@@ -93,7 +118,9 @@ class BucketBatcher:
             if cap is None:
                 if self.drop_too_long:
                     continue
-                cap = int(self.cfg.buckets_sec[-1] * self.cfg.sample_rate)
+                cap = max_cap
+            if not self.group_by_length:
+                cap = max_cap
             pools[cap].append(ex)
             if len(pools[cap]) == self.batch_size:
                 batch = collate(pools[cap], self.cfg, cap)

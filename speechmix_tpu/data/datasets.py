@@ -150,13 +150,16 @@ def load_examples(path: str) -> List[dict]:
 # top-level builders
 # ----------------------------------------------------------------------------
 
-def _batch_iter_factory(examples: List[dict], model, batch_size: int):
+def _batch_iter_factory(examples: List[dict], model, batch_size: int,
+                        shuffle_seed: Optional[int] = None,
+                        group_by_length: bool = True):
     ccfg = CollatorConfig(
         pad_token_id=model.config.decoder.pad_token_id,
         bos_token_id=model.tokenizer.bos_token_id,
         max_label_length=model.config.decoder.max_length,
         max_text_length=model.config.decoder.max_length)
-    batcher = BucketBatcher(ccfg, batch_size)
+    batcher = BucketBatcher(ccfg, batch_size, shuffle_seed=shuffle_seed,
+                            group_by_length=group_by_length)
 
     def factory():
         return batcher(examples)
@@ -206,8 +209,20 @@ def build_datasets(input_args, model) -> Tuple[Callable, Callable]:
 
     train_ex = prep(train_raw, input_args.train_split or "train")
     eval_ex = prep(eval_raw, input_args.test_split or "eval")
-    return (_batch_iter_factory(train_ex, model, batch_size),
-            _batch_iter_factory(eval_ex, model, batch_size))
+    if getattr(input_args, "multihost", False):
+        # per-host dataset sharding (SURVEY.md §2.4): each host feeds only
+        # its round-robin shard; mesh.shard_batch assembles the global batch
+        from ..parallel.mesh import shard_examples_per_host
+        train_ex = shard_examples_per_host(train_ex)
+        eval_ex = shard_examples_per_host(eval_ex)
+    gbl = bool(getattr(input_args, "group_by_length", True))
+    # train: per-epoch seeded shuffle (reference Trainer sampler semantics);
+    # eval: deterministic order
+    return (_batch_iter_factory(train_ex, model, batch_size,
+                                shuffle_seed=int(input_args.seed),
+                                group_by_length=gbl),
+            _batch_iter_factory(eval_ex, model, batch_size,
+                                group_by_length=gbl))
 
 
 def _load_custom_csv(path: str, seed: int = 0, test_size: float = 0.1):

@@ -170,7 +170,7 @@ def _norm(cfg, p, x):
     return layers.rms_norm(p, x, cfg.layer_norm_eps)
 
 
-def _ffn(block, cfg, x, dtype):
+def _ffn(block, cfg, x, dtype, act_rng=None):
     if cfg.activation == "gelu_gated":
         g = jax.nn.gelu(layers.dense(block["fc_gate"], x, dtype),
                         approximate=True)
@@ -178,6 +178,7 @@ def _ffn(block, cfg, x, dtype):
     else:
         h = layers.activation(cfg.activation)(
             layers.dense(block["fc1"], x, dtype))
+    h = layers.dropout(h, cfg.activation_dropout, act_rng)
     return layers.dense(block["fc2"], h, dtype)
 
 
@@ -186,22 +187,34 @@ def _attn_scale(cfg):
     return 1.0 if cfg.arch == "t5" else None
 
 
-def _encoder_block(block, cfg, x, bias, kv_mask, use_flash, dtype):
+def _encoder_block(block, cfg, x, bias, kv_mask, use_flash, dtype,
+                   dropout_rng=None):
     scale = _attn_scale(cfg)
+    # HF placements: attention probs, post-attention output, post-activation
+    # (inside _ffn), post-FFN output
+    k_attn, k_h1, k_act, k_h2 = layers.split_or_none(dropout_rng, 4)
     if cfg.arch == "bart":  # post-LN
         a, _ = attention(block["self_attn"], x, bias=bias, kv_mask=kv_mask,
                          num_heads=cfg.num_heads, head_dim=cfg.per_head_dim,
-                         scale=scale, use_flash=use_flash, dtype=dtype)
+                         scale=scale, use_flash=use_flash, dtype=dtype,
+                         dropout_rate=cfg.attention_dropout,
+                         dropout_rng=k_attn)
+        a = layers.dropout(a, cfg.dropout, k_h1)
         x = _norm(cfg, block["self_attn_layer_norm"], x + a)
-        x = _norm(cfg, block["final_layer_norm"], x + _ffn(block, cfg, x, dtype))
+        f = layers.dropout(_ffn(block, cfg, x, dtype, k_act), cfg.dropout,
+                           k_h2)
+        x = _norm(cfg, block["final_layer_norm"], x + f)
     else:  # t5 pre-LN
         h = _norm(cfg, block["self_attn_layer_norm"], x)
         a, _ = attention(block["self_attn"], h, bias=bias, kv_mask=kv_mask,
                          num_heads=cfg.num_heads, head_dim=cfg.per_head_dim,
-                         scale=scale, use_flash=use_flash, dtype=dtype)
-        x = x + a
+                         scale=scale, use_flash=use_flash, dtype=dtype,
+                         dropout_rate=cfg.attention_dropout,
+                         dropout_rng=k_attn)
+        x = x + layers.dropout(a, cfg.dropout, k_h1)
         h = _norm(cfg, block["final_layer_norm"], x)
-        x = x + _ffn(block, cfg, h, dtype)
+        x = x + layers.dropout(_ffn(block, cfg, h, dtype, k_act),
+                               cfg.dropout, k_h2)
     return x
 
 
@@ -214,24 +227,34 @@ class DecoderCache(NamedTuple):
 
 def _decoder_block(block, cfg, x, self_bias, cross_bias, enc_hidden,
                    self_cache, cross_kv, use_flash, dtype,
-                   self_kv_mask=None, self_causal=False, cross_kv_mask=None):
+                   self_kv_mask=None, self_causal=False, cross_kv_mask=None,
+                   dropout_rng=None):
     """One decoder block.  self_cache: Optional[KVCache] (single layer).
     cross_kv: Optional[(k, v)] precomputed cross K/V."""
     scale = _attn_scale(cfg)
     new_cache = None
+    k_sattn, k_h1, k_cattn, k_h2, k_act, k_h3 = layers.split_or_none(
+        dropout_rng, 6)
     if cfg.arch == "bart":
         a, new_cache = attention(block["self_attn"], x, bias=self_bias,
                                  kv_mask=self_kv_mask, causal=self_causal,
                                  num_heads=cfg.num_heads,
                                  head_dim=cfg.per_head_dim, scale=scale,
                                  cache=self_cache, use_flash=use_flash,
-                                 dtype=dtype)
+                                 dtype=dtype,
+                                 dropout_rate=cfg.attention_dropout,
+                                 dropout_rng=k_sattn)
+        a = layers.dropout(a, cfg.dropout, k_h1)
         x = _norm(cfg, block["self_attn_layer_norm"], x + a)
         a = _cross_attention(block["encoder_attn"], cfg, x, enc_hidden,
                              cross_bias, cross_kv, scale, dtype,
-                             kv_mask=cross_kv_mask, use_flash=use_flash)
+                             kv_mask=cross_kv_mask, use_flash=use_flash,
+                             dropout_rng=k_cattn)
+        a = layers.dropout(a, cfg.dropout, k_h2)
         x = _norm(cfg, block["encoder_attn_layer_norm"], x + a)
-        x = _norm(cfg, block["final_layer_norm"], x + _ffn(block, cfg, x, dtype))
+        f = layers.dropout(_ffn(block, cfg, x, dtype, k_act), cfg.dropout,
+                           k_h3)
+        x = _norm(cfg, block["final_layer_norm"], x + f)
     else:
         h = _norm(cfg, block["self_attn_layer_norm"], x)
         a, new_cache = attention(block["self_attn"], h, bias=self_bias,
@@ -239,28 +262,37 @@ def _decoder_block(block, cfg, x, self_bias, cross_bias, enc_hidden,
                                  num_heads=cfg.num_heads,
                                  head_dim=cfg.per_head_dim, scale=scale,
                                  cache=self_cache, use_flash=use_flash,
-                                 dtype=dtype)
-        x = x + a
+                                 dtype=dtype,
+                                 dropout_rate=cfg.attention_dropout,
+                                 dropout_rng=k_sattn)
+        x = x + layers.dropout(a, cfg.dropout, k_h1)
         h = _norm(cfg, block["encoder_attn_layer_norm"], x)
         a = _cross_attention(block["encoder_attn"], cfg, h, enc_hidden,
                              cross_bias, cross_kv, scale, dtype,
-                             kv_mask=cross_kv_mask, use_flash=use_flash)
-        x = x + a
+                             kv_mask=cross_kv_mask, use_flash=use_flash,
+                             dropout_rng=k_cattn)
+        x = x + layers.dropout(a, cfg.dropout, k_h2)
         h = _norm(cfg, block["final_layer_norm"], x)
-        x = x + _ffn(block, cfg, h, dtype)
+        x = x + layers.dropout(_ffn(block, cfg, h, dtype, k_act),
+                               cfg.dropout, k_h3)
     return x, new_cache
 
 
 def _cross_attention(attn_params, cfg, x_q, enc_hidden, bias, cross_kv,
-                     scale, dtype, kv_mask=None, use_flash=False):
+                     scale, dtype, kv_mask=None, use_flash=False,
+                     dropout_rng=None):
     """Cross-attention; uses precomputed K/V when given (decode hot path —
     the reference recomputes these every step through HF, SURVEY.md §3.3).
     With use_flash + q_len==1 + a structured kv_mask, runs the fused Pallas
-    decode-attention kernel (ops/pallas/decode_attention.py)."""
+    decode-attention kernel (ops/pallas/decode_attention.py).
+    dropout_rng applies attention-prob dropout on the training (cross_kv is
+    None) path only; the precomputed-K/V path is inference-only."""
     if cross_kv is None:
         out, _ = attention(attn_params, x_q, x_kv=enc_hidden, bias=bias,
                            num_heads=cfg.num_heads, head_dim=cfg.per_head_dim,
-                           scale=scale, dtype=dtype)
+                           scale=scale, dtype=dtype,
+                           dropout_rate=cfg.attention_dropout,
+                           dropout_rng=dropout_rng)
         return out
     import math as _math
     k, v = cross_kv
@@ -333,10 +365,11 @@ def embed_tokens(params, cfg: Seq2SeqConfig, input_ids, dtype=jnp.float32):
 
 def encode(params, cfg: Seq2SeqConfig, input_ids=None, inputs_embeds=None,
            attention_mask=None, output_hidden_states=False, use_flash=False,
-           adapters=None, dtype=jnp.float32):
+           adapters=None, dtype=jnp.float32, dropout_rng=None):
     """Text encoder.  Accepts token ids OR precomputed embeddings — the
     SpeechMix fusion feeds speech-derived `inputs_embeds` here
-    (model.py:132-137).  Returns dict(last_hidden_state, mask[, hidden_states])."""
+    (model.py:132-137).  Returns dict(last_hidden_state, mask[, hidden_states]).
+    dropout_rng enables training-mode dropout at the HF placements."""
     enc = params["encoder"]
     if inputs_embeds is None:
         inputs_embeds = embed_tokens(params, cfg, input_ids, dtype)
@@ -344,12 +377,14 @@ def encode(params, cfg: Seq2SeqConfig, input_ids=None, inputs_embeds=None,
     if attention_mask is None:
         attention_mask = jnp.ones((b, t), bool)
 
+    k_emb, k_layers, k_final = layers.split_or_none(dropout_rng, 3)
     x = inputs_embeds
     if cfg.arch == "bart":
         pos = layers.embed(enc["embed_positions"], jnp.arange(t) + 2, dtype)
         x = x + pos[None]
         x = layers.layer_norm(enc["layernorm_embedding"], x,
                               cfg.layer_norm_eps)
+    x = layers.dropout(x, cfg.dropout, k_emb)
     bias = None
     if cfg.arch == "t5":
         bias = t5_position_bias(enc["rel_bias"], t, t, True, cfg,
@@ -360,25 +395,28 @@ def encode(params, cfg: Seq2SeqConfig, input_ids=None, inputs_embeds=None,
         enc_block = jax.checkpoint(_encoder_block,
                                    static_argnums=(1, 5, 6))
 
+    n_layers = jax.tree_util.tree_leaves(enc["layers"])[0].shape[0]
+    xs = [enc["layers"]]
     if adapters is not None:
-        def scan_body(h, xs):
-            block, adapter = xs
-            y = enc_block(block, cfg, h, bias, attention_mask,
-                          use_flash, dtype)
+        xs.append(adapters["encoder"])
+    if k_layers is not None:
+        xs.append(jax.random.split(k_layers, n_layers))
+
+    def scan_body(h, scan_xs):
+        block = scan_xs[0]
+        adapter = scan_xs[1] if adapters is not None else None
+        rng = scan_xs[-1] if k_layers is not None else None
+        y = enc_block(block, cfg, h, bias, attention_mask,
+                      use_flash, dtype, rng)
+        if adapter is not None:
             y = apply_adapter(adapter, y, dtype)
-            y = mesh_lib.constrain_time_sharded(y)
-            return y, (y if output_hidden_states else 0)
-        x, per_layer = jax.lax.scan(scan_body, x,
-                                    (enc["layers"], adapters["encoder"]))
-    else:
-        def scan_body(h, block):
-            y = enc_block(block, cfg, h, bias, attention_mask,
-                          use_flash, dtype)
-            y = mesh_lib.constrain_time_sharded(y)
-            return y, (y if output_hidden_states else 0)
-        x, per_layer = jax.lax.scan(scan_body, x, enc["layers"])
+        y = mesh_lib.constrain_time_sharded(y)
+        return y, (y if output_hidden_states else 0)
+
+    x, per_layer = jax.lax.scan(scan_body, x, tuple(xs))
     if cfg.arch == "t5":
         x = layers.rms_norm(enc["final_layer_norm"], x, cfg.layer_norm_eps)
+        x = layers.dropout(x, cfg.dropout, k_final)
 
     out = {"last_hidden_state": x, "mask": attention_mask}
     if output_hidden_states:
@@ -427,17 +465,22 @@ def init_decoder_cache(params, cfg: Seq2SeqConfig, enc_hidden, batch,
 def decode(params, cfg: Seq2SeqConfig, decoder_input_ids, enc_hidden=None,
            encoder_mask=None, decoder_mask=None, cache: Optional[DecoderCache]
            = None, output_hidden_states=False, use_flash=False, adapters=None,
-           dtype=jnp.float32):
+           dtype=jnp.float32, dropout_rng=None):
     """Decoder forward.
 
     Without cache: full teacher-forcing pass (causal bias over q_len).
     With cache: incremental decoding — decoder_input_ids is the next chunk
     (usually length 1); positions continue at cache.self_kv.index.
+    dropout_rng: training-mode dropout; supported on the uncached
+    (teacher-forcing) path only — cached decoding is inference.
     Returns dict(logits[, hidden_states], cache=new_cache_or_None).
     """
     dec = params["decoder"]
     b, q_len = decoder_input_ids.shape
     offset = cache.self_kv.index if cache is not None else 0
+    if cache is not None:
+        dropout_rng = None
+    k_emb, k_layers, k_final = layers.split_or_none(dropout_rng, 3)
 
     x = embed_tokens(params, cfg, decoder_input_ids, dtype)
     if cfg.arch == "bart":
@@ -446,6 +489,7 @@ def decode(params, cfg: Seq2SeqConfig, decoder_input_ids, enc_hidden=None,
         x = x + pos[None]
         x = layers.layer_norm(dec["layernorm_embedding"], x,
                               cfg.layer_norm_eps)
+    x = layers.dropout(x, cfg.dropout, k_emb)
     inputs_embeds = x
 
     # self-attention masking: cached path uses an explicit bias over the
@@ -514,31 +558,40 @@ def decode(params, cfg: Seq2SeqConfig, decoder_input_ids, enc_hidden=None,
             cross_k=cache.cross_k, cross_v=cache.cross_v)
     else:
         def block_fn(block, h, self_bias, cross_bias, enc_hidden,
-                     self_kv_mask):
+                     self_kv_mask, rng):
             y, _ = _decoder_block(block, cfg, h, self_bias, cross_bias,
                                   enc_hidden, None, None, use_flash, dtype,
                                   self_kv_mask=self_kv_mask,
-                                  self_causal=self_causal)
+                                  self_causal=self_causal,
+                                  dropout_rng=rng)
             return y
 
         if cfg.remat:
             block_fn = jax.checkpoint(block_fn)
 
-        def scan_body(h, xs):
-            block, adapter = xs if dec_adapters is not None else (xs, None)
+        n_layers = jax.tree_util.tree_leaves(dec["layers"])[0].shape[0]
+        xs = [dec["layers"]]
+        if dec_adapters is not None:
+            xs.append(dec_adapters)
+        if k_layers is not None:
+            xs.append(jax.random.split(k_layers, n_layers))
+
+        def scan_body(h, scan_xs):
+            block = scan_xs[0]
+            adapter = scan_xs[1] if dec_adapters is not None else None
+            rng = scan_xs[-1] if k_layers is not None else None
             y = block_fn(block, h, self_bias, cross_bias, enc_hidden,
-                         self_kv_mask)
+                         self_kv_mask, rng)
             if adapter is not None:
                 y = apply_adapter(adapter, y, dtype)
             return y, (y if output_hidden_states else 0)
 
-        scan_xs = ((dec["layers"], dec_adapters)
-                   if dec_adapters is not None else dec["layers"])
-        x, per_layer = jax.lax.scan(scan_body, x, scan_xs)
+        x, per_layer = jax.lax.scan(scan_body, x, tuple(xs))
         new_cache = None
 
     if cfg.arch == "t5":
         x = layers.rms_norm(dec["final_layer_norm"], x, cfg.layer_norm_eps)
+        x = layers.dropout(x, cfg.dropout, k_final)
 
     # LM head
     if cfg.tie_word_embeddings:
@@ -561,13 +614,15 @@ def seq2seq_apply(params, cfg: Seq2SeqConfig, input_ids=None,
                   inputs_embeds=None, attention_mask=None,
                   decoder_input_ids=None, decoder_mask=None, labels=None,
                   encoder_outputs=None, output_hidden_states=False,
-                  use_flash=False, adapters=None, dtype=jnp.float32):
+                  use_flash=False, adapters=None, dtype=jnp.float32,
+                  dropout_rng=None):
     """Full training/eval forward, mirroring the HF seq2seq forward the
     reference calls in cal_loss (model.py:132-137).
 
     Returns dict(loss?, logits, encoder_last_hidden_state,
     encoder_hidden_states?, decoder_hidden_states?).
     """
+    k_enc, k_dec = layers.split_or_none(dropout_rng, 2)
     if decoder_input_ids is None and labels is not None:
         decoder_input_ids = shift_tokens_right(
             labels, cfg.pad_token_id, cfg.decoder_start_token_id)
@@ -576,13 +631,13 @@ def seq2seq_apply(params, cfg: Seq2SeqConfig, input_ids=None,
             params, cfg, input_ids=input_ids, inputs_embeds=inputs_embeds,
             attention_mask=attention_mask,
             output_hidden_states=output_hidden_states, use_flash=use_flash,
-            adapters=adapters, dtype=dtype)
+            adapters=adapters, dtype=dtype, dropout_rng=k_enc)
     dec_out = decode(
         params, cfg, decoder_input_ids,
         enc_hidden=encoder_outputs["last_hidden_state"],
         encoder_mask=encoder_outputs["mask"], decoder_mask=decoder_mask,
         output_hidden_states=output_hidden_states, use_flash=use_flash,
-        adapters=adapters, dtype=dtype)
+        adapters=adapters, dtype=dtype, dropout_rng=k_dec)
     out = {
         "logits": dec_out["logits"],
         "encoder_last_hidden_state": encoder_outputs["last_hidden_state"],

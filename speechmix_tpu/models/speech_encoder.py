@@ -191,43 +191,56 @@ def _pairs_slack_pad(t_samples, kernels, strides):
     raise ValueError("no pairs-compatible pad found")  # pragma: no cover
 
 
-def _encoder_layer(layer_params, x, kv_mask, cfg, use_flash, dtype):
+def _encoder_layer(layer_params, x, kv_mask, cfg, use_flash, dtype,
+                   dropout_rng=None):
+    # dropout placements mirror HF Wav2Vec2EncoderLayer: attention probs
+    # (attention_dropout), post-attention output (dropout), post-activation
+    # (activation_dropout), post-FFN output (dropout)
+    k_attn, k_h1, k_act, k_h2 = layers.split_or_none(dropout_rng, 4)
+
+    def ffn(h):
+        h = layers.dense(layer_params["ffn_in"], h, dtype)
+        h = layers.activation(cfg.activation)(h)
+        h = layers.dropout(h, cfg.activation_dropout, k_act)
+        h = layers.dense(layer_params["ffn_out"], h, dtype)
+        return layers.dropout(h, cfg.dropout, k_h2)
+
     if cfg.do_stable_layer_norm:
         # pre-LN (wav2vec2-large)
         h = layers.layer_norm(layer_params["attention_layer_norm"], x,
                               cfg.layer_norm_eps)
         attn, _ = attention(layer_params["attention"], h, kv_mask=kv_mask,
                             num_heads=cfg.num_heads, use_flash=use_flash,
-                            dtype=dtype)
-        x = x + attn
+                            dtype=dtype, dropout_rate=cfg.attention_dropout,
+                            dropout_rng=k_attn)
+        x = x + layers.dropout(attn, cfg.dropout, k_h1)
         h = layers.layer_norm(layer_params["final_layer_norm"], x,
                               cfg.layer_norm_eps)
-        h = layers.dense(layer_params["ffn_in"], h, dtype)
-        h = layers.activation(cfg.activation)(h)
-        h = layers.dense(layer_params["ffn_out"], h, dtype)
-        x = x + h
+        x = x + ffn(h)
     else:
         # post-LN (wav2vec2-base)
         attn, _ = attention(layer_params["attention"], x, kv_mask=kv_mask,
                             num_heads=cfg.num_heads, use_flash=use_flash,
-                            dtype=dtype)
+                            dtype=dtype, dropout_rate=cfg.attention_dropout,
+                            dropout_rng=k_attn)
+        attn = layers.dropout(attn, cfg.dropout, k_h1)
         x = layers.layer_norm(layer_params["attention_layer_norm"], x + attn,
                               cfg.layer_norm_eps)
-        h = layers.dense(layer_params["ffn_in"], x, dtype)
-        h = layers.activation(cfg.activation)(h)
-        h = layers.dense(layer_params["ffn_out"], h, dtype)
-        x = layers.layer_norm(layer_params["final_layer_norm"], x + h,
+        x = layers.layer_norm(layer_params["final_layer_norm"], x + ffn(x),
                               cfg.layer_norm_eps)
     return x
 
 
 def speech_encoder_apply(params, cfg: SpeechEncoderConfig, waveform,
                          lengths=None, output_hidden_states=False,
-                         use_flash=False, dtype=jnp.float32):
+                         use_flash=False, dtype=jnp.float32,
+                         dropout_rng=None):
     """Run the speech encoder.
 
     waveform: (B, T_samples) float (zero-padded).
     lengths: (B,) int sample counts; None means full length.
+    dropout_rng: training-mode dropout key (HF placements: feature-projection,
+      post-positional-embedding, and per-layer sites); None = deterministic.
     Returns dict with:
       last_hidden_state: (B, T_frames, H)
       hidden_states: (L+1, B, T_frames, H) if requested (embedding output
@@ -249,10 +262,13 @@ def speech_encoder_apply(params, cfg: SpeechEncoderConfig, waveform,
     feats = mesh_lib.constrain_time_sharded(feats)
     frame_mask = mesh_lib.constrain_time_sharded(frame_mask)
 
+    k_proj, k_pos, k_layers = layers.split_or_none(dropout_rng, 3)
+
     # feature projection
     fp = params["feature_projection"]
     h = layers.layer_norm(fp["layer_norm"], feats, cfg.layer_norm_eps)
     h = layers.dense(fp["projection"], h, dtype)
+    h = layers.dropout(h, cfg.feat_proj_dropout, k_proj)
 
     # zero out padded frames before the pos-conv so padding can't leak in
     h = h * frame_mask[..., None].astype(h.dtype)
@@ -265,6 +281,7 @@ def speech_encoder_apply(params, cfg: SpeechEncoderConfig, waveform,
     if not cfg.do_stable_layer_norm:
         h = layers.layer_norm(params["encoder_layer_norm"], h,
                               cfg.layer_norm_eps)
+    h = layers.dropout(h, cfg.dropout, k_pos)
 
     embed_output = h
 
@@ -273,12 +290,26 @@ def speech_encoder_apply(params, cfg: SpeechEncoderConfig, waveform,
         layer_fn = jax.checkpoint(_encoder_layer,
                                   static_argnums=(3, 4, 5))
 
-    def scan_body(x, layer_params):
-        y = layer_fn(layer_params, x, frame_mask, cfg, use_flash, dtype)
-        y = mesh_lib.constrain_time_sharded(y)
-        return y, (y if output_hidden_states else 0)
+    n_layers = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
+    if k_layers is not None:
+        layer_rngs = jax.random.split(k_layers, n_layers)
 
-    h, per_layer = jax.lax.scan(scan_body, h, params["layers"])
+        def scan_body(x, xs):
+            layer_params, rng = xs
+            y = layer_fn(layer_params, x, frame_mask, cfg, use_flash, dtype,
+                         rng)
+            y = mesh_lib.constrain_time_sharded(y)
+            return y, (y if output_hidden_states else 0)
+
+        h, per_layer = jax.lax.scan(scan_body, h,
+                                    (params["layers"], layer_rngs))
+    else:
+        def scan_body(x, layer_params):
+            y = layer_fn(layer_params, x, frame_mask, cfg, use_flash, dtype)
+            y = mesh_lib.constrain_time_sharded(y)
+            return y, (y if output_hidden_states else 0)
+
+        h, per_layer = jax.lax.scan(scan_body, h, params["layers"])
 
     if cfg.do_stable_layer_norm:
         h = layers.layer_norm(params["encoder_layer_norm"], h,

@@ -82,7 +82,7 @@ def init_speechmix(key, cfg: SpeechMixConfig):
 
 def encode_speech(params, cfg: SpeechMixConfig, input_values, lengths=None,
                   prompt_ids=None, return_model_detail=False, use_flash=False,
-                  dtype=jnp.float32):
+                  dtype=jnp.float32, dropout_rng=None):
     """Waveform -> fused inputs_embeds for the NLP text encoder.
 
     input_values: (B, T_samples) zero-padded waveform
@@ -96,7 +96,7 @@ def encode_speech(params, cfg: SpeechMixConfig, input_values, lengths=None,
     enc_out = se.speech_encoder_apply(
         params["speech_encoder"], cfg.encoder, input_values, lengths,
         output_hidden_states=cfg.weighted_sum, use_flash=use_flash,
-        dtype=dtype)
+        dtype=dtype, dropout_rng=dropout_rng)
     h = enc_out["last_hidden_state"]
 
     if cfg.weighted_sum:
@@ -159,17 +159,22 @@ def speechmix_forward(params, cfg: SpeechMixConfig, input_values,
                       lengths=None, labels=None, decoder_input_ids=None,
                       text_input_ids=None, text_mask=None, prompt_ids=None,
                       return_model_detail=False, use_flash=False,
-                      dtype=jnp.float32, gan_step_is_discriminator=None):
+                      dtype=jnp.float32, gan_step_is_discriminator=None,
+                      dropout_rng=None):
     """Training/eval forward for all embed-fusion variants.
 
     labels: (B, L) with -100 padding; decoder inputs derived by
       shift_tokens_right when not given (model.py:144-146).
     text_input_ids: tokenized ground-truth text, needed by the self/gan
-      variants' second (text) pass.
+      variants' second (text) pass; padded text positions are masked via
+      text_mask, derived from pad_token_id when not given.
+    dropout_rng: training-mode dropout key (None = deterministic eval).
     Returns dict: loss, logits (real distributions, NOT argmax — fixes
     reference quirk SURVEY.md §2.5.6), plus per-variant extras.
     """
+    from ..ops.layers import split_or_none
     dcfg = cfg.decoder
+    k_speech, k_nlp, k_text = split_or_none(dropout_rng, 3)
     if decoder_input_ids is None and labels is not None:
         decoder_input_ids = seq2seq.shift_tokens_right(
             labels, dcfg.pad_token_id, dcfg.decoder_start_token_id)
@@ -177,10 +182,15 @@ def speechmix_forward(params, cfg: SpeechMixConfig, input_values,
         b = input_values.shape[0]
         decoder_input_ids = jnp.full((b, 1), dcfg.decoder_start_token_id,
                                      jnp.int32)
+    if text_mask is None and text_input_ids is not None:
+        # the self/gan second pass must not attend padded text (the
+        # framework's masking invariant; the reference attends padding,
+        # SURVEY.md §2.5.2)
+        text_mask = text_input_ids != dcfg.pad_token_id
 
     inputs_embeds, enc_mask, details = encode_speech(
         params, cfg, input_values, lengths, prompt_ids,
-        return_model_detail, use_flash, dtype)
+        return_model_detail, use_flash, dtype, dropout_rng=k_speech)
 
     adapters = params.get("adapters") if cfg.variant == "adapter" else None
     need_hidden = cfg.variant in ("self", "gan")
@@ -193,7 +203,7 @@ def speechmix_forward(params, cfg: SpeechMixConfig, input_values,
         dec_out = seq2seq.decode(
             params["nlp"], dcfg, decoder_input_ids,
             enc_hidden=inputs_embeds, encoder_mask=enc_mask,
-            use_flash=use_flash, dtype=dtype)
+            use_flash=use_flash, dtype=dtype, dropout_rng=k_nlp)
         out = {"logits": dec_out["logits"],
                "encoder_last_hidden_state": inputs_embeds,
                "encoder_mask": enc_mask}
@@ -206,7 +216,7 @@ def speechmix_forward(params, cfg: SpeechMixConfig, input_values,
             attention_mask=enc_mask, decoder_input_ids=decoder_input_ids,
             labels=labels if cfg.variant != "gan" else None,
             output_hidden_states=need_hidden, use_flash=use_flash,
-            adapters=adapters, dtype=dtype)
+            adapters=adapters, dtype=dtype, dropout_rng=k_nlp)
 
     result = dict(details)
     result["logits"] = out["logits"]
@@ -224,7 +234,7 @@ def speechmix_forward(params, cfg: SpeechMixConfig, input_values,
             params["nlp"], dcfg, input_ids=text_input_ids,
             attention_mask=text_mask, decoder_input_ids=decoder_input_ids,
             labels=labels, output_hidden_states=True, use_flash=use_flash,
-            dtype=dtype)
+            dtype=dtype, dropout_rng=k_text)
         nlp_hidden = nlp_out["encoder_hidden_states"][-1]      # (B, Tt, H)
         speech_hidden = out["encoder_hidden_states"][-1]       # (B, Ts, H)
         # attention-project speech hidden onto text positions
@@ -238,8 +248,12 @@ def speechmix_forward(params, cfg: SpeechMixConfig, input_values,
         attn = jax.nn.softmax(attn, axis=-1)
         projected = jnp.einsum("bts,bsh->bth", attn.astype(speech_hidden.dtype),
                                speech_hidden, preferred_element_type=jnp.float32)
-        mse = jnp.mean(jnp.square(projected -
-                                  nlp_hidden.astype(jnp.float32)))
+        # MSE over VALID text positions only — padded nlp_hidden rows must
+        # not pull the speech projection toward pad embeddings
+        sq = jnp.square(projected - nlp_hidden.astype(jnp.float32))
+        valid = nlp_out["encoder_mask"].astype(jnp.float32)    # (B, Tt)
+        mse = (jnp.sum(sq * valid[..., None]) /
+               jnp.maximum(jnp.sum(valid) * sq.shape[-1], 1.0))
         kld = layers.kld_batchmean(out["logits"], nlp_out["logits"])
         ce = out["loss"]
         result["loss"] = (cfg.self_kld_weight * kld +
@@ -253,10 +267,14 @@ def speechmix_forward(params, cfg: SpeechMixConfig, input_values,
         # on collator behavior here, SURVEY.md §2.5.10)
         text_ids = text_input_ids if text_input_ids is not None else \
             jnp.where(labels == -100, dcfg.pad_token_id, labels)
+        gan_text_mask = (text_mask if text_mask is not None
+                         else text_ids != dcfg.pad_token_id)
         nlp_out = seq2seq.seq2seq_apply(
             params["nlp"], dcfg, input_ids=text_ids,
+            attention_mask=gan_text_mask,
             decoder_input_ids=decoder_input_ids,
-            output_hidden_states=True, use_flash=use_flash, dtype=dtype)
+            output_hidden_states=True, use_flash=use_flash, dtype=dtype,
+            dropout_rng=k_text)
 
         h = dcfg.hidden_size
         dec_mask = decoder_input_ids != dcfg.pad_token_id

@@ -58,7 +58,7 @@ def _split_heads(x, num_heads):
     return x.reshape(b, t, num_heads, inner // num_heads)
 
 
-def _attend(q, k, v, bias, scale):
+def _attend(q, k, v, bias, scale, dropout_rate=0.0, dropout_rng=None):
     """q: (B,Tq,H,D), k/v: (B,Tk,H,D), bias: (B|1, 1|H, Tq, Tk) or None.
     XLA path — arbitrary additive bias (T5 rel-pos, cache positions); the
     structured-mask fused kernels live in ops/pallas/flash_attention_kernel
@@ -69,6 +69,7 @@ def _attend(q, k, v, bias, scale):
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    probs = layers.dropout(probs, dropout_rate, dropout_rng)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                       preferred_element_type=dtype)
 
@@ -105,7 +106,8 @@ def maybe_decode_kernel(q, k, v, kv_mask, scale, num_heads, use_flash):
 
 def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
               num_heads=None, head_dim=None, scale=None,
-              cache: Optional[KVCache] = None, use_flash=False, dtype=None):
+              cache: Optional[KVCache] = None, use_flash=False, dtype=None,
+              dropout_rate=0.0, dropout_rng=None):
     """General MHA.
 
     x_q: (B, Tq, Dq).  x_kv: (B, Tk, Dk) or None for self-attention.
@@ -116,8 +118,12 @@ def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
         forces the XLA path.
     cache: if given, new keys/values are written at cache.index and attention
       runs over the full cache capacity (bias must mask unfilled slots).
+    dropout_rate/dropout_rng: attention-probability dropout (HF placement);
+      active only on the XLA path — the flash kernel is deterministic, so
+      training with dropout forces XLA attention (see models' call sites).
     Returns (out, new_cache).
     """
+    has_dropout = dropout_rng is not None and dropout_rate > 0.0
     dtype = dtype or x_q.dtype
     x_kv = x_q if x_kv is None else x_kv
     qp = params["q_proj"]
@@ -149,10 +155,11 @@ def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
                                          use_flash)
     if decode_out is not None:
         out = decode_out
-    # fused flash path: structured masks only, no extra bias, no cache.
-    # flash_attention_trainable carries a custom VJP (single-pass backward
-    # kernel) so this path is safe under jax.grad for training too.
-    elif (use_flash and bias is None and cache is None
+    # fused flash path: structured masks only, no extra bias, no cache, no
+    # attention dropout (the kernel has no rng).  flash_attention_trainable
+    # carries a custom VJP (single-pass backward kernel) so this path is safe
+    # under jax.grad for training too.
+    elif (use_flash and bias is None and cache is None and not has_dropout
             and jax.default_backend() == "tpu"):
         from .pallas.flash_attention_kernel import flash_attention_trainable
         out = flash_attention_trainable(q, k, v, kv_mask, scale, causal)
@@ -167,7 +174,8 @@ def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
                          else jnp.ones((b_sz, k.shape[1]), bool)),
                 causal=causal)
             total_bias = struct if total_bias is None else total_bias + struct
-        out = _attend(q, k, v, total_bias, scale)
+        out = _attend(q, k, v, total_bias, scale,
+                      dropout_rate if has_dropout else 0.0, dropout_rng)
     out = out.reshape(out.shape[0], out.shape[1], num_heads * head_dim)
     out = layers.dense(params["out_proj"], out, dtype)
     return out, new_cache

@@ -161,6 +161,23 @@ def activation(name: str):
     return ACTIVATIONS[name]
 
 
+def dropout(x, rate, rng):
+    """Inverted dropout at the HF placements (the reference trains with the
+    backbones' default ~0.1 rates, hf_model.py:216-219 config load).
+    Identity when rng is None (eval / deterministic) or rate == 0."""
+    if rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
+def split_or_none(rng, n):
+    """jax.random.split that passes None through (no-dropout path)."""
+    if rng is None:
+        return (None,) * n
+    return jax.random.split(rng, n)
+
+
 # ----------------------------------------------------------------------------
 # strided conv1d as patch-matmul (MXU-friendly)
 # ----------------------------------------------------------------------------

@@ -122,7 +122,17 @@ def shard_params(mesh: Mesh, params):
 
 
 def shard_batch(mesh: Mesh, batch):
+    """Place a host batch onto the mesh, sharded over `data`.
+
+    Single-host: plain device_put.  Multi-host (jax.process_count() > 1):
+    each host holds only its per-host slice of the global batch (see
+    shard_examples_per_host), assembled into one global array via
+    make_array_from_process_local_data."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
@@ -193,3 +203,15 @@ def per_host_batch_slice(global_batch: int) -> slice:
     i = jax.process_index()
     per = global_batch // n
     return slice(i * per, (i + 1) * per)
+
+
+def shard_examples_per_host(examples, process_index=None, process_count=None):
+    """Per-host DATASET sharding: host i keeps examples[i::n] (round-robin,
+    so length buckets stay balanced across hosts).  Identity on a single
+    host.  Called from data/datasets.build_datasets when --multihost."""
+    import jax
+    n = process_count if process_count is not None else jax.process_count()
+    i = process_index if process_index is not None else jax.process_index()
+    if n <= 1:
+        return list(examples)
+    return list(examples)[i::n]

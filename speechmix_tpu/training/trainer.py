@@ -67,6 +67,11 @@ class TrainConfig:
     output_dir: str = "./checkpoints"
     seed: int = 0
     bf16: bool = False  # compute dtype (reference --fp16 equivalent)
+    # training-mode dropout at the HF placements (the reference trains with
+    # the backbones' default ~0.1 rates, hf_model.py:216-219); rates come
+    # from the model configs, this flag gates rng threading.  Deterministic
+    # given (seed, step).  Off for exact-equivalence tests.
+    dropout: bool = True
     # single-pass Pallas attention in the train step (custom-VJP backward
     # recomputes scores in VMEM instead of storing (B, H, T, T) probs)
     use_flash: bool = False
@@ -145,7 +150,11 @@ def make_train_step(cfg: SpeechMixConfig, tc: TrainConfig, params_example,
         raise ValueError("sequence_parallel > 1 is incompatible with "
                          "use_flash (Pallas attention); pick one")
 
-    def loss_fn(params, micro):
+    # dropout rng: deterministic chain keyed on (seed, step, microbatch) —
+    # resumable runs replay identical masks
+    base_rng = jax.random.PRNGKey(tc.seed + 0x5EED)
+
+    def loss_fn(params, micro, dropout_rng):
         labels = micro["labels"]
         if "example_mask" in micro:
             # partial final batches are filled by repeating examples
@@ -157,7 +166,8 @@ def make_train_step(cfg: SpeechMixConfig, tc: TrainConfig, params_example,
                 lengths=micro.get("lengths"), labels=labels,
                 text_input_ids=micro.get("text_input_ids"),
                 prompt_ids=micro.get("prompt_ids"),
-                use_flash=tc.use_flash, dtype=dtype)
+                use_flash=tc.use_flash, dtype=dtype,
+                dropout_rng=dropout_rng)
         return out["loss"], out
 
     def step_fn(state: TrainState, batch, unfreeze_progress):
@@ -167,18 +177,22 @@ def make_train_step(cfg: SpeechMixConfig, tc: TrainConfig, params_example,
             return x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
 
         micro = jax.tree_util.tree_map(micro_batches, batch)
+        micro_rngs = jax.random.split(
+            jax.random.fold_in(base_rng, state.step), accum)
 
-        def accum_body(carry, mb):
+        def accum_body(carry, xs):
+            mb, rng = xs
             g_sum, l_sum = carry
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, mb)
+                state.params, mb, rng if tc.dropout else None)
             g_sum = jax.tree_util.tree_map(jnp.add, g_sum, grads)
             return (g_sum, l_sum + loss), None
 
         zero_grads = jax.tree_util.tree_map(
             lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
         (grads, loss_sum), _ = jax.lax.scan(
-            accum_body, (zero_grads, jnp.zeros((), jnp.float32)), micro)
+            accum_body, (zero_grads, jnp.zeros((), jnp.float32)),
+            (micro, micro_rngs))
         grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
         loss = loss_sum / accum
 

@@ -187,3 +187,69 @@ def test_pipeline_single_short_sample():
                                  buckets_sec=(0.5, 1.0))
     out = pipe([np.zeros(1600, np.float32)])
     assert len(out) == 1 and isinstance(out[0], str)
+
+
+def test_per_epoch_shuffle_same_multiset_different_order():
+    """shuffle_seed: two epochs emit different batch composition/order but
+    the identical example multiset (reference per-epoch Trainer sampler,
+    /root/reference/train.py:315-330); a re-created batcher with the same
+    seed replays epoch 0 exactly."""
+    cfg = CollatorConfig(buckets_sec=(1.0, 2.0), max_label_length=8,
+                         pad_token_id=0)
+    rng = np.random.RandomState(0)
+    examples = [{"input_values": rng.randn(n).astype(np.float32),
+                 "labels": [130 + i, 140, 1]}
+                for i, n in enumerate([12000, 15000, 13000, 8000, 14000,
+                                       9000, 15500, 11000])]
+
+    def epoch_signature(batches):
+        # per-batch tuple of first-label ids (identifies examples + order)
+        return [tuple(b["labels"][:, 0][b["example_mask"]].tolist())
+                for b in batches]
+
+    batcher = BucketBatcher(cfg, batch_size=2, shuffle_seed=7)
+    e0 = epoch_signature(batcher(examples))
+    e1 = epoch_signature(batcher(examples))
+    flat = lambda sig: sorted(x for b in sig for x in b)
+    assert flat(e0) == flat(e1)          # same multiset
+    assert e0 != e1                      # different order/composition
+
+    replay = BucketBatcher(cfg, batch_size=2, shuffle_seed=7)
+    assert epoch_signature(replay(examples)) == e0  # reproducible
+
+    # no seed -> deterministic identical epochs (eval path)
+    det = BucketBatcher(cfg, batch_size=2)
+    assert epoch_signature(det(examples)) == epoch_signature(det(examples))
+
+
+def test_group_by_length_false_pads_to_max_bucket():
+    """--no-group_by_length: every batch pads to the single largest bucket
+    (HF-without-length-sampler behavior, reference sets group_by_length=True
+    at train.py:306)."""
+    cfg = CollatorConfig(buckets_sec=(1.0, 2.0), max_label_length=8,
+                         pad_token_id=0)
+    rng = np.random.RandomState(0)
+    examples = [{"input_values": rng.randn(n).astype(np.float32),
+                 "labels": [130, 140, 1]}
+                for n in [12000, 15000, 8000, 14000]]
+    grouped = {b["input_values"].shape
+               for b in BucketBatcher(cfg, 2)(examples)}
+    assert grouped == {(2, 16000)}
+    ungrouped = {b["input_values"].shape
+                 for b in BucketBatcher(cfg, 2,
+                                        group_by_length=False)(examples)}
+    assert ungrouped == {(2, 32000)}
+
+
+def test_per_host_example_sharding():
+    """Multi-host dataset sharding: identity on one host; round-robin
+    partition across simulated hosts (SURVEY.md §2.4 multi-host row)."""
+    from speechmix_tpu.parallel import mesh as mesh_lib
+    ex = list(range(10))
+    assert mesh_lib.shard_examples_per_host(ex) == ex  # process_count==1
+    parts = [mesh_lib.shard_examples_per_host(ex, process_index=i,
+                                              process_count=3)
+             for i in range(3)]
+    assert parts[0] == [0, 3, 6, 9]
+    assert sorted(x for p in parts for x in p) == ex
+    assert mesh_lib.per_host_batch_slice(8) == slice(0, 8)

@@ -157,3 +157,107 @@ def test_hubert_unispeech_parity(family):
     got = np.asarray(out["last_hidden_state"])
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_wav2vec2_large_variant_parity():
+    """The -large architecture path (do_stable_layer_norm pre-LN transformer,
+    per-conv LayerNorm extractor, conv_bias) — the encoder eval.py's
+    facebook/wav2vec2-large-960h-lv60 uses (/root/reference/eval.py:7).
+    Round-1 only shape-checked this path; here it is activation-pinned
+    against HF."""
+    hf_cfg = transformers.Wav2Vec2Config(
+        vocab_size=32, hidden_size=32, num_hidden_layers=3,
+        num_attention_heads=2, intermediate_size=64,
+        conv_dim=(16, 16, 16), conv_kernel=(10, 3, 3), conv_stride=(5, 2, 2),
+        conv_bias=True, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=2,
+        do_stable_layer_norm=True, feat_extract_norm="layer",
+        hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        feat_proj_dropout=0.0, layerdrop=0.0)
+    hf = transformers.Wav2Vec2Model(hf_cfg).eval()
+
+    cfg = SpeechEncoderConfig(
+        name="parity-large", conv_dims=(16, 16, 16), conv_kernels=(10, 3, 3),
+        conv_strides=(5, 2, 2), conv_bias=True, feat_extract_norm="layer",
+        do_stable_layer_norm=True, hidden_size=32, num_layers=3, num_heads=2,
+        ffn_dim=64, pos_conv_kernel=16, pos_conv_groups=2)
+
+    sd_path = _save_sd(hf)
+    params = convert.load_speech_encoder(sd_path, cfg)
+    os.remove(sd_path)
+
+    wav = np.random.RandomState(2).randn(2, 4000).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref = hf(torch.tensor(wav)).last_hidden_state.numpy()
+    out = se.speech_encoder_apply(params, cfg, jnp.asarray(wav))
+    got = np.asarray(out["last_hidden_state"])
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_byt5_gated_gelu_parity():
+    """ByT5-style T5 v1.1: gated-gelu FFN (wi_0/wi_1), untied LM head —
+    the decoder family eval.py's voidful/phoneme_byt5 uses
+    (/root/reference/eval.py:7)."""
+    hf_cfg = transformers.T5Config(
+        vocab_size=128, d_model=32, num_layers=2, num_decoder_layers=2,
+        num_heads=2, d_kv=16, d_ff=64, dropout_rate=0.0,
+        feed_forward_proj="gated-gelu", pad_token_id=0, eos_token_id=1,
+        decoder_start_token_id=0, tie_word_embeddings=False)
+    hf = transformers.T5ForConditionalGeneration(hf_cfg).eval()
+
+    cfg = Seq2SeqConfig(
+        name="parity-byt5", arch="t5", vocab_size=128, hidden_size=32,
+        encoder_layers=2, decoder_layers=2, num_heads=2, head_dim=16,
+        ffn_dim=64, activation="gelu_gated", layer_norm_eps=1e-6,
+        pad_token_id=0, bos_token_id=0, eos_token_id=1,
+        decoder_start_token_id=0, tie_word_embeddings=False)
+
+    sd_path = _save_sd(hf)
+    params = convert.load_seq2seq(sd_path, cfg)
+    os.remove(sd_path)
+    assert "lm_head" in params  # untied head must be converted
+
+    ids = np.array([[5, 6, 7, 8, 1]])
+    dec_ids = np.array([[0, 5, 6, 7]])
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 decoder_input_ids=torch.tensor(dec_ids)).logits.numpy()
+    out = s2s.seq2seq_apply(params, cfg, input_ids=jnp.asarray(ids),
+                            decoder_input_ids=jnp.asarray(dec_ids))
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_bart_deep_scale_embedding_parity():
+    """Deeper BART + scale_embedding=True (the bart-large/mbart code paths:
+    more layers through the stacked scan, sqrt(d) embed scaling)."""
+    hf_cfg = transformers.BartConfig(
+        vocab_size=128, d_model=32, encoder_layers=4, decoder_layers=4,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, max_position_embeddings=64,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        pad_token_id=1, bos_token_id=0, eos_token_id=2,
+        decoder_start_token_id=2, scale_embedding=True,
+        activation_function="gelu")
+    hf = transformers.BartForConditionalGeneration(hf_cfg).eval()
+
+    cfg = Seq2SeqConfig(
+        name="parity-bart-deep", arch="bart", vocab_size=128, hidden_size=32,
+        encoder_layers=4, decoder_layers=4, num_heads=2, ffn_dim=64,
+        max_positions=64, pad_token_id=1, bos_token_id=0, eos_token_id=2,
+        decoder_start_token_id=2, scale_embedding=True)
+
+    sd_path = _save_sd(hf)
+    params = convert.load_seq2seq(sd_path, cfg)
+    os.remove(sd_path)
+
+    ids = np.array([[5, 6, 7, 8, 2]])
+    dec_ids = np.array([[2, 5, 6, 7]])
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 decoder_input_ids=torch.tensor(dec_ids)).logits.numpy()
+    out = s2s.seq2seq_apply(params, cfg, input_ids=jnp.asarray(ids),
+                            decoder_input_ids=jnp.asarray(dec_ids))
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref,
+                               rtol=2e-3, atol=2e-3)

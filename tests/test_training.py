@@ -46,10 +46,12 @@ def test_loss_decreases():
 
 def test_grad_accum_equivalence():
     """accum=2 over a 4-batch == accum=1 over the same 4-batch (mean grads)."""
+    # dropout off: the accum grouping changes per-microbatch rng assignment,
+    # so exact equivalence only holds deterministically
     tc1 = TrainConfig(learning_rate=1e-3, warmup_steps=0, grad_accum=1,
-                      output_dir="")
+                      output_dir="", dropout=False)
     tc2 = TrainConfig(learning_rate=1e-3, warmup_steps=0, grad_accum=2,
-                      output_dir="")
+                      output_dir="", dropout=False)
     s1 = trainer_lib.create_train_state(jax.random.PRNGKey(0), CFG, tc1)
     s2 = trainer_lib.create_train_state(jax.random.PRNGKey(0), CFG, tc2)
     f1 = trainer_lib.make_train_step(CFG, tc1, s1.params)

@@ -66,7 +66,19 @@ def parse_args(args):
     parser.add_argument("--fixed_parameters", action="store_true")
     parser.add_argument("--custom_set", type=str)
     parser.add_argument("--max_input_length_in_sec", default=20, type=int)
-    parser.add_argument("--group_by_length", action="store_true")
+    # the reference hard-codes group_by_length=True in TrainingArguments
+    # (train.py:306); True = bucketed static-shape padding, False pads every
+    # batch to the largest bucket (HF-without-length-sampler behavior)
+    parser.add_argument("--group_by_length", default=True,
+                        action=argparse.BooleanOptionalAction)
+    parser.add_argument("--dropout", default=True,
+                        action=argparse.BooleanOptionalAction,
+                        help="training-mode dropout at the HF placements "
+                             "(rates from the model configs; the reference "
+                             "trains with backbone-default ~0.1)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host TPU pod: jax.distributed.initialize "
+                             "over DCN + per-host dataset sharding")
     parser.add_argument("--fixed_except", nargs="+",
                         default=["layer_norm", "encoder_attn",
                                  "enc_to_dec_proj", "length_adapter",
@@ -153,6 +165,11 @@ def main(arg=None):
     import jax
     if input_args.platform:
         jax.config.update("jax_platforms", input_args.platform)
+    if input_args.multihost:
+        # must run before any other jax call on TPU pods (SURVEY.md §2.4
+        # multi-host requirement); autodetects the pod topology
+        from speechmix_tpu.parallel import mesh as _mesh_early
+        _mesh_early.initialize_distributed()
     # persistent compile cache (first compiles through tunneled TPU
     # transports take minutes; cached runs start in seconds)
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -204,6 +221,7 @@ def main(arg=None):
         fixed_nlp=bool(other.get("fixed_nlp", True)),
         predict_with_generate=input_args.predict_with_generate,
         stall_timeout_s=input_args.stall_timeout,
+        dropout=input_args.dropout,
     )
 
     trainer = Trainer(model.config, tc, tokenizer=model.tokenizer)
