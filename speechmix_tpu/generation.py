@@ -97,18 +97,6 @@ def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
 # beam search
 # ----------------------------------------------------------------------------
 
-def _gather_beams(tree, idx, batch, beams):
-    """Gather along the flattened (batch*beam) leading axis."""
-    def g(x):
-        if not hasattr(x, "ndim") or x.ndim == 0:
-            return x
-        xr = x.reshape(batch, beams, *x.shape[1:])
-        return jnp.take_along_axis(
-            xr, idx.reshape(batch, beams, *([1] * (x.ndim - 1))), axis=1
-        ).reshape(batch * beams, *x.shape[1:])
-    return jax.tree_util.tree_map(g, tree)
-
-
 def _gather_cache(cache: seq2seq.DecoderCache, idx, batch, beams):
     """Cache leaves have a leading layer axis; gather on the batch axis."""
     def g(x):
@@ -126,69 +114,134 @@ def _gather_cache(cache: seq2seq.DecoderCache, idx, batch, beams):
 
 def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
                 length_penalty=1.0, dtype=jnp.float32, adapters=None,
-                use_flash=False):
-    """Batched beam search.  Returns (tokens (B, max_length), lengths (B,))
-    for the best finished beam (falls back to the best live beam)."""
+                use_flash=False, early_stopping=False):
+    """Batched beam search with HuggingFace `generate()` semantics — the
+    surface the reference exposes (hf_model.py:304-338 delegates to HF
+    PreTrainedModel.generate).  Re-derived for a lax.while_loop from the
+    algorithm transformers' vectorized `_beam_search` implements:
+
+      * 2*num_beams candidate continuations per step, so at least num_beams
+        non-EOS beams always survive
+      * hypotheses finishing on EOS (or at max length) move to a finished
+        set scored sum_logprobs / num_generated**length_penalty; running
+        beams keep raw cumulative log-probs
+      * early-stop heuristic (early_stopping False | True | "never"):
+        stop when the best possible running score can no longer beat the
+        worst finished score
+      * `max_length` counts GENERATED tokens (HF counts the decoder start
+        too, so this equals HF max_length - 1)
+
+    Returns (tokens (B, max_length) — best finished beam, pad after EOS —
+    and lengths (B,)).  Token-exact vs HF generate: tests/test_beam_hf.py.
+    """
     b = enc_hidden.shape[0]
     k = num_beams
+    k2 = 2 * k
+    s_max = max_length
     neg = jnp.float32(-1e9)
+    pad, eos = dcfg.pad_token_id, dcfg.eos_token_id
 
-    # tile encoder state to (B*K, ...)
     rep = lambda x: jnp.repeat(x, k, axis=0)
     enc_hidden_t, enc_mask_t = rep(enc_hidden), rep(enc_mask)
-    cache = seq2seq.init_decoder_cache(params, dcfg, enc_hidden_t, b * k,
-                                       max_length, dtype)
-    tok = jnp.full((b * k, 1), dcfg.decoder_start_token_id, jnp.int32)
-    # only beam 0 is live at step 0
-    scores = jnp.tile(jnp.array([0.0] + [float(-1e9)] * (k - 1),
-                                jnp.float32), (b,))  # (B*K,)
-    tokens_buf = jnp.full((b * k, max_length), dcfg.pad_token_id, jnp.int32)
-    finished = jnp.zeros((b * k,), bool)
+    cache0 = seq2seq.init_decoder_cache(params, dcfg, enc_hidden_t, b * k,
+                                        s_max, dtype)
 
-    def step(carry, t):
-        tok, cache, scores, tokens_buf, finished = carry
-        out = seq2seq.decode(params, dcfg, tok, encoder_mask=enc_mask_t,
-                             cache=cache, adapters=adapters, dtype=dtype,
+    def gather(x, idx):
+        """(B, N, ...) gathered to (B, idx.shape[1], ...)"""
+        return jnp.take_along_axis(
+            x, idx.reshape(b, idx.shape[1], *([1] * (x.ndim - 2))), axis=1)
+
+    init = dict(
+        s=jnp.int32(0),
+        last_tok=jnp.full((b * k, 1), dcfg.decoder_start_token_id, jnp.int32),
+        cache=cache0,
+        running_seqs=jnp.full((b, k, s_max), pad, jnp.int32),
+        # only beam 0 live at step 0 (prevents k copies of the same prefix)
+        running_scores=jnp.broadcast_to(
+            jnp.array([0.0] + [float(-1e9)] * (k - 1), jnp.float32), (b, k)),
+        finished_seqs=jnp.full((b, k, s_max), pad, jnp.int32),
+        finished_scores=jnp.full((b, k), float(-1e9), jnp.float32),
+        is_finished=jnp.zeros((b, k), bool),
+        # per-batch latch: can any running beam still improve the finished set
+        unsat=jnp.ones((b, 1), bool),
+        valid_cont=jnp.ones((), bool),
+    )
+
+    def cond(c):
+        improvement_possible = jnp.any(c["unsat"])
+        ok = (c["s"] < s_max) & improvement_possible & c["valid_cont"]
+        if early_stopping is True:
+            ok = ok & ~jnp.all(c["is_finished"])
+        return ok
+
+    def body(c):
+        out = seq2seq.decode(params, dcfg, c["last_tok"],
+                             encoder_mask=enc_mask_t, cache=c["cache"],
+                             adapters=adapters, dtype=dtype,
                              use_flash=use_flash)
-        logprobs = jax.nn.log_softmax(
+        logp = jax.nn.log_softmax(
             out["logits"][:, -1, :].astype(jnp.float32), axis=-1)  # (B*K, V)
-        vocab = logprobs.shape[-1]
-        # finished beams can only extend with pad at no cost
-        pad_only = jnp.full((vocab,), neg).at[dcfg.pad_token_id].set(0.0)
-        logprobs = jnp.where(finished[:, None], pad_only[None, :], logprobs)
+        vocab = logp.shape[-1]
+        acc = logp.reshape(b, k, vocab) + c["running_scores"][:, :, None]
+        topk_scores, topk_idx = jax.lax.top_k(
+            acc.reshape(b, k * vocab), k2)                   # (B, 2K)
+        src_beam = topk_idx // vocab
+        tok = (topk_idx % vocab).astype(jnp.int32)
+        topk_seqs = gather(c["running_seqs"], src_beam)      # (B, 2K, S)
+        topk_seqs = jax.lax.dynamic_update_slice(
+            topk_seqs, tok[:, :, None], (0, 0, c["s"]))
+        hits = (tok == eos) | (c["s"] + 1 >= s_max)          # (B, 2K)
 
-        cand = scores[:, None] + logprobs  # (B*K, V)
-        cand = cand.reshape(b, k * vocab)
-        top_scores, top_idx = jax.lax.top_k(cand, k)  # (B, K)
-        beam_idx = top_idx // vocab  # which source beam
-        tok_idx = (top_idx % vocab).astype(jnp.int32)
+        # running beams for the next iteration: best k non-finished
+        run_masked = topk_scores + jnp.where(hits, neg, 0.0)
+        new_running_scores, run_sel = jax.lax.top_k(run_masked, k)
+        new_running_seqs = gather(topk_seqs, run_sel)
+        run_src = jnp.take_along_axis(src_beam, run_sel, axis=1)  # (B, K)
+        new_last = jnp.take_along_axis(tok, run_sel, axis=1) \
+            .reshape(b * k, 1)
+        new_cache = _gather_cache(out["cache"], run_src, b, k)
 
-        # reorder carry state by chosen beams
-        new_cache = _gather_cache(out["cache"], beam_idx, b, k)
-        tokens_buf = _gather_beams(tokens_buf, beam_idx, b, k)
-        finished = _gather_beams(finished, beam_idx, b, k)
+        # finished set: only the top num_beams candidates may finalize
+        did_finish = hits & (jnp.arange(k2) < k)[None, :]
+        pen = topk_scores / (jnp.float32(c["s"] + 1) ** length_penalty)
+        if early_stopping is True:
+            pen = pen + jnp.where(
+                jnp.all(c["is_finished"], axis=1, keepdims=True), neg, 0.0)
+        pen = pen + jnp.where(c["unsat"], 0.0, neg)   # heuristic latch
+        pen = pen + jnp.where(did_finish, 0.0, neg)
+        merged_scores = jnp.concatenate([c["finished_scores"], pen], axis=1)
+        merged_seqs = jnp.concatenate([c["finished_seqs"], topk_seqs], axis=1)
+        merged_fin = jnp.concatenate([c["is_finished"], did_finish], axis=1)
+        fin_scores, fin_sel = jax.lax.top_k(merged_scores, k)
+        fin_seqs = gather(merged_seqs, fin_sel)
+        is_fin = jnp.take_along_axis(merged_fin, fin_sel, axis=1)
 
-        flat_tok = tok_idx.reshape(b * k)
-        tokens_buf = tokens_buf.at[:, t].set(
-            jnp.where(finished, dcfg.pad_token_id, flat_tok))
-        finished = finished | (flat_tok == dcfg.eos_token_id)
-        scores = top_scores.reshape(b * k)
-        return (flat_tok[:, None], new_cache, scores, tokens_buf, finished), None
+        s_new = c["s"] + 1
+        # early-stop heuristic (HF: False -> estimate with current length;
+        # "never" + penalty>0 -> max length; latches once satisfied)
+        if early_stopping == "never" and length_penalty > 0.0:
+            best_len = jnp.float32(s_max)
+        else:
+            best_len = s_new.astype(jnp.float32)
+        best_possible = new_running_scores[:, :1] / \
+            (best_len ** length_penalty)                     # (B, 1)
+        worst_fin = jnp.where(is_fin,
+                              jnp.min(fin_scores, axis=1, keepdims=True),
+                              neg)                           # (B, K)
+        unsat = c["unsat"] & jnp.any(best_possible > worst_fin, axis=-1,
+                                     keepdims=True)
 
-    init = (tok, cache, scores, tokens_buf, finished)
-    (tok, cache, scores, tokens_buf, finished), _ = jax.lax.scan(
-        step, init, jnp.arange(max_length))
+        return dict(s=s_new, last_tok=new_last, cache=new_cache,
+                    running_seqs=new_running_seqs,
+                    running_scores=new_running_scores,
+                    finished_seqs=fin_seqs, finished_scores=fin_scores,
+                    is_finished=is_fin, unsat=unsat,
+                    valid_cont=~jnp.all(hits))
 
-    # pick best beam per batch element with length penalty over finished beams
-    lengths = jnp.sum((tokens_buf != dcfg.pad_token_id).astype(jnp.int32),
-                      axis=1)
-    norm = jnp.power(jnp.maximum(lengths, 1).astype(jnp.float32),
-                     length_penalty)
-    final = scores / norm
-    final = jnp.where(finished, final, final - 1e4)  # prefer finished beams
-    best = jnp.argmax(final.reshape(b, k), axis=1)  # (B,)
-    flat_best = jnp.arange(b) * k + best
-    return tokens_buf[flat_best], lengths[flat_best]
+    final = jax.lax.while_loop(cond, body, init)
+    best_seqs = final["finished_seqs"][:, 0, :]  # top_k output is sorted
+    lengths = jnp.sum((best_seqs != pad).astype(jnp.int32), axis=1)
+    return best_seqs, lengths
 
 
 # ----------------------------------------------------------------------------
@@ -198,7 +251,7 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
 def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
              prompt_ids=None, max_length=None, num_beams=1,
              length_penalty=1.0, use_flash=False, dtype=jnp.float32,
-             early_stop=False):
+             early_stop=False, early_stopping=False):
     """Full pipeline: waveform -> fused embeds -> text encoder (once) ->
     cached decode loop.  Equivalent of HFSpeechMixEED.generate
     (hf_model.py:304-338 + eval.py:12-14), including decoder_text_prompt via
@@ -224,7 +277,7 @@ def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
                              early_stop=early_stop, use_flash=use_flash)
     return beam_search(params["nlp"], cfg.decoder, enc_hidden, enc_mask,
                        max_length, num_beams, length_penalty, dtype, adapters,
-                       use_flash=use_flash)
+                       use_flash=use_flash, early_stopping=early_stopping)
 
 
 def jit_generate(cfg: SpeechMixConfig, max_length=None, num_beams=1,

@@ -64,6 +64,7 @@ class TrainConfig:
     # also run free-running generate() + WER/CER at each eval (the real ASR
     # metric; teacher-forced eval alone mirrors the reference Trainer)
     predict_with_generate: bool = False
+    num_beams: int = 1  # beams for predict_with_generate decoding
     output_dir: str = "./checkpoints"
     seed: int = 0
     bf16: bool = False  # compute dtype (reference --fp16 equivalent)
@@ -380,7 +381,8 @@ class Trainer:
                                                  heartbeat=beat)
                     if self.tc.predict_with_generate:
                         eval_metrics.update(self.predict(
-                            state.params, eval_batches, heartbeat=beat))
+                            state.params, eval_batches,
+                            num_beams=self.tc.num_beams, heartbeat=beat))
                     self.logger.log({"step": step, **eval_metrics})
                     score = eval_metrics.get("eval_loss", float("inf"))
                     if self.ckpt:

@@ -108,6 +108,9 @@ def parse_args(args):
                              "resumes from the latest checkpoint); set well "
                              "above worst-case XLA compile time (~600s on "
                              "tunneled TPU). 0 disables")
+    parser.add_argument("--num_beams", default=1, type=int,
+                        help="beam width for --predict_with_generate "
+                             "decoding (HF-semantics beam search)")
     parser.add_argument("--predict_with_generate", action="store_true",
                         help="also run free-running generate() + WER/CER at "
                              "each eval (the real ASR metric; teacher-forced "
@@ -220,6 +223,7 @@ def main(arg=None):
         fixed_speech=bool(other.get("fixed_speech", False)),
         fixed_nlp=bool(other.get("fixed_nlp", True)),
         predict_with_generate=input_args.predict_with_generate,
+        num_beams=input_args.num_beams,
         stall_timeout_s=input_args.stall_timeout,
         dropout=input_args.dropout,
     )
