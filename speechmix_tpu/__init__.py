@@ -5,7 +5,7 @@ fuse a pretrained speech encoder (wav2vec2/HuBERT/UniSpeechSAT family) with a
 pretrained seq2seq LM (BART/T5 family) and train for ASR / speech translation
 under full-finetune, frozen, adapter, self-distillation, and adversarial
 regimes, with static-shape generation, data-parallel sharding over a device
-mesh, and orbax checkpointing.
+mesh, and step-indexed npz checkpointing with best-step retention.
 """
 
 from .config import (

@@ -86,7 +86,7 @@ class _SpeechMixBase:
             fixed_except=tuple(fixed_except), dtype=dtype)
         self.tokenizer = load_tokenizer(
             nlp_model_config if isinstance(nlp_model_config, str)
-            else dec_cfg.name)
+            else dec_cfg.name, decoder_config=dec_cfg)
         self.params = smx.init_speechmix(jax.random.PRNGKey(seed),
                                          self.config)
         self._variant_kwargs = kwargs
@@ -228,7 +228,8 @@ class _SpeechMixBase:
             cfg = SpeechMixConfig.from_json(f.read())
         self = cls.__new__(cls)
         self.config = cfg
-        self.tokenizer = load_tokenizer(cfg.decoder.name)
+        self.tokenizer = load_tokenizer(cfg.decoder.name,
+                                        decoder_config=cfg.decoder)
         self.params = smx.init_speechmix(jax.random.PRNGKey(0), cfg)
         self._variant_kwargs = {}
         self._refresh_grad_lists()

@@ -96,13 +96,37 @@ class HFTokenizerAdapter:
         return [self.decode(ids, skip_special_tokens) for ids in batch]
 
 
-def load_tokenizer(name_or_path: str):
+def load_tokenizer(name_or_path: str, decoder_config=None):
     """Resolve a tokenizer: built-in byte tokenizer for byte-vocab configs and
-    test presets, HF tokenizer (local files only) otherwise."""
+    test presets, HF tokenizer (local files only) otherwise.
+
+    When the HF tokenizer is unavailable (offline, no local cache), the byte
+    fallback is constructed WITH the decoder config's pad/eos/bos ids so
+    labels and generation stopping agree (a default-id ByteTokenizer would
+    EOS-terminate labels with a token generation never stops on), and a
+    warning is emitted — the fallback changes text fidelity for non-byte
+    vocabularies."""
     if name_or_path in ("bytes", "byte", "byt5-small", "tiny-bart-bytes",
                         "tiny-t5-bytes"):
+        if decoder_config is not None:
+            return ByteTokenizer(pad_token_id=decoder_config.pad_token_id,
+                                 eos_token_id=decoder_config.eos_token_id,
+                                 bos_token_id=decoder_config.bos_token_id)
         return ByteTokenizer()
     try:
         return HFTokenizerAdapter(name_or_path)
     except Exception:
-        return ByteTokenizer()
+        import warnings
+        kw = {}
+        if decoder_config is not None:
+            kw = dict(pad_token_id=decoder_config.pad_token_id,
+                      eos_token_id=decoder_config.eos_token_id,
+                      bos_token_id=decoder_config.bos_token_id,
+                      vocab_size=max(decoder_config.vocab_size,
+                                     ByteTokenizer.BYTE_OFFSET + 256))
+        warnings.warn(
+            f"no local HF tokenizer for {name_or_path!r}; falling back to "
+            "the byte tokenizer" +
+            (" with the decoder config's special-token ids" if kw else "") +
+            " — decoded text will differ from the real tokenizer")
+        return ByteTokenizer(**kw)

@@ -595,9 +595,18 @@ def decode(params, cfg: Seq2SeqConfig, decoder_input_ids, enc_hidden=None,
 
     # LM head
     if cfg.tie_word_embeddings:
-        w = params["shared"]["embedding"].astype(dtype)
+        shared = params["shared"]
         h = x * (cfg.hidden_size ** -0.5) if cfg.arch == "t5" else x
-        logits = jnp.dot(h, w.T, preferred_element_type=jnp.float32)
+        if "embedding_q" in shared:
+            # int8 tied head (utils/quantize.py): the (V, H) table is the
+            # dominant decode-step weight read; matmul on int8-cast weights,
+            # per-row (= per output logit) scales applied in the epilogue
+            logits = jnp.dot(h, shared["embedding_q"].T.astype(dtype),
+                             preferred_element_type=jnp.float32)
+            logits = logits * shared["embedding_scale"].astype(jnp.float32)
+        else:
+            w = shared["embedding"].astype(dtype)
+            logits = jnp.dot(h, w.T, preferred_element_type=jnp.float32)
     else:
         logits = layers.dense(params["lm_head"], x, dtype).astype(jnp.float32)
     if cfg.arch == "bart":

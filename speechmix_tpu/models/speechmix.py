@@ -21,7 +21,7 @@ functions + trainable-parameter masks (see speechmix_tpu.training.freezing):
   gan     - BCE discriminator on hidden-state Gram matrices, alternating
             generator/discriminator updates (model.py:269-349)
   ed      - cross-attention fusion via SpeechEncoderDecoder-style wiring
-            (model.py:26-54); see models/ed.py
+            (model.py:26-54); the "ed" branch in speechmix_forward below
 
 All ops are static-shape with explicit masks (the reference attends padding;
 SURVEY.md §2.5.2).

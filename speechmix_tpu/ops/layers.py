@@ -72,6 +72,11 @@ def init_embedding(key, vocab, dim, stddev=0.02):
 
 
 def embed(params, ids, dtype=jnp.float32):
+    if "embedding_q" in params:
+        # int8 tied-embedding table (utils/quantize.py): gather rows then
+        # dequantize per row — only the looked-up rows leave HBM
+        rows = params["embedding_q"][ids].astype(dtype)
+        return rows * params["embedding_scale"][ids].astype(dtype)[..., None]
     return params["embedding"].astype(dtype)[ids]
 
 

@@ -1,13 +1,15 @@
-"""Checkpoint save/restore with resume-from-latest.
+"""Checkpoint save/restore with resume-from-latest and best-step retention.
 
 The reference delegates checkpointing to HF Trainer (save_steps,
 save_total_limit=2, load_best_model_at_end — train.py:300-308) and restores
-with torch.load (eval.py:10).  Here: orbax when available (async-friendly,
-sharding-aware), with a numpy .npz fallback so checkpoints never block on an
-optional dependency.  Layout:
+with torch.load (eval.py:10).  Here: flat numpy .npz pytree snapshots (one
+file per step — dependency-free, works for params + optimizer state).
+Layout:
 
-  <dir>/step_<N>/params|opt_state|meta.json   (orbax)
-  <dir>/step_<N>.npz + .meta.json             (fallback)
+  <dir>/step_<N>.npz + step_<N>.npz.meta.json
+
+save_total_limit pruning never deletes the best-eval_loss checkpoint, so
+load-best-at-end (reference train.py:300) always has its target.
 """
 
 from __future__ import annotations
@@ -55,8 +57,8 @@ def load_pytree_npz(path: str, like):
 
 
 class CheckpointManager:
-    """Step-indexed checkpoints with save_total_limit pruning and
-    latest/best tracking."""
+    """Step-indexed checkpoints with save_total_limit pruning (the best-
+    eval_loss step is never pruned) and latest/best tracking."""
 
     def __init__(self, directory: str, save_total_limit: int = 2):
         self.directory = directory
@@ -72,6 +74,12 @@ class CheckpointManager:
                             os.path.join(self.directory, name)))
         return sorted(out)
 
+    def _meta(self, path):
+        if os.path.exists(path + ".meta.json"):
+            with open(path + ".meta.json") as f:
+                return json.load(f)
+        return {}
+
     def save(self, step: int, state: dict, metrics: Optional[dict] = None):
         path = os.path.join(self.directory, f"step_{step}.npz")
         save_pytree_npz(path, state)
@@ -81,10 +89,22 @@ class CheckpointManager:
         self._prune()
         return path
 
+    def best_step(self, metric: str = "eval_loss") -> Optional[int]:
+        """Step with the lowest recorded eval metric (reference semantics:
+        load_best_model_at_end + metric_for_best_model default)."""
+        best, best_val = None, float("inf")
+        for step, path in self._step_paths():
+            val = self._meta(path).get("metrics", {}).get(metric)
+            if val is not None and val < best_val:
+                best, best_val = step, val
+        return best
+
     def _prune(self):
+        best = self.best_step()
         steps = self._step_paths()
-        while len(steps) > self.save_total_limit:
-            _, path = steps.pop(0)
+        removable = [(s, p) for s, p in steps if s != best]
+        excess = len(steps) - self.save_total_limit
+        for _, path in removable[:max(excess, 0)]:
             os.remove(path)
             if os.path.exists(path + ".meta.json"):
                 os.remove(path + ".meta.json")

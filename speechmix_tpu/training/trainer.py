@@ -57,6 +57,9 @@ class TrainConfig:
     logging_steps: int = 10
     save_total_limit: int = 2
     early_stopping_patience: int = 20
+    # restore the best-eval_loss checkpoint when training ends (reference:
+    # TrainingArguments load_best_model_at_end=True, train.py:300)
+    load_best_model_at_end: bool = True
     # FreezingCallback window in epochs (train.py:327 passes 500 *steps* to a
     # parameter the callback treats as epochs; we keep epochs semantics)
     freeze_epochs: int = 0
@@ -340,12 +343,24 @@ class Trainer:
             watchdog.log_path = self.logger.path
             watchdog.start()
         try:
-            return self._fit_loop(state, train_batches, eval_batches,
-                                  step_fn, eval_fn, best_metric, best_step,
-                                  patience_left, t0, step, watchdog)
+            state = self._fit_loop(state, train_batches, eval_batches,
+                                   step_fn, eval_fn, best_metric, best_step,
+                                   patience_left, t0, step, watchdog)
         finally:
             if watchdog is not None:
                 watchdog.stop()
+        if self.tc.load_best_model_at_end and self.ckpt is not None:
+            best = self.ckpt.best_step()
+            if best is not None and best != int(state.step):
+                restored, _ = self.ckpt.restore(
+                    {"params": state.params, "opt_state": state.opt_state,
+                     "step": state.step}, step=best)
+                if restored is not None:
+                    state = TrainState(params=restored["params"],
+                                       opt_state=restored["opt_state"],
+                                       step=restored["step"])
+                    self.logger.log({"loaded_best_model_from_step": best})
+        return state
 
     def _fit_loop(self, state, train_batches, eval_batches, step_fn, eval_fn,
                   best_metric, best_step, patience_left, t0, step, watchdog):

@@ -9,13 +9,31 @@ decoding.
     q_params = quantize_weights(params)          # whole pytree
     tokens = generate(q_params, cfg, ...)        # same entry points
 
-Embeddings, norms, biases, convs, and small kernels stay full precision.
+Covered:
+  * 2-D dense kernels (>= min_size elements)
+  * stacked per-layer dense kernels (leading layer axis) — identified by the
+    parameter NAME (q_proj/fc1/...), so bias-free T5 stacks quantize too
+  * the tied LM head: shared.embedding is the largest decode-time weight
+    (V x H; 50k x 768 for BART) — stored int8 with per-row scales, dequantized
+    per-channel in the logits matmul and per-row at embedding lookups
+
+Norms, biases, convs, position tables, and small kernels stay full precision.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+
+# parameter names whose 3-D kernels are stacked per-layer dense weights
+# (NOT convs — conv kernels live under "conv"/"pos_conv"/length_adapter
+# entries and keep the (K, in, out) layout)
+_STACKED_DENSE_NAMES = frozenset({
+    "q_proj", "k_proj", "v_proj", "out_proj",
+    "fc1", "fc2", "fc_gate", "ffn_in", "ffn_out",
+    "down", "up",
+})
 
 
 def _quantize_kernel(w):
@@ -27,47 +45,59 @@ def _quantize_kernel(w):
     return q, scale
 
 
-def quantize_weights(params, min_size: int = 4096):
-    """Replace every dict {"kernel": W2d, ...} whose kernel has >= min_size
-    elements with {"kernel_q", "kernel_scale", ...}.  Stacked layer kernels
-    (leading layer axis, ndim==3) are quantized per (layer, out-channel)."""
+def _quantize_rows(w):
+    """(V, H) embedding/LM-head table -> int8 + (V,) per-row scales.
+    Rows are the LM-head output channels (logits = h @ W.T)."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(wf), axis=1) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale[:, None]), -127, 127).astype(jnp.int8)
+    return q, scale
 
-    def walk(node):
+
+def quantize_weights(params, min_size: int = 4096,
+                     quantize_tied_head: bool = True):
+    """Replace dense kernels with int8 + per-channel scales.
+
+    {"kernel": W} dicts: 2-D kernels >= min_size quantize per output channel;
+    3-D kernels quantize per (layer, out-channel) when the parameter name is
+    a known stacked dense (see _STACKED_DENSE_NAMES — name-based, so T5's
+    bias-free stacks are covered).  quantize_tied_head additionally rewrites
+    {"shared": {"embedding": ...}} to int8 with per-row scales (the dominant
+    small-batch decode weight; ops.layers.embed and the seq2seq LM head
+    consume the quantized form)."""
+
+    def walk(node, name=None):
         if isinstance(node, dict):
+            if quantize_tied_head and name == "shared" and \
+                    "embedding" in node and \
+                    getattr(node["embedding"], "ndim", 0) == 2 and \
+                    node["embedding"].size >= min_size:
+                q, s = _quantize_rows(node["embedding"])
+                out = {k: walk(v, k) for k, v in node.items()
+                       if k != "embedding"}
+                out["embedding_q"], out["embedding_scale"] = q, s
+                return out
             if "kernel" in node and hasattr(node["kernel"], "ndim"):
                 w = node["kernel"]
-                if w.ndim == 2 and w.size >= min_size:
-                    q, s = _quantize_kernel(w)
-                    out = {k: walk(v) for k, v in node.items()
+                quantizable = (
+                    (w.ndim == 2 and w.size >= min_size) or
+                    (w.ndim == 3 and w.size >= min_size and
+                     name in _STACKED_DENSE_NAMES))
+                if quantizable:
+                    qfn = (_quantize_kernel if w.ndim == 2
+                           else jax.vmap(_quantize_kernel))
+                    q, s = qfn(w)
+                    out = {k: walk(v, k) for k, v in node.items()
                            if k != "kernel"}
                     out["kernel_q"], out["kernel_scale"] = q, s
                     return out
-                if w.ndim == 3 and w.size >= min_size and \
-                        _looks_stacked_dense(node):
-                    q, s = jax.vmap(_quantize_kernel)(w)
-                    out = {k: walk(v) for k, v in node.items()
-                           if k != "kernel"}
-                    out["kernel_q"], out["kernel_scale"] = q, s
-                    return out
-            return {k: walk(v) for k, v in node.items()}
+            return {k: walk(v, k) for k, v in node.items()}
         if isinstance(node, list):
-            return [walk(v) for v in node]
+            return [walk(v, name) for v in node]
         return node
 
     return walk(params)
-
-
-def _looks_stacked_dense(node):
-    """Stacked dense layers have bias with matching leading axis or no bias;
-    conv kernels live under a 'conv' key handled by conv1d (kernel layout
-    (K, in, out)) — those are skipped by the caller structure since conv
-    params are {"kernel": (K,in,out)} too.  Distinguish by bias shape: a
-    stacked dense bias is (L, out); a conv bias is (out,)."""
-    b = node.get("bias")
-    w = node["kernel"]
-    if b is None:
-        return False  # ambiguous: keep full precision
-    return hasattr(b, "ndim") and b.ndim == 2 and b.shape[0] == w.shape[0]
 
 
 def quantization_report(params):

@@ -81,3 +81,39 @@ def test_save_from_pretrained_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(spm2.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_tied_lm_head_quantized():
+    """shared.embedding is the largest decode weight (V x H); it must be
+    int8 after quantization (round-1 gap: the tied head stayed fp32) and the
+    fused logits must stay close to full precision."""
+    cfg = SpeechMixConfig(encoder=ENC, decoder=DEC, down_scale=4)
+    params = smx.init_speechmix(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_weights(params, min_size=2048)
+    assert "embedding_q" in qparams["nlp"]["shared"]
+    assert qparams["nlp"]["shared"]["embedding_q"].dtype == jnp.int8
+
+    wav = jnp.asarray(
+        np.random.RandomState(0).randn(1, 16000).astype(np.float32) * 0.1)
+    labels = jnp.array([[130, 140, DEC.eos_token_id]])
+    out_fp = smx.speechmix_forward(params, cfg, wav, labels=labels)
+    out_q = smx.speechmix_forward(qparams, cfg, wav, labels=labels)
+    err = float(jnp.abs(out_fp["logits"] - out_q["logits"]).max())
+    ref = float(jnp.abs(out_fp["logits"]).max())
+    assert err < 0.05 * ref, (err, ref)
+
+
+def test_t5_stacked_kernels_quantized():
+    """T5 stacks carry no biases; name-based detection must quantize them
+    (round-1: bias-shape detection made quantize a silent no-op for T5)."""
+    cfg = SpeechMixConfig(encoder=ENC,
+                          decoder=SEQ2SEQ_PRESETS["tiny-t5-bytes"],
+                          down_scale=4)
+    params = smx.init_speechmix(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_weights(params, min_size=2048)
+    enc_layers = qparams["nlp"]["encoder"]["layers"]
+    assert "kernel_q" in enc_layers["self_attn"]["q_proj"]
+    assert enc_layers["self_attn"]["q_proj"]["kernel_q"].dtype == jnp.int8
+    # conv kernels stay full precision
+    fe = qparams["speech_encoder"]["feature_extractor"]["layers"]
+    assert "kernel" in fe[0]["conv"]

@@ -289,3 +289,102 @@ def test_greedy_generate_parity(checkpoints):
         n = (eos_pos[0] + 1) if len(eos_pos) else len(ref_row)
         np.testing.assert_array_equal(toks[b, :n], ref_row[:n])
         assert (toks[b, n:] == cfg.decoder.pad_token_id).all()
+
+
+def test_gradient_parity_vs_reference(checkpoints):
+    """Backward-pass fidelity: gradients of the fused CE loss must match the
+    reference's autograd at identical weights — the prerequisite for
+    training-dynamics/WER parity that forward parity alone cannot give."""
+    ref_model, params, cfg = _build_pair(
+        checkpoints, nlp="bart", down_scale=2, share_layer_ratio=0,
+        weighted_sum=True)
+    wav = np.random.RandomState(5).randn(2, 4000).astype(np.float32) * 0.1
+    labels = np.array([[5, 6, 7, 2], [8, 9, 10, 2]], np.int64)
+
+    ref_model.zero_grad()
+    out = ref_model(input_values=torch.tensor(wav),
+                    labels=torch.tensor(labels))
+    out["loss"].backward()
+
+    import jax
+    def loss_fn(p):
+        return smx.speechmix_forward(p, cfg, jnp.asarray(wav),
+                                     labels=jnp.asarray(labels))["loss"]
+    grads = jax.grad(loss_fn)(params)
+
+    def t_grad(name):
+        return dict(ref_model.named_parameters())[name].grad.numpy()
+
+    checks = [
+        (t_grad("enc_to_dec_proj.weight").T,
+         grads["enc_to_dec_proj"]["kernel"]),
+        (t_grad("enc_to_dec_proj.bias"), grads["enc_to_dec_proj"]["bias"]),
+        (t_grad("weights_sum"), grads["weights_sum"]),
+        (t_grad("length_adapters.0.weight").transpose(2, 1, 0),
+         grads["length_adapter"][0]["kernel"]),
+        (t_grad("decoder_model.model.shared.weight"),
+         grads["nlp"]["shared"]["embedding"]),
+        (t_grad("encoder_model.feature_projection.projection.weight").T,
+         grads["speech_encoder"]["feature_projection"]["projection"]
+         ["kernel"]),
+        (t_grad("decoder_model.model.encoder.layers.0.self_attn.q_proj"
+                ".weight").T,
+         np.asarray(grads["nlp"]["encoder"]["layers"]["self_attn"]["q_proj"]
+                    ["kernel"])[0]),
+        (t_grad("encoder_model.encoder.layers.1.feed_forward"
+                ".intermediate_dense.weight").T,
+         np.asarray(grads["speech_encoder"]["layers"]["ffn_in"]
+                    ["kernel"])[1]),
+    ]
+    for ref_g, our_g in checks:
+        np.testing.assert_allclose(np.asarray(our_g), ref_g,
+                                   rtol=5e-3, atol=1e-5)
+
+
+def test_training_dynamics_parity_vs_reference(checkpoints):
+    """Side-by-side training from IDENTICAL converted init: N plain-SGD
+    steps on the same fixed batch in the reference (torch autograd) and here
+    (jax.grad + optax.sgd) must produce matching loss curves — the strongest
+    offline substitute for the WER-parity anchor (BASELINE.md §dynamics)."""
+    import jax
+    import optax
+
+    ref_model, params, cfg = _build_pair(
+        checkpoints, nlp="bart", down_scale=2, share_layer_ratio=0,
+        weighted_sum=True)
+    wav = np.random.RandomState(6).randn(2, 4000).astype(np.float32) * 0.1
+    labels = np.array([[5, 6, 7, 2], [8, 9, 10, 2]], np.int64)
+    lr, steps = 0.05, 12
+
+    # torch side (train() but all dropout rates are 0 in the fixtures)
+    ref_model.train()
+    opt = torch.optim.SGD(ref_model.parameters(), lr=lr)
+    ref_losses = []
+    for _ in range(steps):
+        opt.zero_grad()
+        out = ref_model(input_values=torch.tensor(wav),
+                        labels=torch.tensor(labels))
+        out["loss"].backward()
+        opt.step()
+        ref_losses.append(float(out["loss"]))
+
+    # jax side
+    tx = optax.sgd(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, s):
+        def loss_fn(pp):
+            return smx.speechmix_forward(pp, cfg, jnp.asarray(wav),
+                                         labels=jnp.asarray(labels))["loss"]
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(g, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    our_losses = []
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state)
+        our_losses.append(float(loss))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-2)
+    assert our_losses[-1] < our_losses[0]  # actually trained

@@ -212,3 +212,22 @@ def test_sp_flash_incompatible():
     state = trainer_lib.create_train_state(jax.random.PRNGKey(0), CFG, tc)
     with pytest.raises(ValueError, match="sequence_parallel"):
         trainer_lib.make_train_step(CFG, tc, state.params, mesh=mesh)
+
+
+def test_checkpoint_best_step_never_pruned(tmp_path):
+    """save_total_limit pruning must keep the best-eval_loss checkpoint
+    (reference: load_best_model_at_end, train.py:300) even when it is the
+    oldest."""
+    from speechmix_tpu.training.checkpoint import CheckpointManager
+    tc = TrainConfig(output_dir=str(tmp_path))
+    state = trainer_lib.create_train_state(jax.random.PRNGKey(0), CFG, tc)
+    mgr = CheckpointManager(str(tmp_path), save_total_limit=2)
+    mgr.save(10, {"params": state.params}, {"eval_loss": 0.5})  # best
+    mgr.save(20, {"params": state.params}, {"eval_loss": 1.2})
+    mgr.save(30, {"params": state.params}, {"eval_loss": 1.4})
+    mgr.save(40, {"params": state.params}, {"eval_loss": 1.6})
+    steps = [s for s, _ in mgr._step_paths()]
+    assert 10 in steps          # best retained
+    assert steps[-1] == 40      # latest retained
+    assert mgr.best_step() == 10
+    assert mgr.latest_step() == 40
