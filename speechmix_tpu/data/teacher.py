@@ -26,6 +26,15 @@ from ..generation import greedy_decode
 from ..models import seq2seq
 
 
+def _text_bucket(n: int, floor: int = 16) -> int:
+    """Smallest power-of-two >= n (min `floor`) — the text-length compile
+    grid for teacher decoding."""
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
 def make_teacher_fn(dcfg: Seq2SeqConfig, max_length: int):
     """Returns jitted fn(params, text_ids, text_mask) -> (tokens, lengths):
     greedy decode of the teacher conditioned on the text input."""
@@ -62,7 +71,10 @@ def create_self_decoder_inputs_batched(
         # pad the chunk to full batch for a single compiled shape
         while len(chunk) < batch_size:
             chunk.append(chunk[-1])
-        t_len = max(len(c) for c in chunk)
+        # text length snaps to a power-of-two grid so compilation count is
+        # O(log max_len), not one per distinct chunk max (the docstring's
+        # per-bucket promise)
+        t_len = _text_bucket(max(len(c) for c in chunk))
         ids = np.full((batch_size, t_len), dcfg.pad_token_id, np.int32)
         mask = np.zeros((batch_size, t_len), bool)
         for i, c in enumerate(chunk):

@@ -218,6 +218,20 @@ def _encoder_block(block, cfg, x, bias, kv_mask, use_flash, dtype,
     return x
 
 
+# Unroll factor for the cached single-token decode layer scan.  True fully
+# unrolls: XLA fuses across layer boundaries, cutting the per-step fusion
+# fences the scan imposes (the PERF.md decode-overhead lever).  Identical
+# numerics (lax.scan unroll is a scheduling knob); trace-time switch.
+DECODE_LAYER_UNROLL = True
+
+
+def set_decode_layer_unroll(unroll):
+    """Trace-time switch for the cached decode layer-scan unroll (True /
+    False / int factor).  Call before the first generate() compile."""
+    global DECODE_LAYER_UNROLL
+    DECODE_LAYER_UNROLL = unroll
+
+
 class DecoderCache(NamedTuple):
     """Stacked per-layer caches for incremental decoding."""
     self_kv: KVCache          # leaves have leading layer axis
@@ -529,7 +543,10 @@ def decode(params, cfg: Seq2SeqConfig, decoder_input_ids, enc_hidden=None,
 
     dec_adapters = adapters["decoder"] if adapters is not None else None
     if cache is not None:
-        # scan over layers, threading per-layer self caches + cross K/V
+        # scan over layers, threading per-layer self caches + cross K/V.
+        # The cached path is the decode hot loop: unrolling the layer scan
+        # lets XLA fuse across layer boundaries (fewer fusion fences per
+        # step — PERF.md decode-overhead lever)
         def scan_body(h, xs):
             block, self_k, self_v, ck, cv, adapter = xs
             layer_cache = KVCache(key=self_k, value=self_v,
@@ -545,13 +562,15 @@ def decode(params, cfg: Seq2SeqConfig, decoder_input_ids, enc_hidden=None,
 
         xs = (dec["layers"], cache.self_kv.key, cache.self_kv.value,
               cache.cross_k, cache.cross_v, dec_adapters)
+        unroll = DECODE_LAYER_UNROLL if q_len == 1 else 1
         if dec_adapters is None:
             def scan_body_na(h, xs):
                 return scan_body(h, xs + (None,))
             x, (new_k, new_v, per_layer) = jax.lax.scan(
-                scan_body_na, x, xs[:-1])
+                scan_body_na, x, xs[:-1], unroll=unroll)
         else:
-            x, (new_k, new_v, per_layer) = jax.lax.scan(scan_body, x, xs)
+            x, (new_k, new_v, per_layer) = jax.lax.scan(scan_body, x, xs,
+                                                        unroll=unroll)
         new_cache = DecoderCache(
             self_kv=KVCache(key=new_k, value=new_v,
                             index=cache.self_kv.index + q_len),
