@@ -27,6 +27,13 @@ def main():
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX platform (the environment may override "
                         "JAX_PLATFORMS; this flag wins)")
+    p.add_argument("--synthetic_eval", default=0, type=int,
+                   help="decode N held-out synthetic examples and print "
+                        "corpus WER/CER (the RECIPES.md demo metric)")
+    p.add_argument("--seed", default=1, type=int,
+                   help="synthetic_eval corpus seed (train.py uses seed+1 "
+                        "for its eval split)")
+    p.add_argument("--batch", default=8, type=int)
     args = p.parse_args()
 
     import os
@@ -45,6 +52,27 @@ def main():
                          down_scale=args.down_scale)
     if args.weights:
         spm.load_weights(args.weights)
+
+    if args.synthetic_eval:
+        import json
+        from speechmix_tpu.data.datasets import (synthetic_corpus,
+                                                 prepare_examples)
+        from speechmix_tpu.data.collator import BucketBatcher, CollatorConfig
+        from speechmix_tpu.training.trainer import TrainConfig, Trainer
+        raw = synthetic_corpus(args.synthetic_eval, seed=args.seed)
+        examples = prepare_examples(raw, spm, use_teacher_targets=False)
+        ccfg = CollatorConfig(
+            pad_token_id=spm.config.decoder.pad_token_id,
+            bos_token_id=spm.tokenizer.bos_token_id,
+            max_label_length=spm.config.decoder.max_length,
+            max_text_length=spm.config.decoder.max_length)
+        batcher = BucketBatcher(ccfg, args.batch)
+        trainer = Trainer(spm.config, TrainConfig(output_dir=""),
+                          tokenizer=spm.tokenizer)
+        m = trainer.predict(spm.params, lambda: batcher(examples),
+                            max_length=args.max_length, num_beams=args.beam)
+        print(json.dumps(m))
+        return
 
     if args.audio:
         from speechmix_tpu.data.datasets import _read_audio

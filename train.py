@@ -108,6 +108,13 @@ def parse_args(args):
                              "resumes from the latest checkpoint); set well "
                              "above worst-case XLA compile time (~600s on "
                              "tunneled TPU). 0 disables")
+    parser.add_argument("--load_best_model_at_end", default=True,
+                        action=argparse.BooleanOptionalAction,
+                        help="restore the best-eval_loss checkpoint when "
+                             "training ends (reference TrainingArguments, "
+                             "train.py:300); only evaluated steps are "
+                             "candidates — align --eval_step with the run "
+                             "length or pass --no-load_best_model_at_end")
     parser.add_argument("--num_beams", default=1, type=int,
                         help="beam width for --predict_with_generate "
                              "decoding (HF-semantics beam search)")
@@ -224,6 +231,7 @@ def main(arg=None):
         fixed_nlp=bool(other.get("fixed_nlp", True)),
         predict_with_generate=input_args.predict_with_generate,
         num_beams=input_args.num_beams,
+        load_best_model_at_end=input_args.load_best_model_at_end,
         stall_timeout_s=input_args.stall_timeout,
         dropout=input_args.dropout,
     )
