@@ -222,14 +222,25 @@ def _encoder_block(block, cfg, x, bias, kv_mask, use_flash, dtype,
 # unrolls: XLA fuses across layer boundaries, cutting the per-step fusion
 # fences the scan imposes (the PERF.md decode-overhead lever).  Identical
 # numerics (lax.scan unroll is a scheduling knob); trace-time switch.
-DECODE_LAYER_UNROLL = True
+# Measured on v5e (flagship greedy, 16 s, 64 steps): unroll wins at large
+# batch (+3.9% RTFx B=32, +1.2% B=128) but LOSES ~10% at B<=8 (the unrolled
+# step's bigger program schedules worse when each matmul is tiny), so "auto"
+# unrolls only when the trace-time batch is >= _UNROLL_MIN_BATCH.
+DECODE_LAYER_UNROLL = "auto"
+_UNROLL_MIN_BATCH = 16
 
 
 def set_decode_layer_unroll(unroll):
-    """Trace-time switch for the cached decode layer-scan unroll (True /
-    False / int factor).  Call before the first generate() compile."""
+    """Trace-time switch for the cached decode layer-scan unroll ("auto" /
+    True / False / int factor).  Call before the first generate() compile."""
     global DECODE_LAYER_UNROLL
     DECODE_LAYER_UNROLL = unroll
+
+
+def _resolve_decode_unroll(batch):
+    if DECODE_LAYER_UNROLL == "auto":
+        return True if batch >= _UNROLL_MIN_BATCH else 1
+    return DECODE_LAYER_UNROLL if DECODE_LAYER_UNROLL is not False else 1
 
 
 class DecoderCache(NamedTuple):
@@ -562,7 +573,7 @@ def decode(params, cfg: Seq2SeqConfig, decoder_input_ids, enc_hidden=None,
 
         xs = (dec["layers"], cache.self_kv.key, cache.self_kv.value,
               cache.cross_k, cache.cross_v, dec_adapters)
-        unroll = DECODE_LAYER_UNROLL if q_len == 1 else 1
+        unroll = _resolve_decode_unroll(b) if q_len == 1 else 1
         if dec_adapters is None:
             def scan_body_na(h, xs):
                 return scan_body(h, xs + (None,))

@@ -2,14 +2,19 @@
 
 The reference delegates checkpointing to HF Trainer (save_steps,
 save_total_limit=2, load_best_model_at_end — train.py:300-308) and restores
-with torch.load (eval.py:10).  Here: flat numpy .npz pytree snapshots (one
-file per step — dependency-free, works for params + optimizer state).
-Layout:
+with torch.load (eval.py:10).  Two backends:
 
-  <dir>/step_<N>.npz + step_<N>.npz.meta.json
+- "npz" (default): flat numpy .npz pytree snapshots, one file per step —
+  dependency-free, works for params + optimizer state.
+  Layout: <dir>/step_<N>.npz + step_<N>.npz.meta.json
+- "orbax": orbax.checkpoint StandardSave/Restore — sharding-aware (restores
+  distributed arrays onto the live mesh without a host gather) and the
+  multi-host-safe choice (every process participates in save/restore).
+  Layout: <dir>/step_<N>/ + step_<N>.meta.json
 
-save_total_limit pruning never deletes the best-eval_loss checkpoint, so
-load-best-at-end (reference train.py:300) always has its target.
+Both share the same manager semantics: save_total_limit pruning never
+deletes the best-eval_loss checkpoint, so load-best-at-end (reference
+train.py:300) always has its target.
 """
 
 from __future__ import annotations
@@ -56,19 +61,44 @@ def load_pytree_npz(path: str, like):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def _orbax():
+    import orbax.checkpoint as ocp
+    return ocp
+
+
 class CheckpointManager:
     """Step-indexed checkpoints with save_total_limit pruning (the best-
-    eval_loss step is never pruned) and latest/best tracking."""
+    eval_loss step is never pruned) and latest/best tracking.
 
-    def __init__(self, directory: str, save_total_limit: int = 2):
+    backend: "npz" (default, single-host flat .npz files) or "orbax"
+    (sharding-aware, multi-host-safe; requires orbax-checkpoint).
+    """
+
+    def __init__(self, directory: str, save_total_limit: int = 2,
+                 backend: str = "npz"):
+        if backend not in ("npz", "orbax"):
+            raise ValueError(f"unknown checkpoint backend {backend!r}")
+        if backend == "orbax":
+            _orbax()  # fail loudly at construction, not first save
         self.directory = directory
         self.save_total_limit = save_total_limit
+        self.backend = backend
         os.makedirs(directory, exist_ok=True)
 
+    # paths -----------------------------------------------------------------
+    def _step_path(self, step: int) -> str:
+        suffix = ".npz" if self.backend == "npz" else ""
+        return os.path.join(self.directory, f"step_{step}{suffix}")
+
+    def _meta_path(self, step: int) -> str:
+        return self._step_path(step) + ".meta.json"
+
     def _step_paths(self):
+        pattern = (r"step_(\d+)\.npz$" if self.backend == "npz"
+                   else r"step_(\d+)$")
         out = []
         for name in os.listdir(self.directory):
-            m = re.match(r"step_(\d+)\.npz$", name)
+            m = re.match(pattern, name)
             if m:
                 out.append((int(m.group(1)),
                             os.path.join(self.directory, name)))
@@ -80,11 +110,20 @@ class CheckpointManager:
                 return json.load(f)
         return {}
 
+    # save/restore ----------------------------------------------------------
     def save(self, step: int, state: dict, metrics: Optional[dict] = None):
-        path = os.path.join(self.directory, f"step_{step}.npz")
-        save_pytree_npz(path, state)
+        path = self._step_path(step)
+        if self.backend == "npz":
+            save_pytree_npz(path, state)
+        else:
+            ocp = _orbax()
+            abspath = os.path.abspath(path)
+            if os.path.exists(abspath):
+                shutil.rmtree(abspath)
+            with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+                ckptr.save(abspath, state)
         meta = {"step": step, "metrics": metrics or {}}
-        with open(path + ".meta.json", "w") as f:
+        with open(self._meta_path(step), "w") as f:
             json.dump(meta, f)
         self._prune()
         return path
@@ -105,7 +144,10 @@ class CheckpointManager:
         removable = [(s, p) for s, p in steps if s != best]
         excess = len(steps) - self.save_total_limit
         for _, path in removable[:max(excess, 0)]:
-            os.remove(path)
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            else:
+                os.remove(path)
             if os.path.exists(path + ".meta.json"):
                 os.remove(path + ".meta.json")
 
@@ -117,8 +159,14 @@ class CheckpointManager:
         step = step if step is not None else self.latest_step()
         if step is None:
             return None, None
-        path = os.path.join(self.directory, f"step_{step}.npz")
-        state = load_pytree_npz(path, like)
+        path = self._step_path(step)
+        if self.backend == "npz":
+            state = load_pytree_npz(path, like)
+        else:
+            ocp = _orbax()
+            with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+                state = ckptr.restore(os.path.abspath(path),
+                                      args=ocp.args.StandardRestore(like))
         meta = {}
         if os.path.exists(path + ".meta.json"):
             with open(path + ".meta.json") as f:

@@ -69,6 +69,9 @@ class TrainConfig:
     predict_with_generate: bool = False
     num_beams: int = 1  # beams for predict_with_generate decoding
     output_dir: str = "./checkpoints"
+    # "npz" (flat single-host files) or "orbax" (sharding-aware,
+    # multi-host-safe) — training/checkpoint.py
+    checkpoint_backend: str = "npz"
     seed: int = 0
     bf16: bool = False  # compute dtype (reference --fp16 equivalent)
     # training-mode dropout at the HF placements (the reference trains with
@@ -296,7 +299,8 @@ class Trainer:
         self.logger = JSONLLogger(os.path.join(tc.output_dir, "metrics.jsonl")
                                   if tc.output_dir else None,
                                   use_wandb=tc.wandb)
-        self.ckpt = CheckpointManager(tc.output_dir, tc.save_total_limit) \
+        self.ckpt = CheckpointManager(tc.output_dir, tc.save_total_limit,
+                                      backend=tc.checkpoint_backend) \
             if tc.output_dir else None
 
     def init_state(self, rng=None):

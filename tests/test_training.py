@@ -231,3 +231,29 @@ def test_checkpoint_best_step_never_pruned(tmp_path):
     assert steps[-1] == 40      # latest retained
     assert mgr.best_step() == 10
     assert mgr.latest_step() == 40
+
+
+def test_checkpoint_orbax_backend(tmp_path):
+    """Orbax backend: round-trip, pruning with best-step retention, and
+    resume-from-latest — same manager semantics as npz (the multi-host-safe
+    path; training/checkpoint.py backend="orbax")."""
+    pytest.importorskip("orbax.checkpoint")
+    from speechmix_tpu.training.checkpoint import CheckpointManager
+    tc = TrainConfig(output_dir=str(tmp_path))
+    state = trainer_lib.create_train_state(jax.random.PRNGKey(0), CFG, tc)
+    mgr = CheckpointManager(str(tmp_path), save_total_limit=2,
+                            backend="orbax")
+    mgr.save(10, {"params": state.params}, {"eval_loss": 0.5})  # best
+    mgr.save(20, {"params": state.params}, {"eval_loss": 1.2})
+    mgr.save(30, {"params": state.params}, {"eval_loss": 1.4})
+    steps = [s for s, _ in mgr._step_paths()]
+    assert 10 in steps and steps[-1] == 30 and len(steps) == 2
+    assert mgr.best_step() == 10
+    restored, meta = mgr.restore({"params": state.params})
+    assert meta["step"] == 30
+    l0 = jax.tree_util.tree_leaves(state.params)[0]
+    r0 = jax.tree_util.tree_leaves(restored["params"])[0]
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(r0))
+    # best-step restore (load_best_model_at_end target)
+    best, best_meta = mgr.restore({"params": state.params}, step=10)
+    assert best_meta["metrics"]["eval_loss"] == 0.5

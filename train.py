@@ -50,6 +50,10 @@ def parse_args(args):
     parser.add_argument("--warmup_steps", default=500, type=int)
     parser.add_argument("--unfreeze_warmup_steps", default=1000, type=int)
     parser.add_argument("--save_total_limit", default=2, type=int)
+    parser.add_argument("--checkpoint_backend", default="npz",
+                        choices=["npz", "orbax"],
+                        help="npz: flat single-host files; orbax: "
+                        "sharding-aware, multi-host-safe")
     parser.add_argument("--max_grad_norm", default=10, type=float)
     parser.add_argument("--worker", default=10, type=int)
     parser.add_argument("--batch", type=int, default=3)
@@ -234,6 +238,7 @@ def main(arg=None):
         load_best_model_at_end=input_args.load_best_model_at_end,
         stall_timeout_s=input_args.stall_timeout,
         dropout=input_args.dropout,
+        checkpoint_backend=input_args.checkpoint_backend,
     )
 
     trainer = Trainer(model.config, tc, tokenizer=model.tokenizer)
