@@ -172,10 +172,13 @@ class _SpeechMixBase:
     # -- generation ---------------------------------------------------------
     def generate(self, input_values, decoder_text_prompt=None,
                  max_length=None, num_beams=1, length_penalty=1.0,
-                 use_flash=None):
+                 use_flash=None, kv_int8=False):
         """use_flash=None auto-enables the single-pass Pallas attention
         kernel on TPU (measured faster in situ at speech shapes — PERF.md);
-        pass False/True to override."""
+        pass False/True to override.  kv_int8 quantizes the precomputed
+        cross-attention K/V to int8 (per-token/head scales) — halves the
+        dominant decode-loop HBM read; accuracy pinned by
+        tests/test_generation.py::test_kv_int8_decode_matches."""
         if use_flash is None:
             use_flash = jax.default_backend() == "tpu"
 
@@ -187,7 +190,7 @@ class _SpeechMixBase:
                                       add_special_tokens=False), jnp.int32)
         key = ("gen", batch.shape,
                None if prompt_ids is None else prompt_ids.shape,
-               max_length, num_beams, length_penalty, use_flash)
+               max_length, num_beams, length_penalty, use_flash, kv_int8)
         fn = self._jit_generate_cache.get(key)
         if fn is None:
             def raw(params, batch, lengths, prompt_ids):
@@ -195,7 +198,8 @@ class _SpeechMixBase:
                     params, self.config, batch, lengths,
                     prompt_ids=prompt_ids, max_length=max_length,
                     num_beams=num_beams, length_penalty=length_penalty,
-                    use_flash=use_flash, dtype=self._dtype)
+                    use_flash=use_flash, dtype=self._dtype,
+                    kv_int8=kv_int8)
             fn = jax.jit(raw)
             self._jit_generate_cache[key] = fn
         tokens, _ = fn(self.params, batch, lengths, prompt_ids)

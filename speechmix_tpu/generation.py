@@ -35,7 +35,7 @@ from .models import speechmix as smx
 
 def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
                   dtype=jnp.float32, adapters=None, early_stop=False,
-                  use_flash=False):
+                  use_flash=False, kv_int8=False):
     """Greedy decode against a computed text-encoder output.
 
     Returns (tokens (B, max_length) padded with pad_token_id after EOS,
@@ -48,7 +48,7 @@ def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
     """
     b = enc_hidden.shape[0]
     cache = seq2seq.init_decoder_cache(params, dcfg, enc_hidden, b,
-                                       max_length, dtype)
+                                       max_length, dtype, kv_int8=kv_int8)
     start = jnp.full((b, 1), dcfg.decoder_start_token_id, jnp.int32)
 
     def one_step(tok, cache, finished):
@@ -107,14 +107,19 @@ def _gather_cache(cache: seq2seq.DecoderCache, idx, batch, beams):
         xr = x.reshape(l, batch, beams, *x.shape[2:])
         take = idx.reshape(1, batch, beams, *([1] * (x.ndim - 2)))
         return jnp.take_along_axis(xr, take, axis=2).reshape(x.shape)
+    # cross K/V (and scales) are invariant under beam reorder: every beam of
+    # a batch row carries the identical tiled encoder projection, so
+    # gathering them would be a full-size identity copy each step — skip it
     return seq2seq.DecoderCache(
         self_kv=jax.tree_util.tree_map(g, cache.self_kv),
-        cross_k=g(cache.cross_k), cross_v=g(cache.cross_v))
+        cross_k=cache.cross_k, cross_v=cache.cross_v,
+        cross_k_scale=cache.cross_k_scale,
+        cross_v_scale=cache.cross_v_scale)
 
 
 def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
                 length_penalty=1.0, dtype=jnp.float32, adapters=None,
-                use_flash=False, early_stopping=False):
+                use_flash=False, early_stopping=False, kv_int8=False):
     """Batched beam search with HuggingFace `generate()` semantics — the
     surface the reference exposes (hf_model.py:304-338 delegates to HF
     PreTrainedModel.generate).  Re-derived for a lax.while_loop from the
@@ -144,7 +149,7 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
     rep = lambda x: jnp.repeat(x, k, axis=0)
     enc_hidden_t, enc_mask_t = rep(enc_hidden), rep(enc_mask)
     cache0 = seq2seq.init_decoder_cache(params, dcfg, enc_hidden_t, b * k,
-                                        s_max, dtype)
+                                        s_max, dtype, kv_int8=kv_int8)
 
     def gather(x, idx):
         """(B, N, ...) gathered to (B, idx.shape[1], ...)"""
@@ -251,7 +256,7 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
 def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
              prompt_ids=None, max_length=None, num_beams=1,
              length_penalty=1.0, use_flash=False, dtype=jnp.float32,
-             early_stop=False, early_stopping=False):
+             early_stop=False, early_stopping=False, kv_int8=False):
     """Full pipeline: waveform -> fused embeds -> text encoder (once) ->
     cached decode loop.  Equivalent of HFSpeechMixEED.generate
     (hf_model.py:304-338 + eval.py:12-14), including decoder_text_prompt via
@@ -274,10 +279,12 @@ def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
     if num_beams <= 1:
         return greedy_decode(params["nlp"], cfg.decoder, enc_hidden,
                              enc_mask, max_length, dtype, adapters,
-                             early_stop=early_stop, use_flash=use_flash)
+                             early_stop=early_stop, use_flash=use_flash,
+                             kv_int8=kv_int8)
     return beam_search(params["nlp"], cfg.decoder, enc_hidden, enc_mask,
                        max_length, num_beams, length_penalty, dtype, adapters,
-                       use_flash=use_flash, early_stopping=early_stopping)
+                       use_flash=use_flash, early_stopping=early_stopping,
+                       kv_int8=kv_int8)
 
 
 def jit_generate(cfg: SpeechMixConfig, max_length=None, num_beams=1,

@@ -244,10 +244,18 @@ def _resolve_decode_unroll(batch):
 
 
 class DecoderCache(NamedTuple):
-    """Stacked per-layer caches for incremental decoding."""
+    """Stacked per-layer caches for incremental decoding.
+
+    With kv_int8 (init_decoder_cache), cross_k/cross_v hold int8 codes and
+    cross_*_scale the per-(layer, batch, token, head) f32 scales — halves
+    the dominant per-step HBM read of the decode loop (PERF.md stage
+    breakdown: cross-KV re-read is the decode bandwidth floor).  The
+    rescaling in _cross_attention is exact given the quantized codes."""
     self_kv: KVCache          # leaves have leading layer axis
-    cross_k: jnp.ndarray      # (L, B, T_enc, H, D)
+    cross_k: jnp.ndarray      # (L, B, T_enc, H, D) dtype or int8
     cross_v: jnp.ndarray
+    cross_k_scale: Optional[jnp.ndarray] = None   # (L, B, T_enc, H) f32
+    cross_v_scale: Optional[jnp.ndarray] = None
 
 
 def _decoder_block(block, cfg, x, self_bias, cross_bias, enc_hidden,
@@ -320,12 +328,14 @@ def _cross_attention(attn_params, cfg, x_q, enc_hidden, bias, cross_kv,
                            dropout_rng=dropout_rng)
         return out
     import math as _math
-    k, v = cross_kv
+    k, v = cross_kv[0], cross_kv[1]
+    k_scale, v_scale = (cross_kv[2], cross_kv[3]) if len(cross_kv) == 4 \
+        else (None, None)
     d = cfg.per_head_dim
     s = scale if scale is not None else 1.0 / _math.sqrt(d)
     q = layers.dense(attn_params["q_proj"], x_q, dtype)
     q = q.reshape(*q.shape[:2], cfg.num_heads, d)
-    if bias is None:
+    if bias is None and k_scale is None:
         from ..ops.attention import maybe_decode_kernel
         out = maybe_decode_kernel(q, k.astype(dtype), v.astype(dtype),
                                   kv_mask, s, cfg.num_heads, use_flash)
@@ -334,11 +344,19 @@ def _cross_attention(attn_params, cfg, x_q, enc_hidden, bias, cross_kv,
             return layers.dense(attn_params["out_proj"], out, dtype)
     if bias is None and kv_mask is not None:
         bias = combine_masks_to_bias(kv_mask=kv_mask)
+    # int8-KV path: scores/values computed on the int8 codes (convert fuses
+    # into the dot, so HBM reads stay int8); per-(token, head) scales applied
+    # on the small (B, H, q, T) tensors — exact given the codes
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k.astype(dtype),
                         preferred_element_type=jnp.float32) * s
+    if k_scale is not None:
+        logits = logits * k_scale.transpose(0, 2, 1)[:, :, None, :]
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if v_scale is not None:
+        probs = probs * v_scale.transpose(0, 2, 1)[:, :, None, :]
+    probs = probs.astype(dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(dtype),
                      preferred_element_type=dtype)
     out = out.reshape(*out.shape[:2], cfg.num_heads * d)
@@ -450,20 +468,35 @@ def encode(params, cfg: Seq2SeqConfig, input_ids=None, inputs_embeds=None,
     return out
 
 
+def _quantize_kv(x):
+    """Per-(batch, token, head) symmetric int8 over the head dim.
+    x: (B, T, H, D) -> (codes int8, scale f32 (B, T, H))."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    codes = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127)
+    return codes.astype(jnp.int8), scale
+
+
 def precompute_cross_kv(params, cfg: Seq2SeqConfig, enc_hidden,
-                        dtype=jnp.float32):
+                        dtype=jnp.float32, kv_int8=False):
     """Project encoder output to per-layer cross K/V once per sequence
-    (decode-time win over the reference's per-step recompute)."""
+    (decode-time win over the reference's per-step recompute).
+    kv_int8: store int8 codes + per-(token, head) scales (see DecoderCache);
+    returns (k, v) or (k, v, k_scale, v_scale)."""
     def proj(block):
         k = layers.dense(block["encoder_attn"]["k_proj"], enc_hidden, dtype)
         v = layers.dense(block["encoder_attn"]["v_proj"], enc_hidden, dtype)
         b, t, _ = k.shape
         k = k.reshape(b, t, cfg.num_heads, cfg.per_head_dim)
         v = v.reshape(b, t, cfg.num_heads, cfg.per_head_dim)
+        if kv_int8:
+            kq, ks = _quantize_kv(k)
+            vq, vs = _quantize_kv(v)
+            return kq, vq, ks, vs
         return k, v
 
-    ks, vs = _map_blocks(proj, params["decoder"]["layers"])
-    return ks, vs
+    return _map_blocks(proj, params["decoder"]["layers"])
 
 
 def _map_blocks(fn, stacked_blocks):
@@ -475,8 +508,12 @@ def _map_blocks(fn, stacked_blocks):
 
 
 def init_decoder_cache(params, cfg: Seq2SeqConfig, enc_hidden, batch,
-                       capacity, dtype=jnp.float32) -> DecoderCache:
-    cross_k, cross_v = precompute_cross_kv(params, cfg, enc_hidden, dtype)
+                       capacity, dtype=jnp.float32,
+                       kv_int8=False) -> DecoderCache:
+    out = precompute_cross_kv(params, cfg, enc_hidden, dtype,
+                              kv_int8=kv_int8)
+    cross_k, cross_v = out[0], out[1]
+    scales = (out[2], out[3]) if kv_int8 else (None, None)
     self_kv = KVCache(
         key=jnp.zeros((cfg.decoder_layers, batch, capacity, cfg.num_heads,
                        cfg.per_head_dim), dtype),
@@ -484,7 +521,8 @@ def init_decoder_cache(params, cfg: Seq2SeqConfig, enc_hidden, batch,
                          cfg.per_head_dim), dtype),
         index=jnp.zeros((), jnp.int32),
     )
-    return DecoderCache(self_kv=self_kv, cross_k=cross_k, cross_v=cross_v)
+    return DecoderCache(self_kv=self_kv, cross_k=cross_k, cross_v=cross_v,
+                        cross_k_scale=scales[0], cross_v_scale=scales[1])
 
 
 def decode(params, cfg: Seq2SeqConfig, decoder_input_ids, enc_hidden=None,
@@ -558,13 +596,22 @@ def decode(params, cfg: Seq2SeqConfig, decoder_input_ids, enc_hidden=None,
         # The cached path is the decode hot loop: unrolling the layer scan
         # lets XLA fuse across layer boundaries (fewer fusion fences per
         # step — PERF.md decode-overhead lever)
+        has_kv_scale = cache.cross_k_scale is not None
+
         def scan_body(h, xs):
-            block, self_k, self_v, ck, cv, adapter = xs
+            block, self_k, self_v, ck, cv = xs[:5]
+            rest = xs[5:]
+            if has_kv_scale:
+                ksc, vsc, rest = rest[0], rest[1], rest[2:]
+                cross = (ck, cv, ksc, vsc)
+            else:
+                cross = (ck, cv)
+            adapter = rest[0] if rest else None
             layer_cache = KVCache(key=self_k, value=self_v,
                                   index=cache.self_kv.index)
             y, new_c = _decoder_block(
                 block, cfg, h, self_bias, cross_bias, None, layer_cache,
-                (ck, cv), use_flash, dtype,
+                cross, use_flash, dtype,
                 self_kv_mask=self_kv_mask, cross_kv_mask=encoder_mask)
             if adapter is not None:
                 y = apply_adapter(adapter, y, dtype)
@@ -572,20 +619,20 @@ def decode(params, cfg: Seq2SeqConfig, decoder_input_ids, enc_hidden=None,
                        y if output_hidden_states else 0)
 
         xs = (dec["layers"], cache.self_kv.key, cache.self_kv.value,
-              cache.cross_k, cache.cross_v, dec_adapters)
+              cache.cross_k, cache.cross_v)
+        if has_kv_scale:
+            xs = xs + (cache.cross_k_scale, cache.cross_v_scale)
+        if dec_adapters is not None:
+            xs = xs + (dec_adapters,)
         unroll = _resolve_decode_unroll(b) if q_len == 1 else 1
-        if dec_adapters is None:
-            def scan_body_na(h, xs):
-                return scan_body(h, xs + (None,))
-            x, (new_k, new_v, per_layer) = jax.lax.scan(
-                scan_body_na, x, xs[:-1], unroll=unroll)
-        else:
-            x, (new_k, new_v, per_layer) = jax.lax.scan(scan_body, x, xs,
-                                                        unroll=unroll)
+        x, (new_k, new_v, per_layer) = jax.lax.scan(scan_body, x, xs,
+                                                    unroll=unroll)
         new_cache = DecoderCache(
             self_kv=KVCache(key=new_k, value=new_v,
                             index=cache.self_kv.index + q_len),
-            cross_k=cache.cross_k, cross_v=cache.cross_v)
+            cross_k=cache.cross_k, cross_v=cache.cross_v,
+            cross_k_scale=cache.cross_k_scale,
+            cross_v_scale=cache.cross_v_scale)
     else:
         def block_fn(block, h, self_bias, cross_bias, enc_hidden,
                      self_kv_mask, rng):

@@ -29,7 +29,8 @@ class TranscriptionPipeline:
     def __init__(self, model, batch_size: int = 16, max_length: int = None,
                  num_beams: int = 1, buckets_sec: Sequence[float] =
                  audio_lib.DEFAULT_BUCKETS, sample_rate: int = 16000,
-                 use_flash: bool = None, early_stop: bool = True):
+                 use_flash: bool = None, early_stop: bool = True,
+                 kv_int8: bool = False):
         # use_flash=None: auto — the single-pass Pallas attention kernel on
         # TPU (measured faster in situ, PERF.md); False/True to override.
         # early_stop: exit the decode loop once every row has emitted EOS
@@ -37,6 +38,9 @@ class TranscriptionPipeline:
         # test_generate_early_stop_matches_full_scan; real speech stops at
         # 30-60 tokens, saving up to ~half the decode time).  GREEDY ONLY:
         # beam search (num_beams > 1) always runs the full max_length scan.
+        # kv_int8: quantize the precomputed cross-attention K/V to int8
+        # (halves the dominant decode HBM read; near-exact — see
+        # test_kv_int8_decode_matches).
         self.model = model
         self.batch_size = batch_size
         self.max_length = max_length or model.config.decoder.max_length
@@ -45,6 +49,7 @@ class TranscriptionPipeline:
             use_flash = jax.default_backend() == "tpu"
         self.use_flash = use_flash
         self.early_stop = early_stop
+        self.kv_int8 = kv_int8
         self.buckets_sec = buckets_sec
         self.sample_rate = sample_rate
         self._fns = {}
@@ -55,12 +60,13 @@ class TranscriptionPipeline:
             cfg = self.model.config
             num_beams, max_length = self.num_beams, self.max_length
             use_flash, early_stop = self.use_flash, self.early_stop
+            kv_int8 = self.kv_int8
 
             def raw(params, batch, lengths):
                 return gen_lib.generate(
                     params, cfg, batch, lengths, max_length=max_length,
                     num_beams=num_beams, use_flash=use_flash,
-                    early_stop=early_stop,
+                    early_stop=early_stop, kv_int8=kv_int8,
                     dtype=jnp.bfloat16
                     if cfg.dtype == "bfloat16" else jnp.float32)
 

@@ -95,3 +95,34 @@ def test_prompt_changes_output(params):
     t_prompt, _ = gen_lib.generate(params, CFG, wav, prompt_ids=prompt,
                                    max_length=8)
     assert t_plain.shape == t_prompt.shape  # static shapes regardless
+
+
+def test_kv_int8_decode_matches(params):
+    """int8 cross-KV (per-token/head scales, seq2seq.DecoderCache) decodes
+    the same tokens as full-precision cross-KV on the tiny model, for both
+    greedy and beam, and the quantized cross-attention logits stay close."""
+    wav = jnp.asarray(
+        np.random.RandomState(3).randn(2, 16000).astype(np.float32) * 0.1)
+    for beams in (1, 2):
+        ref, _ = gen_lib.generate(params, CFG, wav, max_length=10,
+                                  num_beams=beams)
+        q8, _ = gen_lib.generate(params, CFG, wav, max_length=10,
+                                 num_beams=beams, kv_int8=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(q8))
+
+    # logits-level agreement on one cached step
+    embeds, mask, _ = smx.encode_speech(params, CFG, wav)
+    enc_out = s2s.encode(params["nlp"], DEC, inputs_embeds=embeds,
+                         attention_mask=mask)
+    tok = jnp.full((2, 1), DEC.decoder_start_token_id, jnp.int32)
+    outs = {}
+    for int8 in (False, True):
+        cache = s2s.init_decoder_cache(params["nlp"], DEC,
+                                       enc_out["last_hidden_state"], 2, 4,
+                                       kv_int8=int8)
+        outs[int8] = np.asarray(
+            s2s.decode(params["nlp"], DEC, tok, encoder_mask=mask,
+                       cache=cache)["logits"])
+    err = np.max(np.abs(outs[True] - outs[False]))
+    scale = np.max(np.abs(outs[False])) + 1e-9
+    assert err / scale < 0.02, f"relative logits error {err / scale}"
