@@ -335,10 +335,15 @@ def _cross_attention(attn_params, cfg, x_q, enc_hidden, bias, cross_kv,
     s = scale if scale is not None else 1.0 / _math.sqrt(d)
     q = layers.dense(attn_params["q_proj"], x_q, dtype)
     q = q.reshape(*q.shape[:2], cfg.num_heads, d)
-    if bias is None and k_scale is None:
+    if bias is None:
         from ..ops.attention import maybe_decode_kernel
-        out = maybe_decode_kernel(q, k.astype(dtype), v.astype(dtype),
-                                  kv_mask, s, cfg.num_heads, use_flash)
+        if k_scale is None:
+            k_in, v_in = k.astype(dtype), v.astype(dtype)
+        else:
+            k_in, v_in = k, v  # int8 codes go to the kernel untouched
+        out = maybe_decode_kernel(q, k_in, v_in, kv_mask, s, cfg.num_heads,
+                                  use_flash, k_scale=k_scale,
+                                  v_scale=v_scale)
         if out is not None:
             out = out.reshape(*out.shape[:2], cfg.num_heads * d)
             return layers.dense(attn_params["out_proj"], out, dtype)

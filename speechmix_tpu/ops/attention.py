@@ -90,17 +90,21 @@ def set_decode_kernel(enabled: bool):
     DECODE_KERNEL_ENABLED = bool(enabled)
 
 
-def maybe_decode_kernel(q, k, v, kv_mask, scale, num_heads, use_flash):
+def maybe_decode_kernel(q, k, v, kv_mask, scale, num_heads, use_flash,
+                        k_scale=None, v_scale=None):
     """Dispatch the fused single-query decode-attention kernel
     (ops/pallas/decode_attention.py) when eligible; None otherwise.  Shared
     by attention() (cached self-attn) and seq2seq._cross_attention
-    (precomputed-K/V cross-attn) so the gating stays in one place."""
+    (precomputed-K/V cross-attn) so the gating stays in one place.
+    k_scale/v_scale: int8-KV dequant scales (kv_int8 path) — the kernel
+    reads the int8 codes directly and dequantizes in-register."""
     if (DECODE_KERNEL_ENABLED and use_flash and q.shape[1] == 1
             and kv_mask is not None
             and jax.default_backend() == "tpu"):
         from .pallas.decode_attention import decode_attention
         return decode_attention(q, k, v, kv_mask, scale=scale,
-                                num_heads=num_heads)
+                                num_heads=num_heads, k_scale=k_scale,
+                                v_scale=v_scale)
     return None
 
 
