@@ -22,6 +22,9 @@ def main():
     p.add_argument("--prompt", default=None)
     p.add_argument("--max_length", default=250, type=int)
     p.add_argument("--beam", default=1, type=int)
+    p.add_argument("--kv_int8", action="store_true",
+                   help="int8 cross-attention KV in the decode loop "
+                   "(near-exact, faster at large batch)")
     p.add_argument("--share_layer_ratio", default=0, type=float)
     p.add_argument("--down_scale", default=8, type=int)
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
@@ -70,7 +73,8 @@ def main():
         trainer = Trainer(spm.config, TrainConfig(output_dir=""),
                           tokenizer=spm.tokenizer)
         m = trainer.predict(spm.params, lambda: batcher(examples),
-                            max_length=args.max_length, num_beams=args.beam)
+                            max_length=args.max_length, num_beams=args.beam,
+                            kv_int8=args.kv_int8)
         print(json.dumps(m))
         return
 
@@ -86,7 +90,8 @@ def main():
         print("reference text:", ex["text"])
 
     outputs = spm.generate([wav], decoder_text_prompt=args.prompt,
-                           max_length=args.max_length, num_beams=args.beam)
+                           max_length=args.max_length, num_beams=args.beam,
+                           kv_int8=args.kv_int8)
     decoded = spm.tokenizer.decode(np.asarray(outputs[0]),
                                    skip_special_tokens=True)
     print("decoded:", decoded)

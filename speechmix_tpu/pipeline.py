@@ -30,7 +30,8 @@ class TranscriptionPipeline:
                  num_beams: int = 1, buckets_sec: Sequence[float] =
                  audio_lib.DEFAULT_BUCKETS, sample_rate: int = 16000,
                  use_flash: bool = None, early_stop: bool = True,
-                 kv_int8: bool = False):
+                 kv_int8: bool = False, long_audio: str = "chunk",
+                 long_audio_search_sec: float = 2.0):
         # use_flash=None: auto — the single-pass Pallas attention kernel on
         # TPU (measured faster in situ, PERF.md); False/True to override.
         # early_stop: exit the decode loop once every row has emitted EOS
@@ -41,6 +42,16 @@ class TranscriptionPipeline:
         # kv_int8: quantize the precomputed cross-attention K/V to int8
         # (halves the dominant decode HBM read; near-exact — see
         # test_kv_int8_decode_matches).
+        # long_audio: audio longer than the largest bucket is "chunk"ed at
+        # the lowest-energy point within the last `long_audio_search_sec` of
+        # each max-bucket window (avoids cutting mid-word) and the chunk
+        # transcripts are space-joined; "truncate" keeps the legacy behavior
+        # (drop everything past the largest bucket).
+        if long_audio not in ("chunk", "truncate"):
+            raise ValueError(f"long_audio must be 'chunk' or 'truncate', "
+                             f"got {long_audio!r}")
+        self.long_audio = long_audio
+        self.long_audio_search_sec = long_audio_search_sec
         self.model = model
         self.batch_size = batch_size
         self.max_length = max_length or model.config.decoder.max_length
@@ -88,6 +99,28 @@ class TranscriptionPipeline:
             fn.lower(self.model.params, batch, lengths).compile()
         return self
 
+    def split_long(self, wav: np.ndarray) -> List[np.ndarray]:
+        """Split a waveform longer than the largest bucket into
+        max-bucket-sized chunks, cutting each at the lowest-energy sample
+        (25 ms RMS window) within the final `long_audio_search_sec` of the
+        window.  Segments are non-overlapping and reconstruct the input."""
+        sr = self.sample_rate
+        max_cap = int(self.buckets_sec[-1] * sr)
+        search = max(1, min(int(self.long_audio_search_sec * sr),
+                            max_cap // 2))
+        win = max(1, int(0.025 * sr))
+        chunks, pos = [], 0
+        while len(wav) - pos > max_cap:
+            lo = pos + max_cap - search
+            seg = wav[lo: pos + max_cap].astype(np.float64)
+            energy = np.convolve(seg * seg, np.ones(win), mode="valid")
+            cut = lo + int(np.argmin(energy)) + win // 2
+            cut = max(pos + 1, min(cut, pos + max_cap))
+            chunks.append(wav[pos:cut])
+            pos = cut
+        chunks.append(wav[pos:])
+        return chunks
+
     def __call__(self, waveforms: List[np.ndarray],
                  sample_rates: Optional[List[int]] = None) -> List[str]:
         n = len(waveforms)
@@ -99,17 +132,23 @@ class TranscriptionPipeline:
                                          self.sample_rate)
             prepped.append(wav)
 
-        # bucket by padded length
-        pools = defaultdict(list)  # cap -> [(orig_idx, wav)]
+        # bucket by padded length; long audio becomes several segments that
+        # share the source index (their transcripts are space-joined below)
+        max_cap = int(self.buckets_sec[-1] * self.sample_rate)
+        pools = defaultdict(list)    # cap -> [(orig_idx, seg_idx, wav)]
+        seg_counts = [1] * n
         for i, wav in enumerate(prepped):
-            cap = audio_lib.bucket_length(len(wav), self.buckets_sec,
-                                          self.sample_rate)
-            if cap is None:  # longer than the largest bucket: truncate
-                cap = int(self.buckets_sec[-1] * self.sample_rate)
-                wav = wav[:cap]
-            pools[cap].append((i, wav))
+            if len(wav) > max_cap and self.long_audio == "chunk":
+                segs = self.split_long(wav)
+            else:
+                segs = [wav[:max_cap]]
+            seg_counts[i] = len(segs)
+            for si, seg in enumerate(segs):
+                cap = audio_lib.bucket_length(len(seg), self.buckets_sec,
+                                              self.sample_rate) or max_cap
+                pools[cap].append((i, si, seg))
 
-        results: List[Optional[str]] = [None] * n
+        seg_results = {}  # (orig_idx, seg_idx) -> text
         for cap, items in pools.items():
             fn = self._fn_for(cap)
             for start in range(0, len(items), self.batch_size):
@@ -119,14 +158,20 @@ class TranscriptionPipeline:
                     chunk.append(chunk[-1])
                 batch = np.zeros((self.batch_size, cap), np.float32)
                 lengths = np.zeros((self.batch_size,), np.int32)
-                for j, (_, wav) in enumerate(chunk):
+                for j, (_, _, wav) in enumerate(chunk):
                     batch[j, : len(wav)] = wav
                     lengths[j] = len(wav)
                 tokens, _ = fn(self.model.params, jnp.asarray(batch),
                                jnp.asarray(lengths))
                 tokens = np.asarray(tokens)
                 for j in range(real):
-                    idx = chunk[j][0]
-                    results[idx] = self.model.tokenizer.decode(
+                    idx, si, _ = chunk[j]
+                    seg_results[(idx, si)] = self.model.tokenizer.decode(
                         tokens[j], skip_special_tokens=True)
+
+        results: List[str] = []
+        for i in range(n):
+            parts = [seg_results[(i, si)] for si in range(seg_counts[i])]
+            results.append(" ".join(p for p in parts if p).strip()
+                           if len(parts) > 1 else parts[0])
         return results

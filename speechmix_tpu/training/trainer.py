@@ -422,7 +422,7 @@ class Trainer:
         return state
 
     def predict(self, params, eval_batches, max_length=None, num_beams=1,
-                heartbeat=None):
+                heartbeat=None, kv_int8=False):
         """Free-running ASR eval: greedy/beam generate() per batch + WER/CER
         against the label transcripts.  This is the real decoding metric (the
         teacher-forced eval in `evaluate` mirrors the reference's Trainer
@@ -446,6 +446,7 @@ class Trainer:
                         # on TPU (PERF.md); training keeps XLA attention
                         # (no custom VJP needed)
                         use_flash=jax.default_backend() == "tpu",
+                        kv_int8=kv_int8,
                         dtype=jnp.bfloat16 if self.tc.bf16 else jnp.float32)
                 fn = jax.jit(raw)
                 fns[shape] = fn

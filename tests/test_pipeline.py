@@ -42,3 +42,38 @@ def test_pipeline_warmup_precompiles(model):
     pipe.warmup()
     caps = {int(s * pipe.sample_rate) for s in pipe.buckets_sec}
     assert set(pipe._fns) == caps
+
+
+def test_split_long_reconstructs(model):
+    pipe = TranscriptionPipeline(model, batch_size=2,
+                                          buckets_sec=(0.5, 1.0),
+                                          max_length=6)
+    rng = np.random.RandomState(0)
+    wav = rng.randn(int(2.7 * 16000)).astype(np.float32) * 0.1
+    segs = pipe.split_long(wav)
+    assert len(segs) >= 3                      # 2.7 s over 1.0 s buckets
+    assert all(len(s) <= 16000 for s in segs)  # each fits the largest bucket
+    np.testing.assert_array_equal(np.concatenate(segs), wav)  # lossless
+
+
+def test_long_audio_chunked_transcription(model):
+    """Audio longer than the largest bucket is chunked (not truncated) and
+    the chunk transcripts are joined; order preserved across mixed lengths."""
+    rng = np.random.RandomState(1)
+    long_wav = rng.randn(int(2.3 * 16000)).astype(np.float32) * 0.1
+    short_wav = rng.randn(int(0.4 * 16000)).astype(np.float32) * 0.1
+    pipe = TranscriptionPipeline(model, batch_size=2,
+                                          buckets_sec=(0.5, 1.0),
+                                          max_length=6)
+    out = pipe([long_wav, short_wav, long_wav])
+    assert len(out) == 3 and all(isinstance(t, str) for t in out)
+    assert out[0] == out[2]                    # same audio, same transcript
+    # chunked result is the join of per-segment transcriptions
+    seg_texts = pipe(pipe.split_long(long_wav))
+    assert out[0] == " ".join(t for t in seg_texts if t).strip()
+    # legacy truncate mode still available
+    trunc = TranscriptionPipeline(model, batch_size=2,
+                                           buckets_sec=(0.5, 1.0),
+                                           max_length=6,
+                                           long_audio="truncate")
+    assert trunc([long_wav])[0] == pipe([long_wav[:16000]])[0]
