@@ -29,6 +29,11 @@ def main():
     p.add_argument("--num_beams", default=1, type=int)
     p.add_argument("--max_length", default=48, type=int)
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    p.add_argument("--data_parallel", action="store_true",
+                   help="serve over a device mesh (batch sharded over the "
+                   "data axis; linear RTFx scaling across chips)")
+    p.add_argument("--kv_int8", action="store_true",
+                   help="int8 cross-attention KV in the decode loop")
     args = p.parse_args()
 
     import jax
@@ -56,9 +61,14 @@ def main():
         waveforms = [e["audio"] for e in exs]
         refs = [e["text"] for e in exs]
 
+    mesh = None
+    if args.data_parallel:
+        from speechmix_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh()
     pipe = TranscriptionPipeline(spm, batch_size=8,
                                  max_length=args.max_length,
-                                 num_beams=args.num_beams)
+                                 num_beams=args.num_beams,
+                                 kv_int8=args.kv_int8, mesh=mesh)
     for ref, hyp in zip(refs, pipe(waveforms)):
         if ref is not None:
             print(f"REF: {ref}")

@@ -23,6 +23,7 @@ import numpy as np
 
 from . import generation as gen_lib
 from .data import audio as audio_lib
+from .parallel import mesh as mesh_lib
 
 
 class TranscriptionPipeline:
@@ -31,7 +32,7 @@ class TranscriptionPipeline:
                  audio_lib.DEFAULT_BUCKETS, sample_rate: int = 16000,
                  use_flash: bool = None, early_stop: bool = True,
                  kv_int8: bool = False, long_audio: str = "chunk",
-                 long_audio_search_sec: float = 2.0):
+                 long_audio_search_sec: float = 2.0, mesh=None):
         # use_flash=None: auto — the single-pass Pallas attention kernel on
         # TPU (measured faster in situ, PERF.md); False/True to override.
         # early_stop: exit the decode loop once every row has emitted EOS
@@ -47,9 +48,20 @@ class TranscriptionPipeline:
         # each max-bucket window (avoids cutting mid-word) and the chunk
         # transcripts are space-joined; "truncate" keeps the legacy behavior
         # (drop everything past the largest bucket).
+        # mesh: a jax.sharding.Mesh (parallel.mesh.make_mesh) for
+        # multi-chip serving — the batch axis shards over `data` (linear
+        # RTFx scaling) and params follow the tensor-parallel layout rules
+        # over `model` when that axis is >1.  batch_size must be a multiple
+        # of the data-axis size.
         if long_audio not in ("chunk", "truncate"):
             raise ValueError(f"long_audio must be 'chunk' or 'truncate', "
                              f"got {long_audio!r}")
+        if mesh is not None:
+            n_data = mesh.shape[mesh_lib.DATA_AXIS]
+            if batch_size % n_data != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} must be a multiple of the "
+                    f"mesh data-axis size {n_data}")
         self.long_audio = long_audio
         self.long_audio_search_sec = long_audio_search_sec
         self.model = model
@@ -63,6 +75,8 @@ class TranscriptionPipeline:
         self.kv_int8 = kv_int8
         self.buckets_sec = buckets_sec
         self.sample_rate = sample_rate
+        self.mesh = mesh
+        self._sharded_params = None
         self._fns = {}
 
     def _fn_for(self, t_samples: int):
@@ -85,6 +99,23 @@ class TranscriptionPipeline:
             self._fns[t_samples] = fn
         return fn
 
+    def _run_params(self):
+        """Model params placed for execution: mesh-sharded (replicated over
+        `data`, tensor-parallel over `model`) when serving over a mesh."""
+        if self.mesh is None:
+            return self.model.params
+        if self._sharded_params is None:
+            self._sharded_params = mesh_lib.shard_params(self.mesh,
+                                                         self.model.params)
+        return self._sharded_params
+
+    def _place_batch(self, batch, lengths):
+        if self.mesh is None:
+            return jnp.asarray(batch), jnp.asarray(lengths)
+        placed = mesh_lib.shard_batch(self.mesh,
+                                      {"b": batch, "l": lengths})
+        return placed["b"], placed["l"]
+
     def warmup(self):
         """Precompile every length bucket before serving traffic (first
         compiles take seconds to minutes; without warmup the first request
@@ -94,9 +125,10 @@ class TranscriptionPipeline:
         for sec in self.buckets_sec:
             cap = int(sec * self.sample_rate)
             fn = self._fn_for(cap)
-            batch = jnp.zeros((self.batch_size, cap), jnp.float32)
-            lengths = jnp.full((self.batch_size,), cap, jnp.int32)
-            fn.lower(self.model.params, batch, lengths).compile()
+            batch, lengths = self._place_batch(
+                np.zeros((self.batch_size, cap), np.float32),
+                np.full((self.batch_size,), cap, np.int32))
+            fn.lower(self._run_params(), batch, lengths).compile()
         return self
 
     def split_long(self, wav: np.ndarray) -> List[np.ndarray]:
@@ -161,8 +193,8 @@ class TranscriptionPipeline:
                 for j, (_, _, wav) in enumerate(chunk):
                     batch[j, : len(wav)] = wav
                     lengths[j] = len(wav)
-                tokens, _ = fn(self.model.params, jnp.asarray(batch),
-                               jnp.asarray(lengths))
+                b_dev, l_dev = self._place_batch(batch, lengths)
+                tokens, _ = fn(self._run_params(), b_dev, l_dev)
                 tokens = np.asarray(tokens)
                 for j in range(real):
                     idx, si, _ = chunk[j]

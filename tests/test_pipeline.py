@@ -77,3 +77,24 @@ def test_long_audio_chunked_transcription(model):
                                            max_length=6,
                                            long_audio="truncate")
     assert trunc([long_wav])[0] == pipe([long_wav[:16000]])[0]
+
+
+def test_mesh_sharded_serving_matches_single_device(model):
+    """Serving over an 8-device data-parallel mesh (parallel/mesh.py) must
+    produce exactly the single-device transcripts — batch sharded over
+    `data`, params replicated/TP-placed."""
+    from speechmix_tpu.parallel import mesh as mesh_lib
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.RandomState(2)
+    waveforms = [rng.randn(n).astype(np.float32) * 0.1
+                 for n in [7000, 15000, 9000, 16000, 7000]]
+    single = TranscriptionPipeline(model, batch_size=8, max_length=6,
+                                   buckets_sec=(0.5, 1.0))
+    mesh = mesh_lib.make_mesh()  # 8 x 1 x 1
+    sharded = TranscriptionPipeline(model, batch_size=8, max_length=6,
+                                    buckets_sec=(0.5, 1.0), mesh=mesh)
+    assert single(waveforms) == sharded(waveforms)
+    with pytest.raises(ValueError):
+        TranscriptionPipeline(model, batch_size=3, mesh=mesh)
