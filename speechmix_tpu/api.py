@@ -242,6 +242,23 @@ class _SpeechMixBase:
         self.load_weights(os.path.join(directory, "weights.npz"))
         return self
 
+    def export_reference_state_dict(self, path: str = None):
+        """Export the fused params as a reference-format torch state dict
+        (convert.export_speechmix) — loadable by the reference
+        HFSpeechMixEED via load_state_dict, so a model trained here goes
+        back to the reference / HF torch ecosystem.  With `path`, saves a
+        pytorch_model.bin via torch (falls back to .npz if torch is
+        missing); always returns the dict of numpy arrays."""
+        from . import convert
+        sd = convert.export_speechmix(self.params, self.config)
+        if path:
+            try:
+                import torch
+                torch.save({k: torch.tensor(v) for k, v in sd.items()}, path)
+            except ImportError:
+                np.savez(path, **sd)
+        return sd
+
     def load_hf_checkpoint(self, speech_path=None, nlp_path=None):
         """Import pretrained weights from local HF checkpoints (torch
         state_dicts); see speechmix_tpu.convert."""

@@ -329,3 +329,165 @@ def load_speechmix(sd_or_path, cfg):
     if cfg.variant == "gan" and "discriminator.weight" in sd:
         params["discriminator"] = _lin(sd, "discriminator")
     return params
+
+
+# ----------------------------------------------------------------------------
+# export: fused params -> reference-format state dict (the inverse direction:
+# take a model trained here back to the reference / HF torch ecosystem)
+# ----------------------------------------------------------------------------
+
+def _exp_lin(out, p, name):
+    out[f"{name}.weight"] = np.asarray(p["kernel"]).T
+    if "bias" in p:
+        out[f"{name}.bias"] = np.asarray(p["bias"])
+
+
+def _exp_ln(out, p, name):
+    out[f"{name}.weight"] = np.asarray(p["scale"])
+    out[f"{name}.bias"] = np.asarray(p["bias"])
+
+
+def _exp_rms(out, p, name):
+    out[f"{name}.weight"] = np.asarray(p["scale"])
+
+
+def _exp_conv(out, p, name):
+    out[f"{name}.weight"] = np.asarray(p["kernel"]).transpose(2, 1, 0)
+    if "bias" in p:
+        out[f"{name}.bias"] = np.asarray(p["bias"])
+
+
+def _unstack(stacked):
+    import jax
+    n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    return [jax.tree_util.tree_map(lambda x: x[i], stacked)
+            for i in range(n)]
+
+
+def _export_speech_encoder(out, params, prefix):
+    for i, layer in enumerate(params["feature_extractor"]["layers"]):
+        base = f"{prefix}feature_extractor.conv_layers.{i}"
+        _exp_conv(out, layer["conv"], f"{base}.conv")
+        if "norm" in layer:
+            _exp_ln(out, layer["norm"], f"{base}.layer_norm")
+    fp = params["feature_projection"]
+    _exp_ln(out, fp["layer_norm"], f"{prefix}feature_projection.layer_norm")
+    _exp_lin(out, fp["projection"], f"{prefix}feature_projection.projection")
+    # pos-conv weight-norm decomposition: v = w, g = ||w|| over (out, in)
+    # per kernel position — _materialize_weight_norm reconstructs w exactly
+    w = np.asarray(params["pos_conv"]["kernel"]).transpose(2, 1, 0)
+    g = np.sqrt((w ** 2).sum(axis=(0, 1), keepdims=True))
+    base = f"{prefix}encoder.pos_conv_embed.conv"
+    out[f"{base}.weight_g"] = g
+    out[f"{base}.weight_v"] = w
+    out[f"{base}.bias"] = np.asarray(params["pos_conv"]["bias"])
+    _exp_ln(out, params["encoder_layer_norm"], f"{prefix}encoder.layer_norm")
+    for i, blk in enumerate(_unstack(params["layers"])):
+        b = f"{prefix}encoder.layers.{i}"
+        for nm in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _exp_lin(out, blk["attention"][nm], f"{b}.attention.{nm}")
+        _exp_ln(out, blk["attention_layer_norm"], f"{b}.layer_norm")
+        _exp_lin(out, blk["ffn_in"],
+                 f"{b}.feed_forward.intermediate_dense")
+        _exp_lin(out, blk["ffn_out"], f"{b}.feed_forward.output_dense")
+        _exp_ln(out, blk["final_layer_norm"], f"{b}.final_layer_norm")
+
+
+def _export_bart_block(out, blk, b, is_decoder):
+    for nm in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        _exp_lin(out, blk["self_attn"][nm], f"{b}.self_attn.{nm}")
+    _exp_ln(out, blk["self_attn_layer_norm"], f"{b}.self_attn_layer_norm")
+    _exp_lin(out, blk["fc1"], f"{b}.fc1")
+    _exp_lin(out, blk["fc2"], f"{b}.fc2")
+    _exp_ln(out, blk["final_layer_norm"], f"{b}.final_layer_norm")
+    if is_decoder:
+        for nm in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _exp_lin(out, blk["encoder_attn"][nm], f"{b}.encoder_attn.{nm}")
+        _exp_ln(out, blk["encoder_attn_layer_norm"],
+                f"{b}.encoder_attn_layer_norm")
+
+
+def _export_t5_block(out, blk, b, is_decoder, gated):
+    for ours, theirs in (("q_proj", "q"), ("k_proj", "k"), ("v_proj", "v"),
+                         ("out_proj", "o")):
+        _exp_lin(out, blk["self_attn"][ours],
+                 f"{b}.layer.0.SelfAttention.{theirs}")
+    _exp_rms(out, blk["self_attn_layer_norm"], f"{b}.layer.0.layer_norm")
+    ff_idx = 2 if is_decoder else 1
+    ff = f"{b}.layer.{ff_idx}.DenseReluDense"
+    if gated:
+        _exp_lin(out, blk["fc_gate"], f"{ff}.wi_0")
+        _exp_lin(out, blk["fc1"], f"{ff}.wi_1")
+    else:
+        _exp_lin(out, blk["fc1"], f"{ff}.wi")
+    _exp_lin(out, blk["fc2"], f"{ff}.wo")
+    _exp_rms(out, blk["final_layer_norm"], f"{b}.layer.{ff_idx}.layer_norm")
+    if is_decoder:
+        for ours, theirs in (("q_proj", "q"), ("k_proj", "k"),
+                             ("v_proj", "v"), ("out_proj", "o")):
+            _exp_lin(out, blk["encoder_attn"][ours],
+                     f"{b}.layer.1.EncDecAttention.{theirs}")
+        _exp_rms(out, blk["encoder_attn_layer_norm"],
+                 f"{b}.layer.1.layer_norm")
+
+
+def _export_seq2seq(out, params, cfg: Seq2SeqConfig, prefix):
+    shared = np.asarray(params["shared"]["embedding"])
+    if cfg.arch == "bart":
+        m = f"{prefix}model."
+        out[f"{m}shared.weight"] = shared
+        # tied aliases torch's state_dict() also carries
+        out[f"{m}encoder.embed_tokens.weight"] = shared
+        out[f"{m}decoder.embed_tokens.weight"] = shared
+        for side in ("encoder", "decoder"):
+            p = params[side]
+            out[f"{m}{side}.embed_positions.weight"] = np.asarray(
+                p["embed_positions"]["embedding"])
+            _exp_ln(out, p["layernorm_embedding"],
+                    f"{m}{side}.layernorm_embedding")
+            for i, blk in enumerate(_unstack(p["layers"])):
+                _export_bart_block(out, blk, f"{m}{side}.layers.{i}",
+                                   side == "decoder")
+        out[f"{prefix}final_logits_bias"] = np.asarray(
+            params["final_logits_bias"]).reshape(1, -1)
+    else:
+        out[f"{prefix}shared.weight"] = shared
+        out[f"{prefix}encoder.embed_tokens.weight"] = shared
+        out[f"{prefix}decoder.embed_tokens.weight"] = shared
+        gated = cfg.activation == "gelu_gated"
+        for side in ("encoder", "decoder"):
+            p = params[side]
+            out[f"{prefix}{side}.block.0.layer.0.SelfAttention"
+                f".relative_attention_bias.weight"] = np.asarray(
+                    p["rel_bias"]["embedding"])
+            _exp_rms(out, p["final_layer_norm"],
+                     f"{prefix}{side}.final_layer_norm")
+            for i, blk in enumerate(_unstack(p["layers"])):
+                _export_t5_block(out, blk, f"{prefix}{side}.block.{i}",
+                                 side == "decoder", gated)
+    if cfg.tie_word_embeddings:
+        out[f"{prefix}lm_head.weight"] = shared
+    elif "lm_head" in params:
+        out[f"{prefix}lm_head.weight"] = np.asarray(
+            params["lm_head"]["kernel"]).T
+
+
+def export_speechmix(params, cfg) -> Dict[str, np.ndarray]:
+    """Inverse of load_speechmix: fused param pytree -> a reference-format
+    HFSpeechMixEED state dict (numpy arrays, torch key names), loadable by
+    the reference model (speechmix/hf_model.py:185-447) and round-trippable
+    through load_speechmix.  Lets a model trained on TPU go back to the
+    reference / HF torch ecosystem."""
+    out: Dict[str, np.ndarray] = {}
+    _export_speech_encoder(out, params["speech_encoder"], "encoder_model.")
+    _export_seq2seq(out, params["nlp"], cfg.decoder, "decoder_model.")
+    # the reference registers the tied NLP input embedding as nlp_emb
+    out["nlp_emb.weight"] = np.asarray(params["nlp"]["shared"]["embedding"])
+    _exp_lin(out, params["enc_to_dec_proj"], "enc_to_dec_proj")
+    for i, conv in enumerate(params["length_adapter"]):
+        _exp_conv(out, conv, f"length_adapters.{i}")
+    if "weights_sum" in params:
+        out["weights_sum"] = np.asarray(params["weights_sum"])
+    if "discriminator" in params:
+        _exp_lin(out, params["discriminator"], "discriminator")
+    return {k: np.asarray(v, np.float32) for k, v in out.items()}

@@ -384,10 +384,11 @@ class Trainer:
                 state, metrics = step_fn(state, batch,
                                          jnp.float32(progress))
                 step += 1
-                if self.tc.max_steps and step >= self.tc.max_steps:
-                    self.logger.log({"step": step, "loss": metrics["loss"],
-                                     "max_steps_reached": True})
-                    return state
+                # NOTE: the max_steps exit comes AFTER the eval/save block —
+                # HF Trainer order: a step that is both an eval step and the
+                # last step still evaluates and checkpoints before stopping
+                # (otherwise load_best_model_at_end compares the final params
+                # against nothing and silently restores an older step)
                 if step % self.tc.logging_steps == 0:
                     self.logger.log({"step": step, "epoch": epoch,
                                      "loss": metrics["loss"],
@@ -419,6 +420,10 @@ class Trainer:
                             self.logger.log({"early_stop": True,
                                              "best_step": best_step})
                             return state
+                if self.tc.max_steps and step >= self.tc.max_steps:
+                    self.logger.log({"step": step, "loss": metrics["loss"],
+                                     "max_steps_reached": True})
+                    return state
         return state
 
     def predict(self, params, eval_batches, max_length=None, num_beams=1,

@@ -388,3 +388,41 @@ def test_training_dynamics_parity_vs_reference(checkpoints):
 
     np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-2)
     assert our_losses[-1] < our_losses[0]  # actually trained
+
+
+@pytest.mark.parametrize("nlp", ["bart", "t5"])
+def test_export_roundtrip_and_reference_load(checkpoints, nlp):
+    """convert.export_speechmix is the exact inverse of load_speechmix AND
+    its output loads into the reference's own torch model: a model trained
+    here can go back to the reference ecosystem."""
+    ref_model, params, cfg = _build_pair(checkpoints, nlp=nlp, down_scale=4,
+                                         weighted_sum=True)
+    sd = convert.export_speechmix(params, cfg)
+
+    # 1) bit-exact round trip through our own importer
+    params2 = convert.load_speechmix(sd, cfg)
+    import jax
+    for (p1, l1), (p2, l2) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0][:9999],
+            jax.tree_util.tree_flatten_with_path(params2)[0]):
+        assert p1 == p2
+        np.testing.assert_array_equal(np.asarray(l1, np.float32),
+                                      np.asarray(l2, np.float32),
+                                      err_msg=str(p1))
+
+    # 2) the reference torch model accepts the exported dict (only its
+    # never-exported masked_spec_embed may be missing)
+    result = ref_model.load_state_dict(
+        {k: torch.tensor(v) for k, v in sd.items()}, strict=False)
+    assert result.unexpected_keys == []
+    allowed_missing = {"encoder_model.masked_spec_embed"}
+    assert set(result.missing_keys) <= allowed_missing, result.missing_keys
+
+    # 3) the reloaded reference model still matches our forward numerically
+    wav = np.random.RandomState(4).randn(1, 4000).astype(np.float32) * 0.1
+    labels = np.array([[5, 6, 7, 2]], np.int64)
+    ref_logits, ref_loss = _ref_forward(ref_model, wav, labels=labels)
+    out = smx.speechmix_forward(params, cfg, jnp.asarray(wav),
+                                labels=jnp.asarray(labels))
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref_logits,
+                               rtol=2e-3, atol=2e-3)

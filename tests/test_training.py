@@ -257,3 +257,32 @@ def test_checkpoint_orbax_backend(tmp_path):
     # best-step restore (load_best_model_at_end target)
     best, best_meta = mgr.restore({"params": state.params}, step=10)
     assert best_meta["metrics"]["eval_loss"] == 0.5
+
+
+def test_final_step_eval_runs_before_max_steps_exit(tmp_path):
+    """A step that is both an eval step and the last step must evaluate and
+    checkpoint BEFORE the max_steps exit (HF Trainer order) — otherwise
+    load_best_model_at_end compares the final params against nothing and
+    silently restores an older step."""
+    import json as json_lib
+    tc = TrainConfig(learning_rate=1e-3, warmup_steps=1, grad_accum=1,
+                     num_epochs=10, max_steps=4, logging_steps=100,
+                     eval_steps=2, output_dir=str(tmp_path))
+    tr = trainer_lib.Trainer(CFG, tc)
+    state = tr.init_state()
+    b = jax.device_count()
+    rng = np.random.RandomState(0)
+    batch = {"input_values": jnp.asarray(
+        rng.randn(b, 8000).astype(np.float32) * 0.1),
+        "lengths": jnp.full((b,), 8000, jnp.int32),
+        "labels": jnp.asarray(rng.randint(130, 200, (b, 6)).astype(np.int64))}
+    tr.fit(state, lambda: iter([batch] * 8),
+           eval_batches=lambda: iter([batch]), resume=False)
+    eval_steps = []
+    with open(tmp_path / "metrics.jsonl") as f:
+        for line in f:
+            rec = json_lib.loads(line)
+            if "eval_loss" in rec:
+                eval_steps.append(rec["step"])
+    assert eval_steps == [2, 4]              # final step 4 evaluated
+    assert tr.ckpt.latest_step() == 4        # and checkpointed
