@@ -172,7 +172,8 @@ class _SpeechMixBase:
     # -- generation ---------------------------------------------------------
     def generate(self, input_values, decoder_text_prompt=None,
                  max_length=None, num_beams=1, length_penalty=1.0,
-                 use_flash=None, kv_int8=False):
+                 use_flash=None, kv_int8=False, do_sample=False,
+                 temperature=1.0, top_k=0, top_p=1.0, seed=0):
         """use_flash=None auto-enables the single-pass Pallas attention
         kernel on TPU (measured faster in situ at speech shapes — PERF.md);
         pass False/True to override.  kv_int8 quantizes the precomputed
@@ -190,7 +191,8 @@ class _SpeechMixBase:
                                       add_special_tokens=False), jnp.int32)
         key = ("gen", batch.shape,
                None if prompt_ids is None else prompt_ids.shape,
-               max_length, num_beams, length_penalty, use_flash, kv_int8)
+               max_length, num_beams, length_penalty, use_flash, kv_int8,
+               do_sample, temperature, top_k, top_p, seed)
         fn = self._jit_generate_cache.get(key)
         if fn is None:
             def raw(params, batch, lengths, prompt_ids):
@@ -199,7 +201,9 @@ class _SpeechMixBase:
                     prompt_ids=prompt_ids, max_length=max_length,
                     num_beams=num_beams, length_penalty=length_penalty,
                     use_flash=use_flash, dtype=self._dtype,
-                    kv_int8=kv_int8)
+                    kv_int8=kv_int8, do_sample=do_sample,
+                    temperature=temperature, top_k=top_k, top_p=top_p,
+                    rng=jax.random.PRNGKey(seed) if do_sample else None)
             fn = jax.jit(raw)
             self._jit_generate_cache[key] = fn
         tokens, _ = fn(self.params, batch, lengths, prompt_ids)

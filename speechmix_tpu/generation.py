@@ -33,10 +33,33 @@ from .models import speechmix as smx
 # greedy
 # ----------------------------------------------------------------------------
 
+def sample_filter_logits(logits, top_k=0, top_p=1.0):
+    """HF sampling-filter semantics on (B, V) f32 logits: keep the top_k
+    highest-logit tokens (0 = off), then the smallest set whose cumulative
+    probability reaches top_p (1.0 = off; the highest-probability token is
+    always kept).  Filtered positions become -inf."""
+    neg = jnp.float32(-jnp.inf)
+    if top_k and top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, neg, logits)
+    if top_p < 1.0:
+        sorted_desc = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_desc, axis=-1)
+        cum_excl = jnp.cumsum(probs, axis=-1) - probs
+        keep = cum_excl < top_p          # always keeps the first token
+        kth = jnp.min(jnp.where(keep, sorted_desc, jnp.inf), axis=-1,
+                      keepdims=True)
+        logits = jnp.where(logits < kth, neg, logits)
+    return logits
+
+
 def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
                   dtype=jnp.float32, adapters=None, early_stop=False,
-                  use_flash=False, kv_int8=False):
-    """Greedy decode against a computed text-encoder output.
+                  use_flash=False, kv_int8=False, do_sample=False,
+                  temperature=1.0, top_k=0, top_p=1.0, rng=None):
+    """Greedy (or, with do_sample=True, ancestral-sampling) decode against a
+    computed text-encoder output — the HF generate() sampling surface
+    (temperature -> top_k -> top_p filter order, seeded by `rng`).
 
     Returns (tokens (B, max_length) padded with pad_token_id after EOS,
     lengths (B,)).  The EOS token itself is included in the output.
@@ -50,13 +73,23 @@ def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
     cache = seq2seq.init_decoder_cache(params, dcfg, enc_hidden, b,
                                        max_length, dtype, kv_int8=kv_int8)
     start = jnp.full((b, 1), dcfg.decoder_start_token_id, jnp.int32)
+    if do_sample and rng is None:
+        rng = jax.random.PRNGKey(0)
 
     def one_step(tok, cache, finished):
         out = seq2seq.decode(params, dcfg, tok, encoder_mask=enc_mask,
                              cache=cache, adapters=adapters, dtype=dtype,
                              use_flash=use_flash)
-        next_tok = jnp.argmax(out["logits"][:, -1, :],
-                              axis=-1).astype(jnp.int32)
+        logits = out["logits"][:, -1, :]
+        if do_sample:
+            logits = sample_filter_logits(
+                logits / jnp.maximum(jnp.float32(temperature), 1e-6),
+                top_k, top_p)
+            step_rng = jax.random.fold_in(rng, cache.self_kv.index)
+            next_tok = jax.random.categorical(step_rng,
+                                              logits).astype(jnp.int32)
+        else:
+            next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         next_tok = jnp.where(finished, dcfg.pad_token_id, next_tok)
         new_finished = finished | (next_tok == dcfg.eos_token_id)
         return next_tok, out["cache"], new_finished
@@ -256,7 +289,9 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
 def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
              prompt_ids=None, max_length=None, num_beams=1,
              length_penalty=1.0, use_flash=False, dtype=jnp.float32,
-             early_stop=False, early_stopping=False, kv_int8=False):
+             early_stop=False, early_stopping=False, kv_int8=False,
+             do_sample=False, temperature=1.0, top_k=0, top_p=1.0,
+             rng=None):
     """Full pipeline: waveform -> fused embeds -> text encoder (once) ->
     cached decode loop.  Equivalent of HFSpeechMixEED.generate
     (hf_model.py:304-338 + eval.py:12-14), including decoder_text_prompt via
@@ -280,7 +315,9 @@ def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
         return greedy_decode(params["nlp"], cfg.decoder, enc_hidden,
                              enc_mask, max_length, dtype, adapters,
                              early_stop=early_stop, use_flash=use_flash,
-                             kv_int8=kv_int8)
+                             kv_int8=kv_int8, do_sample=do_sample,
+                             temperature=temperature, top_k=top_k,
+                             top_p=top_p, rng=rng)
     return beam_search(params["nlp"], cfg.decoder, enc_hidden, enc_mask,
                        max_length, num_beams, length_penalty, dtype, adapters,
                        use_flash=use_flash, early_stopping=early_stopping,

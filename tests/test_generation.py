@@ -126,3 +126,40 @@ def test_kv_int8_decode_matches(params):
     err = np.max(np.abs(outs[True] - outs[False]))
     scale = np.max(np.abs(outs[False])) + 1e-9
     assert err / scale < 0.02, f"relative logits error {err / scale}"
+
+
+def test_sample_filter_logits_semantics():
+    """top_k keeps the k best; top_p keeps the smallest set reaching the
+    cumulative mass (first token always kept) — HF filter semantics."""
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    k2 = np.asarray(gen_lib.sample_filter_logits(logits, top_k=2))
+    assert np.isfinite(k2[0, :2]).all() and np.isinf(k2[0, 2:]).all()
+    p6 = np.asarray(gen_lib.sample_filter_logits(logits, top_p=0.6))
+    # 0.5 alone < 0.6 -> needs 0.3 too; 0.5+0.3 >= 0.6 stops
+    assert np.isfinite(p6[0, :2]).all() and np.isinf(p6[0, 2:]).all()
+    p4 = np.asarray(gen_lib.sample_filter_logits(logits, top_p=0.4))
+    assert np.isfinite(p4[0, 0]) and np.isinf(p4[0, 1:]).all()
+
+
+def test_sampling_decode(params):
+    """do_sample surface: top_k=1 == greedy; near-zero temperature == greedy;
+    seeded reproducibility; different seeds can differ."""
+    wav = jnp.asarray(
+        np.random.RandomState(5).randn(2, 16000).astype(np.float32) * 0.1)
+    greedy, _ = gen_lib.generate(params, CFG, wav, max_length=10)
+    k1, _ = gen_lib.generate(params, CFG, wav, max_length=10,
+                             do_sample=True, top_k=1,
+                             rng=jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(k1))
+    cold, _ = gen_lib.generate(params, CFG, wav, max_length=10,
+                               do_sample=True, temperature=1e-4,
+                               rng=jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(cold))
+    a, _ = gen_lib.generate(params, CFG, wav, max_length=10, do_sample=True,
+                            temperature=5.0, rng=jax.random.PRNGKey(3))
+    b, _ = gen_lib.generate(params, CFG, wav, max_length=10, do_sample=True,
+                            temperature=5.0, rng=jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c, _ = gen_lib.generate(params, CFG, wav, max_length=10, do_sample=True,
+                            temperature=5.0, rng=jax.random.PRNGKey(4))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
