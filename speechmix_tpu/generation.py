@@ -56,7 +56,8 @@ def sample_filter_logits(logits, top_k=0, top_p=1.0):
 def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
                   dtype=jnp.float32, adapters=None, early_stop=False,
                   use_flash=False, kv_int8=False, do_sample=False,
-                  temperature=1.0, top_k=0, top_p=1.0, rng=None):
+                  temperature=1.0, top_k=0, top_p=1.0, rng=None,
+                  min_length=0):
     """Greedy (or, with do_sample=True, ancestral-sampling) decode against a
     computed text-encoder output — the HF generate() sampling surface
     (temperature -> top_k -> top_p filter order, seeded by `rng`).
@@ -81,6 +82,13 @@ def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
                              cache=cache, adapters=adapters, dtype=dtype,
                              use_flash=use_flash)
         logits = out["logits"][:, -1, :]
+        if min_length > 0:
+            # HF MinLengthLogitsProcessor: EOS is unreachable until
+            # min_length GENERATED tokens exist (cache index counts them)
+            too_short = cache.self_kv.index < min_length
+            logits = logits.at[:, dcfg.eos_token_id].set(
+                jnp.where(too_short, -jnp.inf,
+                          logits[:, dcfg.eos_token_id]))
         if do_sample:
             logits = sample_filter_logits(
                 logits / jnp.maximum(jnp.float32(temperature), 1e-6),
@@ -291,7 +299,7 @@ def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
              length_penalty=1.0, use_flash=False, dtype=jnp.float32,
              early_stop=False, early_stopping=False, kv_int8=False,
              do_sample=False, temperature=1.0, top_k=0, top_p=1.0,
-             rng=None):
+             rng=None, min_length=0):
     """Full pipeline: waveform -> fused embeds -> text encoder (once) ->
     cached decode loop.  Equivalent of HFSpeechMixEED.generate
     (hf_model.py:304-338 + eval.py:12-14), including decoder_text_prompt via
@@ -317,7 +325,7 @@ def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
                              early_stop=early_stop, use_flash=use_flash,
                              kv_int8=kv_int8, do_sample=do_sample,
                              temperature=temperature, top_k=top_k,
-                             top_p=top_p, rng=rng)
+                             top_p=top_p, rng=rng, min_length=min_length)
     return beam_search(params["nlp"], cfg.decoder, enc_hidden, enc_mask,
                        max_length, num_beams, length_penalty, dtype, adapters,
                        use_flash=use_flash, early_stopping=early_stopping,

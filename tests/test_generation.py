@@ -163,3 +163,18 @@ def test_sampling_decode(params):
     c, _ = gen_lib.generate(params, CFG, wav, max_length=10, do_sample=True,
                             temperature=5.0, rng=jax.random.PRNGKey(4))
     assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_min_length_blocks_early_eos(params):
+    """min_length masks EOS until that many tokens are generated (HF
+    MinLengthLogitsProcessor semantics)."""
+    wav = jnp.asarray(
+        np.random.RandomState(6).randn(2, 16000).astype(np.float32) * 0.1)
+    base, base_len = gen_lib.generate(params, CFG, wav, max_length=12)
+    toks, lengths = gen_lib.generate(params, CFG, wav, max_length=12,
+                                     min_length=9)
+    eos = CFG.decoder.eos_token_id
+    first9 = np.asarray(toks)[:, :8]
+    assert (first9 != eos).all()
+    assert (np.asarray(lengths) >= 9).all() or (
+        np.asarray(lengths) == 12).all()
