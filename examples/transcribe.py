@@ -62,10 +62,13 @@ def main():
         refs = [e["text"] for e in exs]
 
     mesh = None
+    batch_size = 8
     if args.data_parallel:
         from speechmix_tpu.parallel import mesh as mesh_lib
         mesh = mesh_lib.make_mesh()
-    pipe = TranscriptionPipeline(spm, batch_size=8,
+        n_data = mesh.shape[mesh_lib.DATA_AXIS]
+        batch_size = max(batch_size, -(-batch_size // n_data) * n_data)
+    pipe = TranscriptionPipeline(spm, batch_size=batch_size,
                                  max_length=args.max_length,
                                  num_beams=args.num_beams,
                                  kv_int8=args.kv_int8, mesh=mesh)

@@ -189,13 +189,15 @@ class _SpeechMixBase:
             prompt_ids = jnp.asarray(
                 self.tokenizer.encode(decoder_text_prompt,
                                       add_special_tokens=False), jnp.int32)
+        # seed is NOT part of the key: the rng is a runtime argument, so
+        # drawing many sampled transcripts compiles once
         key = ("gen", batch.shape,
                None if prompt_ids is None else prompt_ids.shape,
                max_length, num_beams, length_penalty, use_flash, kv_int8,
-               do_sample, temperature, top_k, top_p, seed)
+               do_sample, temperature, top_k, top_p)
         fn = self._jit_generate_cache.get(key)
         if fn is None:
-            def raw(params, batch, lengths, prompt_ids):
+            def raw(params, batch, lengths, prompt_ids, rng):
                 return gen_lib.generate(
                     params, self.config, batch, lengths,
                     prompt_ids=prompt_ids, max_length=max_length,
@@ -203,10 +205,11 @@ class _SpeechMixBase:
                     use_flash=use_flash, dtype=self._dtype,
                     kv_int8=kv_int8, do_sample=do_sample,
                     temperature=temperature, top_k=top_k, top_p=top_p,
-                    rng=jax.random.PRNGKey(seed) if do_sample else None)
+                    rng=rng)
             fn = jax.jit(raw)
             self._jit_generate_cache[key] = fn
-        tokens, _ = fn(self.params, batch, lengths, prompt_ids)
+        rng = jax.random.PRNGKey(seed) if do_sample else None
+        tokens, _ = fn(self.params, batch, lengths, prompt_ids, rng)
         return tokens
 
     # -- persistence --------------------------------------------------------
@@ -260,7 +263,8 @@ class _SpeechMixBase:
                 import torch
                 torch.save({k: torch.tensor(v) for k, v in sd.items()}, path)
             except ImportError:
-                np.savez(path, **sd)
+                with open(path, "wb") as f:   # keep the exact path
+                    np.savez(f, **sd)
         return sd
 
     def load_hf_checkpoint(self, speech_path=None, nlp_path=None):

@@ -328,6 +328,20 @@ def load_speechmix(sd_or_path, cfg):
             else jnp.zeros((cfg.num_weighted_sum,), jnp.float32))
     if cfg.variant == "gan" and "discriminator.weight" in sd:
         params["discriminator"] = _lin(sd, "discriminator")
+    if "adapters.0.0.weight" in sd:
+        # reference HFSpeechMixAdapter: one LN->down->ReLU->up Sequential per
+        # NLP layer, encoder layers first then decoder (hf_model.py:470-497);
+        # torch Sequential key indices 0/1/3
+        def _adapter(i):
+            return {"layer_norm": _ln(sd, f"adapters.{i}.0"),
+                    "down": _lin(sd, f"adapters.{i}.1"),
+                    "up": _lin(sd, f"adapters.{i}.3")}
+        enc_n = cfg.decoder.encoder_layers
+        dec_n = cfg.decoder.decoder_layers
+        params["adapters"] = {
+            "encoder": _stack([_adapter(i) for i in range(enc_n)]),
+            "decoder": _stack([_adapter(enc_n + i) for i in range(dec_n)]),
+        }
     return params
 
 
@@ -490,4 +504,11 @@ def export_speechmix(params, cfg) -> Dict[str, np.ndarray]:
         out["weights_sum"] = np.asarray(params["weights_sum"])
     if "discriminator" in params:
         _exp_lin(out, params["discriminator"], "discriminator")
+    if "adapters" in params:
+        ads = (_unstack(params["adapters"]["encoder"]) +
+               _unstack(params["adapters"]["decoder"]))
+        for i, ad in enumerate(ads):
+            _exp_ln(out, ad["layer_norm"], f"adapters.{i}.0")
+            _exp_lin(out, ad["down"], f"adapters.{i}.1")
+            _exp_lin(out, ad["up"], f"adapters.{i}.3")
     return {k: np.asarray(v, np.float32) for k, v in out.items()}

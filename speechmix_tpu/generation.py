@@ -83,9 +83,13 @@ def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
                              use_flash=use_flash)
         logits = out["logits"][:, -1, :]
         if min_length > 0:
-            # HF MinLengthLogitsProcessor: EOS is unreachable until
-            # min_length GENERATED tokens exist (cache index counts them)
-            too_short = cache.self_kv.index < min_length
+            # EOS is unreachable until the sequence can reach min_length
+            # GENERATED tokens (EOS included) — the token being chosen is
+            # generated token #index, so EOS is allowed from
+            # index >= min_length-1.  Like max_length, min_length counts
+            # generated tokens: it equals HF's min_length - 1 (HF counts
+            # the decoder start token too).
+            too_short = cache.self_kv.index < min_length - 1
             logits = logits.at[:, dcfg.eos_token_id].set(
                 jnp.where(too_short, -jnp.inf,
                           logits[:, dcfg.eos_token_id]))
@@ -160,7 +164,8 @@ def _gather_cache(cache: seq2seq.DecoderCache, idx, batch, beams):
 
 def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
                 length_penalty=1.0, dtype=jnp.float32, adapters=None,
-                use_flash=False, early_stopping=False, kv_int8=False):
+                use_flash=False, early_stopping=False, kv_int8=False,
+                min_length=0):
     """Batched beam search with HuggingFace `generate()` semantics — the
     surface the reference exposes (hf_model.py:304-338 delegates to HF
     PreTrainedModel.generate).  Re-derived for a lax.while_loop from the
@@ -227,6 +232,11 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
                              use_flash=use_flash)
         logp = jax.nn.log_softmax(
             out["logits"][:, -1, :].astype(jnp.float32), axis=-1)  # (B*K, V)
+        if min_length > 0:
+            # same convention as greedy_decode: EOS reachable once the
+            # sequence can reach min_length generated tokens
+            logp = logp.at[:, eos].set(
+                jnp.where(c["s"] < min_length - 1, neg, logp[:, eos]))
         vocab = logp.shape[-1]
         acc = logp.reshape(b, k, vocab) + c["running_scores"][:, :, None]
         topk_scores, topk_idx = jax.lax.top_k(
@@ -304,6 +314,11 @@ def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
     cached decode loop.  Equivalent of HFSpeechMixEED.generate
     (hf_model.py:304-338 + eval.py:12-14), including decoder_text_prompt via
     `prompt_ids`."""
+    if do_sample and num_beams > 1:
+        raise ValueError(
+            "sampling with num_beams > 1 (beam-sample) is not supported; "
+            "use num_beams=1 for sampling or do_sample=False for beam "
+            "search")
     max_length = max_length or cfg.decoder.max_length
     inputs_embeds, enc_mask, _ = smx.encode_speech(
         params, cfg, input_values, lengths, prompt_ids,
@@ -329,7 +344,7 @@ def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
     return beam_search(params["nlp"], cfg.decoder, enc_hidden, enc_mask,
                        max_length, num_beams, length_penalty, dtype, adapters,
                        use_flash=use_flash, early_stopping=early_stopping,
-                       kv_int8=kv_int8)
+                       kv_int8=kv_int8, min_length=min_length)
 
 
 def jit_generate(cfg: SpeechMixConfig, max_length=None, num_beams=1,

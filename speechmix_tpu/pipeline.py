@@ -77,6 +77,7 @@ class TranscriptionPipeline:
         self.sample_rate = sample_rate
         self.mesh = mesh
         self._sharded_params = None
+        self._sharded_src = None
         self._fns = {}
 
     def _fn_for(self, t_samples: int):
@@ -104,9 +105,11 @@ class TranscriptionPipeline:
         `data`, tensor-parallel over `model`) when serving over a mesh."""
         if self.mesh is None:
             return self.model.params
-        if self._sharded_params is None:
+        if self._sharded_params is None or \
+                self._sharded_src is not self.model.params:
             self._sharded_params = mesh_lib.shard_params(self.mesh,
                                                          self.model.params)
+            self._sharded_src = self.model.params
         return self._sharded_params
 
     def _place_batch(self, batch, lengths):

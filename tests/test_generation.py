@@ -178,3 +178,16 @@ def test_min_length_blocks_early_eos(params):
     assert (first9 != eos).all()
     assert (np.asarray(lengths) >= 9).all() or (
         np.asarray(lengths) == 12).all()
+
+
+def test_min_length_beam_and_sampling_guard(params):
+    """min_length applies to beam search too; sampling with beams raises."""
+    wav = jnp.asarray(
+        np.random.RandomState(7).randn(2, 16000).astype(np.float32) * 0.1)
+    toks, lengths = gen_lib.generate(params, CFG, wav, max_length=12,
+                                     num_beams=2, min_length=6)
+    eos = CFG.decoder.eos_token_id
+    assert (np.asarray(toks)[:, :5] != eos).all()
+    with pytest.raises(ValueError):
+        gen_lib.generate(params, CFG, wav, max_length=8, num_beams=2,
+                         do_sample=True)

@@ -426,3 +426,28 @@ def test_export_roundtrip_and_reference_load(checkpoints, nlp):
                                 labels=jnp.asarray(labels))
     np.testing.assert_allclose(np.asarray(out["logits"]), ref_logits,
                                rtol=2e-3, atol=2e-3)
+
+
+def test_export_roundtrip_adapter_variant(checkpoints):
+    """Adapter-variant export carries the (only-trainable) adapter weights
+    into the reference key layout and round-trips bit-exactly."""
+    ref_model = REF.HFSpeechMixAdapter(checkpoints["speech"],
+                                       checkpoints["bart"],
+                                       down_scale=4).eval()
+    cfg = SpeechMixConfig(encoder=_our_speech_cfg(), decoder=_our_bart_cfg(),
+                          variant="adapter", down_scale=4)
+    params = convert.load_speechmix(ref_model.state_dict(), cfg)
+    assert "adapters" in params          # imported from the reference dict
+    sd = convert.export_speechmix(params, cfg)
+    assert "adapters.0.0.weight" in sd and "adapters.3.3.bias" in sd
+    params2 = convert.load_speechmix(sd, cfg)
+    import jax
+    l1 = jax.tree_util.tree_leaves(params["adapters"])
+    l2 = jax.tree_util.tree_leaves(params2["adapters"])
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+    result = ref_model.load_state_dict(
+        {k: torch.tensor(v) for k, v in sd.items()}, strict=False)
+    assert result.unexpected_keys == []
+    assert set(result.missing_keys) <= {"encoder_model.masked_spec_embed"}
