@@ -451,3 +451,24 @@ def test_export_roundtrip_adapter_variant(checkpoints):
         {k: torch.tensor(v) for k, v in sd.items()}, strict=False)
     assert result.unexpected_keys == []
     assert set(result.missing_keys) <= {"encoder_model.masked_spec_embed"}
+
+
+def test_export_roundtrip_gan_variant(checkpoints):
+    """GAN-variant export carries the discriminator both ways."""
+    ref_model = REF.HFSpeechMixGAN(checkpoints["speech"],
+                                   checkpoints["bart"],
+                                   down_scale=4).eval()
+    cfg = SpeechMixConfig(encoder=_our_speech_cfg(), decoder=_our_bart_cfg(),
+                          variant="gan", down_scale=4)
+    params = convert.load_speechmix(ref_model.state_dict(), cfg)
+    assert "discriminator" in params
+    sd = convert.export_speechmix(params, cfg)
+    assert "discriminator.weight" in sd
+    params2 = convert.load_speechmix(sd, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(params["discriminator"]["kernel"], np.float32),
+        np.asarray(params2["discriminator"]["kernel"], np.float32))
+    result = ref_model.load_state_dict(
+        {k: torch.tensor(v) for k, v in sd.items()}, strict=False)
+    assert result.unexpected_keys == []
+    assert set(result.missing_keys) <= {"encoder_model.masked_spec_embed"}
