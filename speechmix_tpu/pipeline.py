@@ -183,7 +183,10 @@ class TranscriptionPipeline:
                                               self.sample_rate) or max_cap
                 pools[cap].append((i, si, seg))
 
-        seg_results = {}  # (orig_idx, seg_idx) -> text
+        # submit every batch first (jax dispatch is async — host-side
+        # padding/collation of batch k+1 overlaps the device running batch
+        # k), then collect and decode
+        in_flight = []  # (chunk, real, device_tokens)
         for cap, items in pools.items():
             fn = self._fn_for(cap)
             for start in range(0, len(items), self.batch_size):
@@ -198,11 +201,15 @@ class TranscriptionPipeline:
                     lengths[j] = len(wav)
                 b_dev, l_dev = self._place_batch(batch, lengths)
                 tokens, _ = fn(self._run_params(), b_dev, l_dev)
-                tokens = np.asarray(tokens)
-                for j in range(real):
-                    idx, si, _ = chunk[j]
-                    seg_results[(idx, si)] = self.model.tokenizer.decode(
-                        tokens[j], skip_special_tokens=True)
+                in_flight.append((chunk, real, tokens))
+
+        seg_results = {}  # (orig_idx, seg_idx) -> text
+        for chunk, real, tokens in in_flight:
+            tokens = np.asarray(tokens)
+            for j in range(real):
+                idx, si, _ = chunk[j]
+                seg_results[(idx, si)] = self.model.tokenizer.decode(
+                    tokens[j], skip_special_tokens=True)
 
         results: List[str] = []
         for i in range(n):
