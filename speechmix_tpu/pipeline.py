@@ -32,7 +32,8 @@ class TranscriptionPipeline:
                  audio_lib.DEFAULT_BUCKETS, sample_rate: int = 16000,
                  use_flash: bool = None, early_stop: bool = True,
                  kv_int8: bool = False, long_audio: str = "chunk",
-                 long_audio_search_sec: float = 2.0, mesh=None):
+                 long_audio_search_sec: float = 2.0, mesh=None,
+                 transfer_dtype: str = "float32"):
         # use_flash=None: auto — the single-pass Pallas attention kernel on
         # TPU (measured faster in situ, PERF.md); False/True to override.
         # early_stop: exit the decode loop once every row has emitted EOS
@@ -48,11 +49,17 @@ class TranscriptionPipeline:
         # each max-bucket window (avoids cutting mid-word) and the chunk
         # transcripts are space-joined; "truncate" keeps the legacy behavior
         # (drop everything past the largest bucket).
+        # transfer_dtype: "int16" ships the waveform batch to the device
+        # as 16-bit PCM (the source fidelity of wav audio) and converts to
+        # float on-device — halves host->device traffic; "float32" default.
         # mesh: a jax.sharding.Mesh (parallel.mesh.make_mesh) for
         # multi-chip serving — the batch axis shards over `data` (linear
         # RTFx scaling) and params follow the tensor-parallel layout rules
         # over `model` when that axis is >1.  batch_size must be a multiple
         # of the data-axis size.
+        if transfer_dtype not in ("float32", "int16"):
+            raise ValueError(f"transfer_dtype must be 'float32' or 'int16', "
+                             f"got {transfer_dtype!r}")
         if long_audio not in ("chunk", "truncate"):
             raise ValueError(f"long_audio must be 'chunk' or 'truncate', "
                              f"got {long_audio!r}")
@@ -73,6 +80,7 @@ class TranscriptionPipeline:
         self.use_flash = use_flash
         self.early_stop = early_stop
         self.kv_int8 = kv_int8
+        self.transfer_dtype = transfer_dtype
         self.buckets_sec = buckets_sec
         self.sample_rate = sample_rate
         self.mesh = mesh
@@ -87,8 +95,11 @@ class TranscriptionPipeline:
             num_beams, max_length = self.num_beams, self.max_length
             use_flash, early_stop = self.use_flash, self.early_stop
             kv_int8 = self.kv_int8
+            int16_in = self.transfer_dtype == "int16"
 
             def raw(params, batch, lengths):
+                if int16_in:
+                    batch = batch.astype(jnp.float32) * (1.0 / 32767.0)
                 return gen_lib.generate(
                     params, cfg, batch, lengths, max_length=max_length,
                     num_beams=num_beams, use_flash=use_flash,
@@ -125,11 +136,13 @@ class TranscriptionPipeline:
         of each bucket pays that latency).  Uses AOT lower+compile — no
         decode is executed; the first real call per bucket re-traces but
         hits the populated XLA compilation cache."""
+        host_dtype = (np.int16 if self.transfer_dtype == "int16"
+                      else np.float32)
         for sec in self.buckets_sec:
             cap = int(sec * self.sample_rate)
             fn = self._fn_for(cap)
             batch, lengths = self._place_batch(
-                np.zeros((self.batch_size, cap), np.float32),
+                np.zeros((self.batch_size, cap), host_dtype),
                 np.full((self.batch_size,), cap, np.int32))
             fn.lower(self._run_params(), batch, lengths).compile()
         return self
@@ -199,6 +212,9 @@ class TranscriptionPipeline:
                 for j, (_, _, wav) in enumerate(chunk):
                     batch[j, : len(wav)] = wav
                     lengths[j] = len(wav)
+                if self.transfer_dtype == "int16":
+                    batch = np.clip(batch * 32767.0,
+                                    -32768, 32767).astype(np.int16)
                 b_dev, l_dev = self._place_batch(batch, lengths)
                 tokens, _ = fn(self._run_params(), b_dev, l_dev)
                 in_flight.append((chunk, real, tokens))

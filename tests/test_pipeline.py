@@ -98,3 +98,17 @@ def test_mesh_sharded_serving_matches_single_device(model):
     assert single(waveforms) == sharded(waveforms)
     with pytest.raises(ValueError):
         TranscriptionPipeline(model, batch_size=3, mesh=mesh)
+
+
+def test_int16_transfer_matches_float32(model):
+    """transfer_dtype='int16' ships PCM-fidelity audio and decodes the same
+    transcripts as float32 transfer."""
+    rng = np.random.RandomState(3)
+    waveforms = [rng.randn(n).astype(np.float32) * 0.1
+                 for n in [7000, 15000, 11000]]
+    f32 = TranscriptionPipeline(model, batch_size=2, max_length=6,
+                                buckets_sec=(0.5, 1.0))
+    i16 = TranscriptionPipeline(model, batch_size=2, max_length=6,
+                                buckets_sec=(0.5, 1.0),
+                                transfer_dtype="int16")
+    assert f32(waveforms) == i16(waveforms)
