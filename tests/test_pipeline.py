@@ -112,3 +112,13 @@ def test_int16_transfer_matches_float32(model):
                                 buckets_sec=(0.5, 1.0),
                                 transfer_dtype="int16")
     assert f32(waveforms) == i16(waveforms)
+
+
+def test_edge_inputs(model):
+    """Empty request list and very short audio are handled."""
+    pipe = TranscriptionPipeline(model, batch_size=2, max_length=6,
+                                 buckets_sec=(0.5, 1.0))
+    assert pipe([]) == []
+    rng = np.random.RandomState(4)
+    out = pipe([rng.randn(400).astype(np.float32) * 0.1])   # 25 ms
+    assert len(out) == 1 and isinstance(out[0], str)
