@@ -43,26 +43,35 @@ _DEFAULT_FIXED_EXCEPT = ("layer_norm", "encoder_attn", "enc_to_dec_proj",
                          "encoder")
 
 
-def _prepare_audio(input_values, max_len=None, bucket_samples=16000):
+def _prepare_audio(input_values, max_len=None, bucket_samples=16000,
+                   encoder_cfg=None):
     """Accept a list of 1-D arrays (reference convention,
     test_model.py:29-31) or a 2-D array; returns (batch, lengths).  Batch
     length is rounded up to a 1-second bucket so repeated calls with similar
-    audio hit the same jit compilation."""
+    audio hit the same jit compilation, then frame-aligned when encoder_cfg
+    is given (odd frame counts cost ~6% encoder time, PERF.md)."""
+    def align(t):
+        return (encoder_cfg.aligned_samples(t) if encoder_cfg is not None
+                else t)
     if isinstance(input_values, (list, tuple)):
         arrays = [np.asarray(x, np.float32).reshape(-1) for x in input_values]
         lengths = np.array([len(a) for a in arrays], np.int32)
         t = max_len or int(lengths.max())
         t = max(bucket_samples,
                 int(np.ceil(t / bucket_samples) * bucket_samples))
-        batch = np.zeros((len(arrays), t), np.float32)
+        t_pad = align(t)
+        batch = np.zeros((len(arrays), t_pad), np.float32)
         for i, a in enumerate(arrays):
-            batch[i, : len(a)] = a[:t]
+            batch[i, : min(len(a), t)] = a[:t]
         return jnp.asarray(batch), jnp.asarray(np.minimum(lengths, t))
     arr = np.asarray(input_values, np.float32)
     if arr.ndim == 1:
         arr = arr[None]
-    return jnp.asarray(arr), jnp.full((arr.shape[0],), arr.shape[1],
-                                      jnp.int32)
+    lengths = jnp.full((arr.shape[0],), arr.shape[1], jnp.int32)
+    t_pad = align(arr.shape[1])
+    if t_pad != arr.shape[1]:
+        arr = np.pad(arr, ((0, 0), (0, t_pad - arr.shape[1])))
+    return jnp.asarray(arr), lengths
 
 
 class _SpeechMixBase:
@@ -129,7 +138,8 @@ class _SpeechMixBase:
                 use_flash=None):
         if use_flash is None:  # auto: single-pass kernel wins on TPU, PERF.md
             use_flash = jax.default_backend() == "tpu"
-        batch, lengths = _prepare_audio(input_values)
+        batch, lengths = _prepare_audio(input_values,
+                                        encoder_cfg=self.config.encoder)
         prompt = input_text_prompt or decoder_text_prompt
         prompt_ids = None
         if prompt is not None:
@@ -183,7 +193,8 @@ class _SpeechMixBase:
         if use_flash is None:
             use_flash = jax.default_backend() == "tpu"
 
-        batch, lengths = _prepare_audio(input_values)
+        batch, lengths = _prepare_audio(input_values,
+                                        encoder_cfg=self.config.encoder)
         prompt_ids = None
         if decoder_text_prompt is not None:
             prompt_ids = jnp.asarray(

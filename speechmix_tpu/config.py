@@ -76,6 +76,21 @@ class SpeechEncoderConfig:
             l = (l - k) // s + 1
         return l
 
+    def aligned_samples(self, n: int, multiple: int = 8) -> int:
+        """Smallest padded sample count >= n whose FRAME count is a multiple
+        of `multiple`.  Odd/misaligned frame counts force sublane padding in
+        every transformer-layer op: measured ~6% encoder time at B=128
+        (frames 799 vs 800 — PERF.md).  The pad is masked, so outputs for
+        the real samples are unchanged."""
+        stride = 1
+        for s in self.conv_strides:
+            stride *= s
+        frames = int(self.feature_lengths(n))
+        target = -(-max(frames, 1) // multiple) * multiple
+        n = n + (target - frames) * stride
+        assert int(self.feature_lengths(n)) == target
+        return n
+
 
 @dataclass(frozen=True)
 class Seq2SeqConfig:

@@ -139,7 +139,8 @@ class TranscriptionPipeline:
         host_dtype = (np.int16 if self.transfer_dtype == "int16"
                       else np.float32)
         for sec in self.buckets_sec:
-            cap = int(sec * self.sample_rate)
+            cap = self.model.config.encoder.aligned_samples(
+                int(sec * self.sample_rate))
             fn = self._fn_for(cap)
             batch, lengths = self._place_batch(
                 np.zeros((self.batch_size, cap), host_dtype),
@@ -194,6 +195,9 @@ class TranscriptionPipeline:
             for si, seg in enumerate(segs):
                 cap = audio_lib.bucket_length(len(seg), self.buckets_sec,
                                               self.sample_rate) or max_cap
+                # frame-align the padded length: odd frame counts cost ~6%
+                # encoder time (sublane padding in every layer op — PERF.md)
+                cap = self.model.config.encoder.aligned_samples(cap)
                 pools[cap].append((i, si, seg))
 
         # submit every batch first (jax dispatch is async — host-side

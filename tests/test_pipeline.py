@@ -23,7 +23,8 @@ def test_pipeline_buckets_and_order(model):
     assert len(texts) == len(waveforms)
     assert all(isinstance(t, str) for t in texts)
     # only two bucket shapes compiled
-    assert set(pipe._fns.keys()) <= {32000, 64000}
+    align = model.config.encoder.aligned_samples
+    assert set(pipe._fns.keys()) <= {align(32000), align(64000)}
 
 
 def test_pipeline_resamples(model):
@@ -40,7 +41,8 @@ def test_pipeline_warmup_precompiles(model):
     pipe = TranscriptionPipeline(model, batch_size=2, max_length=8,
                                  buckets_sec=(0.5, 1.0))
     pipe.warmup()
-    caps = {int(s * pipe.sample_rate) for s in pipe.buckets_sec}
+    caps = {model.config.encoder.aligned_samples(int(s * pipe.sample_rate))
+            for s in pipe.buckets_sec}
     assert set(pipe._fns) == caps
 
 

@@ -118,3 +118,18 @@ def test_extractor_pairs_no_lengths():
         cfg, extractor_impl="pairs"), wav, None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_aligned_samples():
+    """aligned_samples returns the smallest padded sample count whose frame
+    count is a multiple of 8 (odd frame counts measured ~6% slower per
+    encoder pass — PERF.md)."""
+    from speechmix_tpu.config import SPEECH_ENCODER_PRESETS
+    cfg = SPEECH_ENCODER_PRESETS["wav2vec2-base"]
+    for n in [256000, 256080, 64000, 12345]:
+        a = cfg.aligned_samples(n)
+        assert a >= n
+        assert int(cfg.feature_lengths(a)) % 8 == 0
+        # already-aligned inputs are unchanged
+        assert cfg.aligned_samples(a) == a
+    assert int(cfg.feature_lengths(cfg.aligned_samples(256000))) == 800
