@@ -68,7 +68,8 @@ def main():
             pad_token_id=spm.config.decoder.pad_token_id,
             bos_token_id=spm.tokenizer.bos_token_id,
             max_label_length=spm.config.decoder.max_length,
-            max_text_length=spm.config.decoder.max_length)
+            max_text_length=spm.config.decoder.max_length,
+            align_samples=spm.config.encoder.aligned_samples)
         batcher = BucketBatcher(ccfg, args.batch)
         trainer = Trainer(spm.config, TrainConfig(output_dir=""),
                           tokenizer=spm.tokenizer)

@@ -18,7 +18,8 @@ from __future__ import annotations
 
 from collections import defaultdict
 from dataclasses import dataclass, field
-from typing import Dict, Iterable, Iterator, List, Optional, Sequence
+from typing import (Callable, Dict, Iterable, Iterator, List, Optional,
+                    Sequence)
 
 import numpy as np
 
@@ -34,6 +35,10 @@ class CollatorConfig:
     pad_token_id: int = 0
     bos_token_id: Optional[int] = None
     label_pad: int = -100
+    # optional sample-count aligner (SpeechEncoderConfig.aligned_samples):
+    # pads bucket lengths so the conv frame count is 8-aligned (odd frame
+    # counts measured ~6% slower per encoder pass, PERF.md)
+    align_samples: Optional[Callable[[int], int]] = None
 
 
 def collate(examples: List[dict], cfg: CollatorConfig,
@@ -121,6 +126,8 @@ class BucketBatcher:
                 cap = max_cap
             if not self.group_by_length:
                 cap = max_cap
+            if self.cfg.align_samples is not None:
+                cap = self.cfg.align_samples(cap)
             pools[cap].append(ex)
             if len(pools[cap]) == self.batch_size:
                 batch = collate(pools[cap], self.cfg, cap)

@@ -157,7 +157,8 @@ def _batch_iter_factory(examples: List[dict], model, batch_size: int,
         pad_token_id=model.config.decoder.pad_token_id,
         bos_token_id=model.tokenizer.bos_token_id,
         max_label_length=model.config.decoder.max_length,
-        max_text_length=model.config.decoder.max_length)
+        max_text_length=model.config.decoder.max_length,
+        align_samples=model.config.encoder.aligned_samples)
     batcher = BucketBatcher(ccfg, batch_size, shuffle_seed=shuffle_seed,
                             group_by_length=group_by_length)
 
