@@ -84,6 +84,15 @@ class TranscriptionPipeline:
         self.buckets_sec = buckets_sec
         self.sample_rate = sample_rate
         self.mesh = mesh
+        # smallest sample count that yields >= 1 conv frame: shorter (or
+        # empty) inputs would produce an all-masked encoder (NaN softmax) —
+        # they get an empty transcript without touching the device
+        ecfg = model.config.encoder
+        need = 1
+        for k, s in zip(reversed(ecfg.conv_kernels),
+                        reversed(ecfg.conv_strides)):
+            need = (need - 1) * s + k
+        self._min_samples = need
         self._sharded_params = None
         self._sharded_src = None
         self._fns = {}
@@ -97,9 +106,11 @@ class TranscriptionPipeline:
             kv_int8 = self.kv_int8
             int16_in = self.transfer_dtype == "int16"
 
-            def raw(params, batch, lengths):
+            def raw(params, batch, lengths, scale):
                 if int16_in:
-                    batch = batch.astype(jnp.float32) * (1.0 / 32767.0)
+                    # scale: per-batch peak (host-computed) so normalized
+                    # audio with |x| > 1 is never clipped
+                    batch = batch.astype(jnp.float32) * (scale / 32767.0)
                 return gen_lib.generate(
                     params, cfg, batch, lengths, max_length=max_length,
                     num_beams=num_beams, use_flash=use_flash,
@@ -145,7 +156,8 @@ class TranscriptionPipeline:
             batch, lengths = self._place_batch(
                 np.zeros((self.batch_size, cap), host_dtype),
                 np.full((self.batch_size,), cap, np.int32))
-            fn.lower(self._run_params(), batch, lengths).compile()
+            fn.lower(self._run_params(), batch, lengths,
+                     jnp.float32(1.0)).compile()
         return self
 
     def split_long(self, wav: np.ndarray) -> List[np.ndarray]:
@@ -185,6 +197,7 @@ class TranscriptionPipeline:
         # share the source index (their transcripts are space-joined below)
         max_cap = int(self.buckets_sec[-1] * self.sample_rate)
         pools = defaultdict(list)    # cap -> [(orig_idx, seg_idx, wav)]
+        too_short = []               # [(orig_idx, seg_idx)] -> ""
         seg_counts = [1] * n
         for i, wav in enumerate(prepped):
             if len(wav) > max_cap and self.long_audio == "chunk":
@@ -193,6 +206,9 @@ class TranscriptionPipeline:
                 segs = [wav[:max_cap]]
             seg_counts[i] = len(segs)
             for si, seg in enumerate(segs):
+                if len(seg) < self._min_samples:
+                    too_short.append((i, si))
+                    continue
                 cap = audio_lib.bucket_length(len(seg), self.buckets_sec,
                                               self.sample_rate) or max_cap
                 # frame-align the padded length: odd frame counts cost ~6%
@@ -200,9 +216,23 @@ class TranscriptionPipeline:
                 cap = self.model.config.encoder.aligned_samples(cap)
                 pools[cap].append((i, si, seg))
 
-        # submit every batch first (jax dispatch is async — host-side
-        # padding/collation of batch k+1 overlaps the device running batch
-        # k), then collect and decode
+        # submit batches ahead of collection (jax dispatch is async —
+        # host-side collation of batch k+1 overlaps device compute of batch
+        # k) with a bounded in-flight window so queued device inputs can't
+        # accumulate into an OOM on long request lists
+        MAX_IN_FLIGHT = 4
+        seg_results = {}  # (orig_idx, seg_idx) -> text
+        for idx_si in too_short:
+            seg_results[idx_si] = ""
+
+        def drain(entry):
+            chunk, real, tokens = entry
+            tokens = np.asarray(tokens)
+            for j in range(real):
+                idx, si, _ = chunk[j]
+                seg_results[(idx, si)] = self.model.tokenizer.decode(
+                    tokens[j], skip_special_tokens=True)
+
         in_flight = []  # (chunk, real, device_tokens)
         for cap, items in pools.items():
             fn = self._fn_for(cap)
@@ -216,20 +246,20 @@ class TranscriptionPipeline:
                 for j, (_, _, wav) in enumerate(chunk):
                     batch[j, : len(wav)] = wav
                     lengths[j] = len(wav)
+                scale = np.float32(1.0)
                 if self.transfer_dtype == "int16":
-                    batch = np.clip(batch * 32767.0,
-                                    -32768, 32767).astype(np.int16)
+                    scale = np.float32(max(float(np.abs(batch).max()), 1e-9))
+                    batch = np.clip(np.round(batch * (32767.0 / scale)),
+                                    -32767, 32767).astype(np.int16)
                 b_dev, l_dev = self._place_batch(batch, lengths)
-                tokens, _ = fn(self._run_params(), b_dev, l_dev)
+                tokens, _ = fn(self._run_params(), b_dev, l_dev,
+                               jnp.float32(scale))
                 in_flight.append((chunk, real, tokens))
+                if len(in_flight) > MAX_IN_FLIGHT:
+                    drain(in_flight.pop(0))
 
-        seg_results = {}  # (orig_idx, seg_idx) -> text
-        for chunk, real, tokens in in_flight:
-            tokens = np.asarray(tokens)
-            for j in range(real):
-                idx, si, _ = chunk[j]
-                seg_results[(idx, si)] = self.model.tokenizer.decode(
-                    tokens[j], skip_special_tokens=True)
+        for entry in in_flight:
+            drain(entry)
 
         results: List[str] = []
         for i in range(n):

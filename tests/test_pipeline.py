@@ -117,10 +117,29 @@ def test_int16_transfer_matches_float32(model):
 
 
 def test_edge_inputs(model):
-    """Empty request list and very short audio are handled."""
+    """Empty request list, zero-length and sub-frame audio are handled
+    (too-short segments get an empty transcript instead of an all-masked
+    encoder producing NaN garbage)."""
     pipe = TranscriptionPipeline(model, batch_size=2, max_length=6,
                                  buckets_sec=(0.5, 1.0))
     assert pipe([]) == []
     rng = np.random.RandomState(4)
-    out = pipe([rng.randn(400).astype(np.float32) * 0.1])   # 25 ms
-    assert len(out) == 1 and isinstance(out[0], str)
+    out = pipe([rng.randn(400).astype(np.float32) * 0.1,   # 25 ms
+                np.zeros(0, np.float32),                    # empty
+                np.zeros(3, np.float32)])                   # < 1 frame
+    assert len(out) == 3 and all(isinstance(t, str) for t in out)
+    assert out[1] == "" and out[2] == ""
+
+
+def test_int16_transfer_loud_audio(model):
+    """Peak-scaled int16 transfer must not clip normalized (|x| > 1) audio:
+    transcripts match the float32 path."""
+    rng = np.random.RandomState(6)
+    waveforms = [(rng.randn(n) * 3.5).astype(np.float32)   # unit-var-ish
+                 for n in [7000, 15000]]
+    f32 = TranscriptionPipeline(model, batch_size=2, max_length=6,
+                                buckets_sec=(0.5, 1.0))
+    i16 = TranscriptionPipeline(model, batch_size=2, max_length=6,
+                                buckets_sec=(0.5, 1.0),
+                                transfer_dtype="int16")
+    assert f32(waveforms) == i16(waveforms)
