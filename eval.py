@@ -18,9 +18,22 @@ def main():
     p.add_argument("--speech_model_config", default="wav2vec2-base")
     p.add_argument("--nlp_model_config", default="bart-base")
     p.add_argument("--weights", default=None)
+    p.add_argument("--hf_checkpoint_dir", default=None,
+                   help="reference FUSED checkpoint dir (composite "
+                        "config.json + pytorch_model.bin, the "
+                        "voidful/speechmix_eed_fixed layout): architecture "
+                        "derived from config.json, weights converted. "
+                        "Combine with --librispeech_dir for the BASELINE.md "
+                        "real-WER anchor in one command.")
+    p.add_argument("--librispeech_dir", default=None,
+                   help="LibriSpeech split dir (e.g. .../test-clean): "
+                        "decode every utterance, print corpus WER/CER")
     p.add_argument("--audio", default=None, help="wav file to transcribe")
     p.add_argument("--prompt", default=None)
     p.add_argument("--max_length", default=250, type=int)
+    p.add_argument("--min_length", default=0, type=int,
+                   help="EOS is suppressed until this many tokens are "
+                        "generated (HF generate min_length semantics)")
     p.add_argument("--beam", default=1, type=int)
     p.add_argument("--kv_int8", action="store_true",
                    help="int8 cross-attention KV in the decode loop "
@@ -50,11 +63,33 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
     from speechmix_tpu import HFSpeechMixEED
-    spm = HFSpeechMixEED(args.speech_model_config, args.nlp_model_config,
-                         share_layer_ratio=args.share_layer_ratio,
-                         down_scale=args.down_scale)
+    if args.hf_checkpoint_dir:
+        spm = HFSpeechMixEED.from_reference_checkpoint(
+            args.hf_checkpoint_dir, share_layer_ratio=args.share_layer_ratio,
+            down_scale=args.down_scale)
+    else:
+        spm = HFSpeechMixEED(args.speech_model_config, args.nlp_model_config,
+                             share_layer_ratio=args.share_layer_ratio,
+                             down_scale=args.down_scale)
     if args.weights:
         spm.load_weights(args.weights)
+
+    if args.librispeech_dir:
+        import json
+        from speechmix_tpu.data.datasets import load_librispeech_dir
+        from speechmix_tpu.pipeline import TranscriptionPipeline
+        from speechmix_tpu.metrics import cer, wer
+        examples = load_librispeech_dir(args.librispeech_dir)
+        print(f"{len(examples)} utterances from {args.librispeech_dir}")
+        pipe = TranscriptionPipeline(
+            spm, batch_size=args.batch, max_length=args.max_length,
+            num_beams=args.beam, kv_int8=args.kv_int8,
+            min_length=args.min_length)
+        hyps = pipe([ex["audio"] for ex in examples])
+        refs = [ex["text"].lower() for ex in examples]
+        print(json.dumps({"wer": wer(refs, hyps), "cer": cer(refs, hyps),
+                          "n": len(refs)}))
+        return
 
     if args.synthetic_eval:
         import json
@@ -67,6 +102,7 @@ def main():
         ccfg = CollatorConfig(
             pad_token_id=spm.config.decoder.pad_token_id,
             bos_token_id=spm.tokenizer.bos_token_id,
+            eos_token_id=spm.config.decoder.eos_token_id,
             max_label_length=spm.config.decoder.max_length,
             max_text_length=spm.config.decoder.max_length,
             align_samples=spm.config.encoder.aligned_samples)
@@ -92,7 +128,7 @@ def main():
 
     outputs = spm.generate([wav], decoder_text_prompt=args.prompt,
                            max_length=args.max_length, num_beams=args.beam,
-                           kv_int8=args.kv_int8)
+                           kv_int8=args.kv_int8, min_length=args.min_length)
     decoded = spm.tokenizer.decode(np.asarray(outputs[0]),
                                    skip_special_tokens=True)
     print("decoded:", decoded)

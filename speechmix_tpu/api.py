@@ -183,7 +183,8 @@ class _SpeechMixBase:
     def generate(self, input_values, decoder_text_prompt=None,
                  max_length=None, num_beams=1, length_penalty=1.0,
                  use_flash=None, kv_int8=False, do_sample=False,
-                 temperature=1.0, top_k=0, top_p=1.0, seed=0):
+                 temperature=1.0, top_k=0, top_p=1.0, seed=0,
+                 min_length=0):
         """use_flash=None auto-enables the single-pass Pallas attention
         kernel on TPU (measured faster in situ at speech shapes — PERF.md);
         pass False/True to override.  kv_int8 quantizes the precomputed
@@ -205,7 +206,7 @@ class _SpeechMixBase:
         key = ("gen", batch.shape,
                None if prompt_ids is None else prompt_ids.shape,
                max_length, num_beams, length_penalty, use_flash, kv_int8,
-               do_sample, temperature, top_k, top_p)
+               do_sample, temperature, top_k, top_p, min_length)
         fn = self._jit_generate_cache.get(key)
         if fn is None:
             def raw(params, batch, lengths, prompt_ids, rng):
@@ -216,7 +217,7 @@ class _SpeechMixBase:
                     use_flash=use_flash, dtype=self._dtype,
                     kv_int8=kv_int8, do_sample=do_sample,
                     temperature=temperature, top_k=top_k, top_p=top_p,
-                    rng=rng)
+                    rng=rng, min_length=min_length)
             fn = jax.jit(raw)
             self._jit_generate_cache[key] = fn
         rng = jax.random.PRNGKey(seed) if do_sample else None
@@ -260,13 +261,56 @@ class _SpeechMixBase:
         self.load_weights(os.path.join(directory, "weights.npz"))
         return self
 
+    @classmethod
+    def from_reference_checkpoint(cls, checkpoint_dir: str,
+                                  share_layer_ratio=0, down_scale=8,
+                                  weighted_sum=False, tokenizer_path=None,
+                                  **kwargs):
+        """Build a model from a reference FUSED checkpoint directory (the
+        `voidful/speechmix_eed_fixed` layout: composite SpeechMixConfig
+        config.json, hf_model.py:37-79, beside pytorch_model.bin /
+        model.safetensors).  The architecture is derived from config.json
+        (convert.config_from_hf); the fusion hyperparameters are not stored
+        by the reference, so pass the recipe's share_layer_ratio/down_scale
+        (the published eed_fixed checkpoint used 0.4 / 8).  The tokenizer
+        loads from tokenizer_path or the checkpoint dir itself.
+
+        This is the real-checkpoint turnkey path:
+            spm = HFSpeechMixEED.from_reference_checkpoint(
+                '/mnt/speechmix_eed_fixed', share_layer_ratio=0.4)
+            pipe = TranscriptionPipeline(spm); pipe(waveforms)
+        """
+        import os
+        from . import convert
+        derived = convert.config_from_hf(checkpoint_dir)
+        if not isinstance(derived, tuple):
+            raise ValueError(
+                f"{checkpoint_dir} holds a single-model config "
+                f"({type(derived).__name__}); from_reference_checkpoint "
+                f"needs the fused composite layout — use "
+                f"load_hf_checkpoint for separate backbone checkpoints")
+        enc_cfg, dec_cfg = derived
+        self = cls(enc_cfg, dec_cfg, share_layer_ratio=share_layer_ratio,
+                   down_scale=down_scale, weighted_sum=weighted_sum,
+                   **kwargs)
+        tok_src = tokenizer_path or checkpoint_dir
+        if os.path.exists(os.path.join(str(tok_src), "tokenizer.json")) or \
+                os.path.exists(os.path.join(str(tok_src),
+                                            "tokenizer_config.json")):
+            self.tokenizer = load_tokenizer(str(tok_src),
+                                            decoder_config=dec_cfg)
+        self.params = convert.load_speechmix(checkpoint_dir, self.config)
+        self._refresh_grad_lists()
+        return self
+
     def export_reference_state_dict(self, path: str = None):
         """Export the fused params as a reference-format torch state dict
         (convert.export_speechmix) — loadable by the reference
         HFSpeechMixEED via load_state_dict, so a model trained here goes
         back to the reference / HF torch ecosystem.  With `path`, saves a
-        pytorch_model.bin via torch (falls back to .npz if torch is
-        missing); always returns the dict of numpy arrays."""
+        pytorch_model.bin via torch (falls back to `path + '.npz'` with a
+        warning if torch is missing — never writes npz bytes under a
+        torch-named path); always returns the dict of numpy arrays."""
         from . import convert
         sd = convert.export_speechmix(self.params, self.config)
         if path:
@@ -274,7 +318,12 @@ class _SpeechMixBase:
                 import torch
                 torch.save({k: torch.tensor(v) for k, v in sd.items()}, path)
             except ImportError:
-                with open(path, "wb") as f:   # keep the exact path
+                import warnings
+                npz_path = path + ".npz"
+                warnings.warn(
+                    f"torch is not installed: saving numpy archive to "
+                    f"{npz_path!r} instead of torch state dict {path!r}")
+                with open(npz_path, "wb") as f:
                     np.savez(f, **sd)
         return sd
 

@@ -512,3 +512,151 @@ def export_speechmix(params, cfg) -> Dict[str, np.ndarray]:
             _exp_lin(out, ad["down"], f"adapters.{i}.1")
             _exp_lin(out, ad["up"], f"adapters.{i}.3")
     return {k: np.asarray(v, np.float32) for k, v in out.items()}
+
+
+# ----------------------------------------------------------------------------
+# config derivation from HF config.json (real-checkpoint turnkey path)
+# ----------------------------------------------------------------------------
+
+_SPEECH_MODEL_TYPES = ("wav2vec2", "hubert", "unispeech-sat", "unispeech_sat")
+_SEQ2SEQ_MODEL_TYPES = ("bart", "mbart", "t5", "mt5", "byt5")
+
+
+def _encoder_config_from_dict(d: dict) -> SpeechEncoderConfig:
+    """HF Wav2Vec2Config/HubertConfig/UniSpeechSatConfig dict ->
+    SpeechEncoderConfig (field names per transformers' config docs)."""
+    return SpeechEncoderConfig(
+        name=d.get("_name_or_path") or d.get("model_type", "wav2vec2"),
+        conv_dims=tuple(d.get("conv_dim", (512,) * 7)),
+        conv_kernels=tuple(d.get("conv_kernel", (10, 3, 3, 3, 3, 2, 2))),
+        conv_strides=tuple(d.get("conv_stride", (5, 2, 2, 2, 2, 2, 2))),
+        conv_bias=bool(d.get("conv_bias", False)),
+        feat_extract_norm=d.get("feat_extract_norm", "group"),
+        hidden_size=int(d.get("hidden_size", 768)),
+        num_layers=int(d.get("num_hidden_layers", 12)),
+        num_heads=int(d.get("num_attention_heads", 12)),
+        ffn_dim=int(d.get("intermediate_size", 3072)),
+        activation=d.get("hidden_act", "gelu"),
+        layer_norm_eps=float(d.get("layer_norm_eps", 1e-5)),
+        do_stable_layer_norm=bool(d.get("do_stable_layer_norm", False)),
+        pos_conv_kernel=int(d.get("num_conv_pos_embeddings", 128)),
+        pos_conv_groups=int(d.get("num_conv_pos_embedding_groups", 16)),
+        dropout=float(d.get("hidden_dropout", 0.1)),
+        attention_dropout=float(d.get("attention_dropout", 0.1)),
+        activation_dropout=float(d.get("activation_dropout", 0.1)),
+        feat_proj_dropout=float(d.get("feat_proj_dropout", 0.1)),
+    )
+
+
+def _seq2seq_config_from_dict(d: dict) -> Seq2SeqConfig:
+    """HF BartConfig / T5Config dict -> Seq2SeqConfig."""
+    mt = d.get("model_type", "bart")
+    name = d.get("_name_or_path") or mt
+    if mt in ("t5", "mt5", "byt5"):
+        ff_proj = d.get("feed_forward_proj", "relu")
+        gated = ff_proj.startswith("gated-")
+        act = ff_proj[len("gated-"):] if gated else ff_proj
+        if gated:
+            act = act + "_gated"
+        return Seq2SeqConfig(
+            name=name, arch="t5",
+            vocab_size=int(d.get("vocab_size", 32128)),
+            hidden_size=int(d.get("d_model", 512)),
+            encoder_layers=int(d.get("num_layers", 6)),
+            decoder_layers=int(d.get("num_decoder_layers",
+                                     d.get("num_layers", 6))),
+            num_heads=int(d.get("num_heads", 8)),
+            head_dim=int(d.get("d_kv", 64)),
+            ffn_dim=int(d.get("d_ff", 2048)),
+            activation=act,
+            layer_norm_eps=float(d.get("layer_norm_epsilon", 1e-6)),
+            dropout=float(d.get("dropout_rate", 0.1)),
+            attention_dropout=float(d.get("dropout_rate", 0.1)),
+            activation_dropout=float(d.get("dropout_rate", 0.1)),
+            scale_embedding=False,
+            tie_word_embeddings=bool(d.get("tie_word_embeddings", True)),
+            pad_token_id=int(d.get("pad_token_id", 0)),
+            bos_token_id=int(d.get("bos_token_id") or 0),
+            eos_token_id=int(d.get("eos_token_id", 1)),
+            decoder_start_token_id=int(d.get("decoder_start_token_id",
+                                             d.get("pad_token_id", 0))),
+            relative_attention_num_buckets=int(
+                d.get("relative_attention_num_buckets", 32)),
+            relative_attention_max_distance=int(
+                d.get("relative_attention_max_distance", 128)),
+            max_length=int(d.get("max_length") or 128),
+        )
+    return Seq2SeqConfig(
+        name=name, arch="bart",
+        vocab_size=int(d.get("vocab_size", 50265)),
+        hidden_size=int(d.get("d_model", 768)),
+        encoder_layers=int(d.get("encoder_layers", 6)),
+        decoder_layers=int(d.get("decoder_layers", 6)),
+        num_heads=int(d.get("encoder_attention_heads", 12)),
+        ffn_dim=int(d.get("encoder_ffn_dim", 3072)),
+        activation=d.get("activation_function", "gelu"),
+        max_positions=int(d.get("max_position_embeddings", 1024)),
+        dropout=float(d.get("dropout", 0.1)),
+        attention_dropout=float(d.get("attention_dropout", 0.1)),
+        activation_dropout=float(d.get("activation_dropout", 0.1)),
+        scale_embedding=bool(d.get("scale_embedding", False)),
+        tie_word_embeddings=bool(d.get("tie_word_embeddings", True)),
+        pad_token_id=int(d.get("pad_token_id", 1)),
+        bos_token_id=int(d.get("bos_token_id", 0)),
+        eos_token_id=int(d.get("eos_token_id", 2)),
+        decoder_start_token_id=int(d.get("decoder_start_token_id", 2)),
+        max_length=int(d.get("max_length") or 128),
+    )
+
+
+def config_from_hf(path_or_dict):
+    """Derive this framework's config from an HF checkpoint's config.json.
+
+    Accepts a checkpoint directory, a config.json path, or an
+    already-parsed dict.  Returns:
+      * SpeechEncoderConfig  for wav2vec2 / hubert / unispeech-sat configs
+      * Seq2SeqConfig        for bart / t5 family configs
+      * (SpeechEncoderConfig, Seq2SeqConfig) for the reference's composite
+        SpeechMixConfig ("model_type": "speechmix", hf_model.py:37-79) —
+        the fused `voidful/speechmix_eed_fixed`-style checkpoint layout.
+        Fusion hyperparameters (share_layer_ratio, down_scale, ...) are NOT
+        stored in the reference config; pass them to the model constructor
+        as usual.
+
+    A sibling generation_config.json's max_length (HF moves generation
+    defaults there in recent versions) overrides the config value.
+
+    This is the real-checkpoint turnkey path: point
+    `HFSpeechMixEED(hf_checkpoint_config_dir, ...)` or `eval.py
+    --hf_checkpoint_dir` at a mounted checkpoint and the architecture is
+    derived instead of hand-matched to a preset."""
+    import json
+    gen_cfg = None
+    if isinstance(path_or_dict, dict):
+        d = path_or_dict
+    else:
+        p = str(path_or_dict)
+        if os.path.isdir(p):
+            gen_p = os.path.join(p, "generation_config.json")
+            if os.path.exists(gen_p):
+                with open(gen_p) as f:
+                    gen_cfg = json.load(f)
+            p = os.path.join(p, "config.json")
+        with open(p) as f:
+            d = json.load(f)
+
+    mt = d.get("model_type", "")
+    if mt == "speechmix" or ("encoder" in d and "decoder" in d and
+                             isinstance(d.get("encoder"), dict)):
+        enc = _encoder_config_from_dict(d["encoder"])
+        dec = _seq2seq_config_from_dict(d["decoder"])
+        return enc, dec
+    if mt in _SPEECH_MODEL_TYPES or "conv_dim" in d:
+        return _encoder_config_from_dict(d)
+    if mt in _SEQ2SEQ_MODEL_TYPES or "d_model" in d:
+        cfg = _seq2seq_config_from_dict(d)
+        if gen_cfg and gen_cfg.get("max_length"):
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, max_length=int(gen_cfg["max_length"]))
+        return cfg
+    raise ValueError(f"unrecognized HF config (model_type={mt!r})")

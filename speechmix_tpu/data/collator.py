@@ -34,6 +34,11 @@ class CollatorConfig:
     max_text_length: int = 128
     pad_token_id: int = 0
     bos_token_id: Optional[int] = None
+    # when set, a label sequence cut at max_label_length gets EOS re-appended
+    # as its last token — otherwise truncated transcripts would train the
+    # model to never emit EOS on long utterances (the reference has the same
+    # hazard at train.py:116-121; fixed here)
+    eos_token_id: Optional[int] = None
     label_pad: int = -100
     # optional sample-count aligner (SpeechEncoderConfig.aligned_samples):
     # pads bucket lengths so the conv frame count is 8-aligned (odd frame
@@ -57,12 +62,17 @@ def collate(examples: List[dict], cfg: CollatorConfig,
         wav = np.asarray(ex["input_values"], np.float32)[:audio_target_len]
         input_values[i, : len(wav)] = wav
         lengths[i] = len(wav)
-        lab = list(ex["labels"])[: cfg.max_label_length]
+        lab = list(ex["labels"])
         # strip leading BOS if the tokenizer always adds one
         # (train.py:127-128)
         if cfg.bos_token_id is not None and lab and \
                 lab[0] == cfg.bos_token_id:
             lab = lab[1:]
+        if len(lab) > cfg.max_label_length:
+            lab = lab[: cfg.max_label_length]
+            if cfg.eos_token_id is not None and \
+                    lab[-1] != cfg.eos_token_id:
+                lab[-1] = cfg.eos_token_id
         labels[i, : len(lab)] = lab
         if has_text:
             t = list(ex["text_input_ids"])[: cfg.max_text_length]

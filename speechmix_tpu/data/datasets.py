@@ -73,13 +73,17 @@ def synthetic_corpus(n: int, seed: int = 0, min_sec=1.2, max_sec=6.0,
 
 def prepare_examples(raw: List[dict], model, input_text_prompt: str = "",
                      use_teacher_targets: bool = True,
-                     teacher_batch: int = 16) -> List[dict]:
+                     teacher_batch: int = 16, workers: int = 1) -> List[dict]:
     """raw: [{'audio': 1-D float32 @16k, 'text': str}] ->
     [{'input_values', 'lengths', 'text_input_ids', 'labels'}].
 
     Labels are the frozen NLP teacher's greedy output on the transcript
     (create_self_decoder_input semantics, train.py:18-34) + EOS; with
     use_teacher_targets=False, labels are the tokenized transcript + EOS.
+
+    workers > 1 tokenizes on a thread pool (--worker; the reference's
+    num_proc role, train.py:239,268 — fast HF tokenizers release the GIL).
+    The teacher path is already one batched on-device decode.
     """
     tok = model.tokenizer
     texts = [input_text_prompt + ex["text"].lower() for ex in raw]
@@ -88,13 +92,19 @@ def prepare_examples(raw: List[dict], model, input_text_prompt: str = "",
             model.params["nlp"], model.config.decoder, tok, texts,
             batch_size=teacher_batch)
     else:
-        pairs = []
-        for t in texts:
+        def tokenize_one(t):
             ids = tok.encode(t, add_special_tokens=True)
             labels = list(ids)
             if not labels or labels[-1] != tok.eos_token_id:
                 labels.append(tok.eos_token_id)
-            pairs.append((ids, labels))
+            return ids, labels
+
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                pairs = list(pool.map(tokenize_one, texts))
+        else:
+            pairs = [tokenize_one(t) for t in texts]
 
     out = []
     for ex, (text_ids, labels) in zip(raw, pairs):
@@ -156,6 +166,7 @@ def _batch_iter_factory(examples: List[dict], model, batch_size: int,
     ccfg = CollatorConfig(
         pad_token_id=model.config.decoder.pad_token_id,
         bos_token_id=model.tokenizer.bos_token_id,
+        eos_token_id=model.config.decoder.eos_token_id,
         max_label_length=model.config.decoder.max_length,
         max_text_length=model.config.decoder.max_length,
         align_samples=model.config.encoder.aligned_samples)
@@ -183,8 +194,9 @@ def build_datasets(input_args, model) -> Tuple[Callable, Callable]:
         # trains on ground-truth transcripts
         use_teacher = False
     elif input_args.custom_set:
-        train_raw, eval_raw = _load_custom_csv(input_args.custom_set,
-                                               seed=input_args.seed)
+        train_raw, eval_raw = _load_custom_csv(
+            input_args.custom_set, seed=input_args.seed,
+            workers=int(getattr(input_args, "worker", 1) or 1))
     else:
         train_raw = _load_hf_dataset(input_args.dataset, input_args.field,
                                      input_args.train_split)
@@ -202,7 +214,9 @@ def build_datasets(input_args, model) -> Tuple[Callable, Callable]:
             cache_path = f"./.data_cache/{key}.npz"
             if os.path.exists(cache_path):
                 return load_examples(cache_path)
-        ex = prepare_examples(raw, model, prompt, use_teacher)
+        ex = prepare_examples(
+            raw, model, prompt, use_teacher,
+            workers=int(getattr(input_args, "worker", 1) or 1))
         ex = length_filter(ex, input_args.max_input_length_in_sec)
         if cache_path:
             save_examples(cache_path, ex)
@@ -226,9 +240,12 @@ def build_datasets(input_args, model) -> Tuple[Callable, Callable]:
                                 group_by_length=gbl))
 
 
-def _load_custom_csv(path: str, seed: int = 0, test_size: float = 0.1):
+def _load_custom_csv(path: str, seed: int = 0, test_size: float = 0.1,
+                     workers: int = 1):
     """CSV with `path` and `text` columns (reference prepare_dataset_custom,
-    train.py:38-55).  ONE seeded split (fixes §2.5.3)."""
+    train.py:38-55).  ONE seeded split (fixes §2.5.3).  workers > 1 loads +
+    resamples audio on a thread pool (--worker; file I/O and the numpy
+    resampler both release the GIL)."""
     import csv
     rows = []
     with open(path) as f:
@@ -244,8 +261,14 @@ def _load_custom_csv(path: str, seed: int = 0, test_size: float = 0.1):
         wav = audio_lib.resample(audio_lib.to_mono(wav), sr)
         return {"audio": wav, "text": row["text"]}
 
-    train = [load_row(r) for i, r in enumerate(rows) if i not in test_idx]
-    test = [load_row(r) for i, r in enumerate(rows) if i in test_idx]
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            loaded = list(pool.map(load_row, rows))
+    else:
+        loaded = [load_row(r) for r in rows]
+    train = [ex for i, ex in enumerate(loaded) if i not in test_idx]
+    test = [ex for i, ex in enumerate(loaded) if i in test_idx]
     return train, test
 
 
@@ -282,3 +305,39 @@ def _load_hf_dataset(name, field, split):
         out.append({"audio": np.asarray(ex["audio"]["array"], np.float32),
                     "text": text})
     return out
+
+
+def load_librispeech_dir(root: str, max_utts: Optional[int] = None,
+                         workers: int = 8) -> List[dict]:
+    """Walk an on-disk LibriSpeech split (e.g. .../LibriSpeech/test-clean):
+    <spk>/<chapter>/<spk>-<chapter>-<utt>.flac beside
+    <spk>-<chapter>.trans.txt lines "<utt_id> TRANSCRIPT".  Returns
+    [{'audio': 1-D float32 @16k, 'text': str}] sorted by utterance id —
+    the real-WER anchor corpus for eval.py --librispeech_dir
+    (reference recipe: README.md:32-49 + eval.ipynb)."""
+    pairs = []  # (utt_id, flac_path, text)
+    for dirpath, _, files in sorted(os.walk(root)):
+        for fname in sorted(files):
+            if not fname.endswith(".trans.txt"):
+                continue
+            with open(os.path.join(dirpath, fname)) as f:
+                for line in f:
+                    utt_id, _, text = line.strip().partition(" ")
+                    flac = os.path.join(dirpath, utt_id + ".flac")
+                    if text and os.path.exists(flac):
+                        pairs.append((utt_id, flac, text))
+    pairs.sort()
+    if max_utts:
+        pairs = pairs[:max_utts]
+
+    def load_one(item):
+        _, flac, text = item
+        wav, sr = _read_audio(flac)
+        return {"audio": audio_lib.resample(audio_lib.to_mono(wav), sr),
+                "text": text}
+
+    if workers > 1 and len(pairs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(load_one, pairs))
+    return [load_one(p) for p in pairs]

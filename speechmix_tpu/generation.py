@@ -37,7 +37,14 @@ def sample_filter_logits(logits, top_k=0, top_p=1.0):
     """HF sampling-filter semantics on (B, V) f32 logits: keep the top_k
     highest-logit tokens (0 = off), then the smallest set whose cumulative
     probability reaches top_p (1.0 = off; the highest-probability token is
-    always kept).  Filtered positions become -inf."""
+    always kept).  Filtered positions become -inf.
+
+    Tie caveat (documented divergence): filtering is by VALUE threshold, so
+    exact ties at the k-th logit / the top_p boundary all survive — possibly
+    more than top_k tokens or top_p mass, where HF's index-based cut keeps
+    an arbitrary tie-broken subset.  Measure-zero for float logits from a
+    real model; an index-based scatter-mask would restore exact HF behavior
+    in degenerate distributions."""
     neg = jnp.float32(-jnp.inf)
     if top_k and top_k > 0:
         kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]

@@ -33,7 +33,7 @@ class TranscriptionPipeline:
                  use_flash: bool = None, early_stop: bool = True,
                  kv_int8: bool = False, long_audio: str = "chunk",
                  long_audio_search_sec: float = 2.0, mesh=None,
-                 transfer_dtype: str = "float32"):
+                 transfer_dtype: str = "float32", min_length: int = 0):
         # use_flash=None: auto — the single-pass Pallas attention kernel on
         # TPU (measured faster in situ, PERF.md); False/True to override.
         # early_stop: exit the decode loop once every row has emitted EOS
@@ -75,6 +75,7 @@ class TranscriptionPipeline:
         self.batch_size = batch_size
         self.max_length = max_length or model.config.decoder.max_length
         self.num_beams = num_beams
+        self.min_length = min_length
         if use_flash is None:
             use_flash = jax.default_backend() == "tpu"
         self.use_flash = use_flash
@@ -103,19 +104,23 @@ class TranscriptionPipeline:
             cfg = self.model.config
             num_beams, max_length = self.num_beams, self.max_length
             use_flash, early_stop = self.use_flash, self.early_stop
-            kv_int8 = self.kv_int8
+            kv_int8, min_length = self.kv_int8, self.min_length
             int16_in = self.transfer_dtype == "int16"
 
             def raw(params, batch, lengths, scale):
                 if int16_in:
-                    # scale: per-batch peak (host-computed) so normalized
-                    # audio with |x| > 1 is never clipped
-                    batch = batch.astype(jnp.float32) * (scale / 32767.0)
+                    # scale: per-ROW peak (host-computed, shape (B,)) so a
+                    # quiet utterance batched with a loud one keeps its full
+                    # 16-bit resolution instead of inheriting the batch max
+                    # (advisor round-2 finding), and normalized audio with
+                    # |x| > 1 is never clipped
+                    batch = batch.astype(jnp.float32) * \
+                        (scale[:, None] / 32767.0)
                 return gen_lib.generate(
                     params, cfg, batch, lengths, max_length=max_length,
                     num_beams=num_beams, use_flash=use_flash,
                     early_stop=early_stop, kv_int8=kv_int8,
-                    dtype=jnp.bfloat16
+                    min_length=min_length, dtype=jnp.bfloat16
                     if cfg.dtype == "bfloat16" else jnp.float32)
 
             fn = jax.jit(raw)
@@ -246,16 +251,18 @@ class TranscriptionPipeline:
                 for j, (_, _, wav) in enumerate(chunk):
                     batch[j, : len(wav)] = wav
                     lengths[j] = len(wav)
-                scale = np.float32(1.0)
+                scale = np.ones((self.batch_size,), np.float32)
                 if self.transfer_dtype == "int16":
-                    scale = np.float32(max(float(np.abs(batch).max()), 1e-9))
-                    batch = np.clip(np.round(batch * (32767.0 / scale)),
-                                    -32767, 32767).astype(np.int16)
+                    scale = np.maximum(
+                        np.abs(batch).max(axis=1), 1e-9).astype(np.float32)
+                    batch = np.clip(
+                        np.round(batch * (32767.0 / scale[:, None])),
+                        -32767, 32767).astype(np.int16)
                 b_dev, l_dev = self._place_batch(batch, lengths)
                 tokens, _ = fn(self._run_params(), b_dev, l_dev,
-                               jnp.float32(scale))
+                               jnp.asarray(scale))
                 in_flight.append((chunk, real, tokens))
-                if len(in_flight) > MAX_IN_FLIGHT:
+                if len(in_flight) >= MAX_IN_FLIGHT:
                     drain(in_flight.pop(0))
 
         for entry in in_flight:

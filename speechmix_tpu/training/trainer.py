@@ -302,6 +302,10 @@ class Trainer:
         self.ckpt = CheckpointManager(tc.output_dir, tc.save_total_limit,
                                       backend=tc.checkpoint_backend) \
             if tc.output_dir else None
+        # predict() jit cache, persistent across calls so the per-bucket
+        # generate functions trace/compile once per run, not once per eval
+        # round — keyed on (batch shape, decode options)
+        self._predict_fns = {}
 
     def init_state(self, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(self.tc.seed)
@@ -435,12 +439,13 @@ class Trainer:
         from .. import generation as gen_lib
         from ..metrics import cer, wer
         max_length = max_length or self.cfg.decoder.max_length
-        fns = {}
+        fns = self._predict_fns
         refs, hyps = [], []
         for batch in eval_batches():
             if heartbeat is not None:
                 heartbeat()
-            shape = batch["input_values"].shape
+            shape = (batch["input_values"].shape, max_length, num_beams,
+                     kv_int8)
             fn = fns.get(shape)
             if fn is None:
                 def raw(params, wav, lengths):

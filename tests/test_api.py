@@ -111,3 +111,14 @@ def test_generate_early_stop_matches_full_scan():
                              max_length=12, early_stop=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_generate_min_length_reachable_from_api():
+    """min_length is exposed through the user-facing generate() (advisor
+    round-2 finding: it existed only in generation.py)."""
+    spm = make("HFSpeechMixEED", down_scale=8)
+    rng = np.random.RandomState(11)
+    wav = rng.randn(16000).astype(np.float32) * 0.1
+    toks = np.asarray(spm.generate([wav], max_length=10, min_length=8))
+    eos = spm.config.decoder.eos_token_id
+    assert (toks[0, :7] != eos).all()

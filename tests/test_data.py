@@ -253,3 +253,21 @@ def test_per_host_example_sharding():
     assert parts[0] == [0, 3, 6, 9]
     assert sorted(x for p in parts for x in p) == ex
     assert mesh_lib.per_host_batch_slice(8) == slice(0, 8)
+
+
+def test_collator_truncation_reappends_eos():
+    """A label sequence cut at max_label_length gets EOS re-appended as its
+    last token — otherwise long utterances train the model to never emit
+    EOS (reference hazard at train.py:116-121, fixed here)."""
+    cfg = CollatorConfig(buckets_sec=(1.0,), max_label_length=4,
+                         pad_token_id=0, eos_token_id=1)
+    examples = [
+        {"input_values": np.zeros(100, np.float32),
+         "labels": [130, 140, 150, 160, 170, 1]},   # truncated -> EOS forced
+        {"input_values": np.zeros(100, np.float32),
+         "labels": [130, 140, 1]},                   # untouched
+    ]
+    batcher = BucketBatcher(cfg, batch_size=2)
+    batch = next(iter(batcher(examples)))
+    assert batch["labels"][0].tolist() == [130, 140, 150, 1]
+    assert batch["labels"][1].tolist() == [130, 140, 1, -100]

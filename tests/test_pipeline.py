@@ -143,3 +143,36 @@ def test_int16_transfer_loud_audio(model):
                                 buckets_sec=(0.5, 1.0),
                                 transfer_dtype="int16")
     assert f32(waveforms) == i16(waveforms)
+
+
+def test_int16_per_row_scale_mixed_loudness(model):
+    """int16 transfer quantizes each ROW by its own peak: a quiet utterance
+    batched with a loud one keeps full 16-bit resolution (advisor round-2
+    finding — a shared batch-max scale left the quiet row ~300 levels)."""
+    rng = np.random.RandomState(9)
+    quiet = (rng.randn(7000) * 0.01).astype(np.float32)
+    loud = (rng.randn(7000) * 1.0).astype(np.float32)
+    f32 = TranscriptionPipeline(model, batch_size=2, max_length=6,
+                                buckets_sec=(0.5,))
+    i16 = TranscriptionPipeline(model, batch_size=2, max_length=6,
+                                buckets_sec=(0.5,),
+                                transfer_dtype="int16")
+    assert f32([quiet, loud]) == i16([quiet, loud])
+
+
+def test_pipeline_min_length(model):
+    """min_length reaches the pipeline decode (EOS suppressed until the
+    sequence can reach min_length generated tokens)."""
+    rng = np.random.RandomState(10)
+    wav = (rng.randn(7000) * 0.1).astype(np.float32)
+    pipe = TranscriptionPipeline(model, batch_size=1, max_length=10,
+                                 buckets_sec=(0.5,), min_length=8)
+    fn = pipe._fn_for(8000)
+    import jax.numpy as jnp
+    batch = np.zeros((1, 8000), np.float32)
+    batch[0, :7000] = wav
+    toks, _ = fn(model.params, jnp.asarray(batch),
+                 jnp.asarray([7000], np.int32),
+                 jnp.ones((1,), np.float32))
+    eos = model.config.decoder.eos_token_id
+    assert (np.asarray(toks)[0, :7] != eos).all()

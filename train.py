@@ -48,14 +48,22 @@ def parse_args(args):
     parser.add_argument("--grad_accum", default=3, type=int)
     parser.add_argument("--logging_steps", default=10, type=int)
     parser.add_argument("--warmup_steps", default=500, type=int)
-    parser.add_argument("--unfreeze_warmup_steps", default=1000, type=int)
+    parser.add_argument("--unfreeze_warmup_steps", default=None, type=int,
+                        help="reference-quirk alias: /root/reference/"
+                             "train.py:327 passes this value as "
+                             "FreezingCallback's freeze_epoch, so when given "
+                             "explicitly it OVERRIDES --freeze_epochs (the "
+                             "gradual-unfreeze window, in epochs)")
     parser.add_argument("--save_total_limit", default=2, type=int)
     parser.add_argument("--checkpoint_backend", default="npz",
                         choices=["npz", "orbax"],
                         help="npz: flat single-host files; orbax: "
                         "sharding-aware, multi-host-safe")
     parser.add_argument("--max_grad_norm", default=10, type=float)
-    parser.add_argument("--worker", default=10, type=int)
+    parser.add_argument("--worker", default=10, type=int,
+                        help="host-side data-prep thread count (CSV/audio "
+                             "load + resample, tokenize) — the reference's "
+                             "num_proc/dataloader_num_workers role")
     parser.add_argument("--batch", type=int, default=3)
     parser.add_argument("--epoch", default=1000, type=int)
     parser.add_argument("--lr", type=float, default=4e-5)
@@ -220,7 +228,9 @@ def main(arg=None):
         eval_steps=input_args.eval_step,
         logging_steps=input_args.logging_steps,
         save_total_limit=input_args.save_total_limit,
-        freeze_epochs=input_args.freeze_epochs,
+        freeze_epochs=(input_args.unfreeze_warmup_steps
+                       if input_args.unfreeze_warmup_steps is not None
+                       else input_args.freeze_epochs),
         max_steps=input_args.max_steps,
         output_dir=out_dir,
         seed=input_args.seed,
