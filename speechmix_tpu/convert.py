@@ -660,3 +660,101 @@ def config_from_hf(path_or_dict):
             cfg = _dc.replace(cfg, max_length=int(gen_cfg["max_length"]))
         return cfg
     raise ValueError(f"unrecognized HF config (model_type={mt!r})")
+
+
+def load_speechmix_ed(sd_or_path, cfg):
+    """Convert a reference HFSpeechMixED state dict (the
+    SpeechEncoderDecoderModel wrapper, hf_model.py:82-124: keys
+    model.encoder.* = Wav2Vec2Model, model.decoder.* = BartForCausalLM,
+    optional model.enc_to_dec_proj.*) into this framework's variant='ed'
+    param pytree.
+
+    The ED fusion has no length adapters / weighted sum (cfg should carry
+    down_scale=1, weighted_sum=False); when the checkpoint has no
+    enc_to_dec_proj (equal hidden sizes — SpeechEncoderDecoderModel only
+    inserts one on mismatch), an identity projection is used so our always-
+    projected graph computes the same function.  The BartForCausalLM
+    decoder's embed_tokens/lm_head become the shared embedding (they are
+    freshly initialized by HF on ED construction; converting the actual
+    state dict keeps whatever values the checkpoint holds).  The NLP text
+    encoder subtree is unused by the ed forward and is zero-filled."""
+    if isinstance(sd_or_path, dict):
+        sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach")
+                  else np.asarray(v))
+              for k, v in sd_or_path.items()}
+    else:
+        sd = load_state_dict(sd_or_path)
+    # normalize: HFSpeechMixED registers the composite as self.model
+    if any(k.startswith("model.encoder.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items()
+              if k.startswith("model.")}
+
+    enc_sd = _strip_prefix({k[len("encoder."):]: v for k, v in sd.items()
+                            if k.startswith("encoder.")})
+    speech = speech_encoder_from_state_dict(enc_sd, cfg.encoder,
+                                            cfg.num_speech_encoder_layers)
+
+    # BartForCausalLM nests the decoder under decoder.model.decoder.*
+    dsd = {}
+    for k, v in sd.items():
+        if k.startswith("decoder.model.decoder."):
+            dsd["decoder." + k[len("decoder.model.decoder."):]] = v
+        elif k == "decoder.lm_head.weight":
+            dsd["lm_head.weight"] = v
+    dec_cfg = cfg.decoder
+    nlp = {
+        "shared": {"embedding": jnp.asarray(
+            dsd["decoder.embed_tokens.weight"])},
+        "final_logits_bias": jnp.zeros((dec_cfg.vocab_size,), jnp.float32),
+        "decoder": {
+            "embed_positions": {"embedding": jnp.asarray(
+                dsd["decoder.embed_positions.weight"])},
+            "layernorm_embedding": _ln(dsd, "decoder.layernorm_embedding"),
+            "layers": _stack([_bart_block(dsd, f"decoder.layers.{i}", True)
+                              for i in range(dec_cfg.decoder_layers)]),
+        },
+        # text-encoder subtree: unused by the ed forward (cross-attention
+        # fusion goes straight to the decoder); zero-filled placeholders
+        "encoder": {
+            "embed_positions": {"embedding": jnp.zeros(
+                (dec_cfg.max_positions + 2, dec_cfg.hidden_size),
+                jnp.float32)},
+            "layernorm_embedding": {
+                "scale": jnp.ones((dec_cfg.hidden_size,), jnp.float32),
+                "bias": jnp.zeros((dec_cfg.hidden_size,), jnp.float32)},
+            "layers": _stack([_bart_block_zeros(dec_cfg)
+                              for _ in range(dec_cfg.encoder_layers)]),
+        },
+    }
+    if not dec_cfg.tie_word_embeddings and "lm_head.weight" in dsd:
+        nlp["lm_head"] = {"kernel": jnp.asarray(dsd["lm_head.weight"].T)}
+
+    if "enc_to_dec_proj.weight" in sd:
+        proj = _lin(sd, "enc_to_dec_proj")
+    else:
+        assert cfg.encoder.hidden_size == dec_cfg.hidden_size, (
+            "checkpoint has no enc_to_dec_proj but hidden sizes differ")
+        proj = {"kernel": jnp.eye(dec_cfg.hidden_size, dtype=jnp.float32),
+                "bias": jnp.zeros((dec_cfg.hidden_size,), jnp.float32)}
+
+    return {"speech_encoder": speech, "nlp": nlp,
+            "enc_to_dec_proj": proj, "length_adapter": []}
+
+
+def _bart_block_zeros(dec_cfg):
+    h, f = dec_cfg.hidden_size, dec_cfg.ffn_dim
+
+    def lin(i, o):
+        return {"kernel": jnp.zeros((i, o), jnp.float32),
+                "bias": jnp.zeros((o,), jnp.float32)}
+
+    def ln():
+        return {"scale": jnp.ones((h,), jnp.float32),
+                "bias": jnp.zeros((h,), jnp.float32)}
+
+    return {
+        "self_attn": {"q_proj": lin(h, h), "k_proj": lin(h, h),
+                      "v_proj": lin(h, h), "out_proj": lin(h, h)},
+        "self_attn_layer_norm": ln(),
+        "fc1": lin(h, f), "fc2": lin(f, h), "final_layer_norm": ln(),
+    }

@@ -69,6 +69,9 @@ def checkpoints(tmp_path_factory):
         hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
         feat_proj_dropout=0.0, layerdrop=0.0)
     transformers.Wav2Vec2Model(w2v_cfg).save_pretrained(sp_dir)
+    # the ED wrapper loads a feature extractor from the speech dir
+    # (hf_model.py:109-110)
+    transformers.Wav2Vec2FeatureExtractor().save_pretrained(sp_dir)
 
     bart_cfg = transformers.BartConfig(
         vocab_size=VOCAB, d_model=HID, encoder_layers=2, decoder_layers=2,
@@ -472,3 +475,124 @@ def test_export_roundtrip_gan_variant(checkpoints):
         {k: torch.tensor(v) for k, v in sd.items()}, strict=False)
     assert result.unexpected_keys == []
     assert set(result.missing_keys) <= {"encoder_model.masked_spec_embed"}
+
+
+# ----------------------------------------------------------------------------
+# Self variant: execution parity on the CE and KLD terms + explicit assertion
+# of the documented MSE divergence (reference model.py:249-253 .view-transpose
+# accident vs our intended attention-projection math)
+# ----------------------------------------------------------------------------
+
+def test_self_variant_execution_parity(checkpoints):
+    """Reference quirk discovered here: HFSpeechMixSelf.forward ALWAYS
+    raises TypeError — HFSpeechMixEED.forward passes decoder_outputs /
+    past_key_values / use_cache kwargs (hf_model.py:437-446) that Self's
+    cal_loss override (hf_model.py:533-539) does not accept.  So the
+    reference Self loss is only reachable through cal_loss directly; this
+    test drives the reference's own embedding path + cal_loss and pins our
+    CE and KLD terms against it."""
+    ref_model = REF.HFSpeechMixSelf(
+        checkpoints["speech"], checkpoints["bart"], down_scale=2,
+        share_layer_ratio=0).eval()
+    cfg = SpeechMixConfig(
+        encoder=_our_speech_cfg(), decoder=_our_bart_cfg(), variant="self",
+        down_scale=2)
+    params = convert.load_speechmix(ref_model.state_dict(), cfg)
+
+    wav = np.random.RandomState(21).randn(2, 4000).astype(np.float32) * 0.1
+    # no pad tokens anywhere: the reference attends padding while we mask it
+    # (SURVEY.md §2.5.2) — equal-length rows isolate the loss-term math
+    labels = np.array([[5, 6, 7, 2], [8, 9, 10, 2]], np.int64)
+    text_ids = np.array([[5, 6, 7, 2], [8, 9, 10, 2]], np.int64)
+
+    with pytest.raises(TypeError):  # the documented reference crash
+        with torch.no_grad():
+            ref_model(input_values=torch.tensor(wav),
+                      text_input_ids=torch.tensor(text_ids),
+                      labels=torch.tensor(labels))
+
+    # snapshot each decoder_model output AT CALL TIME: cal_loss later
+    # mutates the speech-pass object's .loss in place with the combined
+    # total (hf_model.py:582 `outputs["loss"] = loss.mean()`)
+    captured = []
+    h = ref_model.decoder_model.register_forward_hook(
+        lambda m, i, o: captured.append(
+            (o.loss.item(), o.logits.clone(),
+             o.encoder_hidden_states[-1].clone())))
+    try:
+        with torch.no_grad():
+            # the reference's own embedding path (hf_model.py:396-432:
+            # encoder -> length adapters -> enc_to_dec_proj; weighted_sum
+            # off) feeding its cal_loss override
+            enc = ref_model.encoder_model(torch.tensor(wav))
+            embeds = ref_model.enc_to_dec_proj(ref_model.length_adapters(
+                enc.last_hidden_state.transpose(1, 2)).transpose(1, 2))
+            dec_in = REF.shift_tokens_right(
+                torch.tensor(labels),
+                ref_model.decoder_model.config.pad_token_id,
+                ref_model.decoder_model.config.decoder_start_token_id)
+            ref_out = ref_model.cal_loss(
+                inputs_embeds=embeds,
+                text_input_ids=torch.tensor(text_ids),
+                decoder_input_ids=dec_in, labels=torch.tensor(labels))
+    finally:
+        h.remove()
+    assert len(captured) == 2  # speech pass then text pass (hf_model.py:544-557)
+    (ref_ce, speech_logits, speech_hidden), (_, text_logits, nlp_hidden) = \
+        captured
+    ref_kld = torch.nn.KLDivLoss(reduction="batchmean")(
+        torch.nn.functional.log_softmax(speech_logits, dim=-1),
+        torch.nn.functional.softmax(text_logits, dim=-1)).item()
+    # reference MSE with the .view memory-reinterpretation (hf_model.py:563-571)
+    attn = torch.bmm(nlp_hidden,
+                     speech_hidden.view(nlp_hidden.shape[0],
+                                        nlp_hidden.shape[-1], -1))
+    attn = torch.softmax(attn / np.sqrt(nlp_hidden.shape[-1]), dim=-1)
+    ref_mse = torch.nn.MSELoss()(
+        torch.bmm(attn, speech_hidden.view(nlp_hidden.shape[0], -1,
+                                           nlp_hidden.shape[-1])),
+        nlp_hidden).item()
+    ref_total = ref_out["loss"].item()
+    np.testing.assert_allclose(ref_ce + ref_kld + ref_mse, ref_total,
+                               rtol=1e-4)
+
+    out = smx.speechmix_forward(params, cfg, jnp.asarray(wav),
+                                labels=jnp.asarray(labels),
+                                text_input_ids=jnp.asarray(text_ids))
+    np.testing.assert_allclose(float(out["ce_loss"]), ref_ce,
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(float(out["kld_loss"]), ref_kld,
+                               rtol=2e-3, atol=2e-3)
+    # the deliberate divergence: our MSE is the intended attention projection
+    # (speechmix.py); the reference's .view scrambles the (T, H) layout.
+    assert abs(float(out["mse_loss"]) - ref_mse) > 1e-4
+
+
+# ----------------------------------------------------------------------------
+# ED variant: execution parity vs the reference SpeechEncoderDecoderModel
+# wrapper (hf_model.py:82-182), converted via load_speechmix_ed
+# ----------------------------------------------------------------------------
+
+def _ed_cfg():
+    return SpeechMixConfig(
+        encoder=_our_speech_cfg(), decoder=_our_bart_cfg(), variant="ed",
+        down_scale=1)
+
+
+def test_ed_variant_execution_parity(checkpoints):
+    ref_model = REF.HFSpeechMixED(
+        checkpoints["speech"], checkpoints["bart"]).eval()
+    cfg = _ed_cfg()
+    params = convert.load_speechmix_ed(ref_model.state_dict(), cfg)
+
+    wav = np.random.RandomState(22).randn(2, 4000).astype(np.float32) * 0.1
+    labels = np.array([[5, 6, 7, 2], [8, 9, 10, 2]], np.int64)
+    with torch.no_grad():
+        ref_out = ref_model(input_values=torch.tensor(wav),
+                            labels=torch.tensor(labels))
+    out = smx.speechmix_forward(params, cfg, jnp.asarray(wav),
+                                labels=jnp.asarray(labels))
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               ref_out.logits.numpy(), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(float(out["loss"]), ref_out.loss.item(),
+                               rtol=2e-3, atol=2e-3)
