@@ -184,7 +184,9 @@ class _SpeechMixBase:
                  max_length=None, num_beams=1, length_penalty=1.0,
                  use_flash=None, kv_int8=False, do_sample=False,
                  temperature=1.0, top_k=0, top_p=1.0, seed=0,
-                 min_length=0):
+                 min_length=0, repetition_penalty=1.0,
+                 no_repeat_ngram_size=0, forced_bos_token_id=None,
+                 forced_eos_token_id=None):
         """use_flash=None auto-enables the single-pass Pallas attention
         kernel on TPU (measured faster in situ at speech shapes — PERF.md);
         pass False/True to override.  kv_int8 quantizes the precomputed
@@ -206,7 +208,9 @@ class _SpeechMixBase:
         key = ("gen", batch.shape,
                None if prompt_ids is None else prompt_ids.shape,
                max_length, num_beams, length_penalty, use_flash, kv_int8,
-               do_sample, temperature, top_k, top_p, min_length)
+               do_sample, temperature, top_k, top_p, min_length,
+               repetition_penalty, no_repeat_ngram_size,
+               forced_bos_token_id, forced_eos_token_id)
         fn = self._jit_generate_cache.get(key)
         if fn is None:
             def raw(params, batch, lengths, prompt_ids, rng):
@@ -217,7 +221,11 @@ class _SpeechMixBase:
                     use_flash=use_flash, dtype=self._dtype,
                     kv_int8=kv_int8, do_sample=do_sample,
                     temperature=temperature, top_k=top_k, top_p=top_p,
-                    rng=rng, min_length=min_length)
+                    rng=rng, min_length=min_length,
+                    repetition_penalty=repetition_penalty,
+                    no_repeat_ngram_size=no_repeat_ngram_size,
+                    forced_bos_token_id=forced_bos_token_id,
+                    forced_eos_token_id=forced_eos_token_id)
             fn = jax.jit(raw)
             self._jit_generate_cache[key] = fn
         rng = jax.random.PRNGKey(seed) if do_sample else None

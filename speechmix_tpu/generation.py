@@ -30,6 +30,76 @@ from .models import speechmix as smx
 
 
 # ----------------------------------------------------------------------------
+# HF LogitsProcessor stack
+# ----------------------------------------------------------------------------
+
+def _process_logits_hf(logits, dcfg, step_idx, max_length, fullbuf=None,
+                       repetition_penalty=1.0, no_repeat_ngram_size=0,
+                       min_length=0, forced_bos_token_id=None,
+                       forced_eos_token_id=None):
+    """The HF `generate()` LogitsProcessor stack on (N, V) scores, applied in
+    transformers' order: RepetitionPenalty -> NoRepeatNGram -> MinLength ->
+    ForcedBOS -> ForcedEOS (the reference inherits all of these through
+    PreTrainedModel.generate, hf_model.py:304-338).
+
+    step_idx: number of tokens generated so far (the token being chosen is
+    generated token #step_idx; the current sequence INCLUDING the decoder
+    start token has length step_idx+1 — HF's cur_len).
+    fullbuf: (N, S) current sequence = [decoder_start] + generated tokens,
+    pad-filled past step_idx+1; required only by the history-dependent
+    processors (repetition penalty, no-repeat-ngram).
+    """
+    neg = jnp.float32(-jnp.inf)
+    n, v = logits.shape
+    rows = jnp.arange(n)[:, None]
+    seq_len = step_idx + 1  # HF cur_len
+
+    if repetition_penalty != 1.0:
+        valid = jnp.arange(fullbuf.shape[1])[None, :] < seq_len
+        seen = jnp.zeros((n, v), jnp.int32).at[rows, fullbuf].add(
+            valid.astype(jnp.int32)) > 0
+        p = jnp.float32(repetition_penalty)
+        logits = jnp.where(
+            seen, jnp.where(logits > 0, logits / p, logits * p), logits)
+
+    if no_repeat_ngram_size > 0:
+        nsz = no_repeat_ngram_size
+        s = fullbuf.shape[1]
+        w = s - (nsz - 1)
+        # the last nsz-1 tokens of the current sequence
+        start = jnp.clip(seq_len - (nsz - 1), 0, s - (nsz - 1))
+        prev = jax.lax.dynamic_slice_in_dim(fullbuf, start, nsz - 1, axis=1)
+        match = jnp.ones((n, w), bool)
+        for i in range(nsz - 1):
+            match &= fullbuf[:, i: i + w] == prev[:, i][:, None]
+        targets = fullbuf[:, nsz - 1: nsz - 1 + w]
+        # window j is a complete existing ngram iff its last index < seq_len
+        valid_j = (jnp.arange(w)[None, :] + nsz - 1) < seq_len
+        banned = jnp.zeros((n, v), jnp.int32).at[rows, targets].add(
+            (match & valid_j).astype(jnp.int32)) > 0
+        logits = jnp.where(banned, neg, logits)
+
+    if min_length > 0:
+        # EOS unreachable until the sequence can reach min_length GENERATED
+        # tokens (EOS included) = HF's min_length - 1 (HF counts the start)
+        too_short = step_idx < min_length - 1
+        logits = logits.at[:, dcfg.eos_token_id].set(
+            jnp.where(too_short, neg, logits[:, dcfg.eos_token_id]))
+
+    if forced_bos_token_id is not None:
+        forced = jnp.full_like(logits, neg) \
+            .at[:, forced_bos_token_id].set(0.0)
+        logits = jnp.where(step_idx == 0, forced, logits)
+
+    if forced_eos_token_id is not None:
+        forced = jnp.full_like(logits, neg) \
+            .at[:, forced_eos_token_id].set(0.0)
+        logits = jnp.where(step_idx == max_length - 1, forced, logits)
+
+    return logits
+
+
+# ----------------------------------------------------------------------------
 # greedy
 # ----------------------------------------------------------------------------
 
@@ -64,10 +134,13 @@ def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
                   dtype=jnp.float32, adapters=None, early_stop=False,
                   use_flash=False, kv_int8=False, do_sample=False,
                   temperature=1.0, top_k=0, top_p=1.0, rng=None,
-                  min_length=0):
+                  min_length=0, repetition_penalty=1.0,
+                  no_repeat_ngram_size=0, forced_bos_token_id=None,
+                  forced_eos_token_id=None):
     """Greedy (or, with do_sample=True, ancestral-sampling) decode against a
-    computed text-encoder output — the HF generate() sampling surface
-    (temperature -> top_k -> top_p filter order, seeded by `rng`).
+    computed text-encoder output — the HF generate() surface: the
+    LogitsProcessor stack (_process_logits_hf) then, when sampling, the
+    temperature -> top_k -> top_p warper chain seeded by `rng`.
 
     Returns (tokens (B, max_length) padded with pad_token_id after EOS,
     lengths (B,)).  The EOS token itself is included in the output.
@@ -83,62 +156,72 @@ def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
     start = jnp.full((b, 1), dcfg.decoder_start_token_id, jnp.int32)
     if do_sample and rng is None:
         rng = jax.random.PRNGKey(0)
+    # the history-dependent processors need the sequence so far in the carry
+    needs_history = repetition_penalty != 1.0 or no_repeat_ngram_size > 0
 
-    def one_step(tok, cache, finished):
+    def one_step(tok, cache, finished, fullbuf, t):
         out = seq2seq.decode(params, dcfg, tok, encoder_mask=enc_mask,
                              cache=cache, adapters=adapters, dtype=dtype,
                              use_flash=use_flash)
         logits = out["logits"][:, -1, :]
-        if min_length > 0:
-            # EOS is unreachable until the sequence can reach min_length
-            # GENERATED tokens (EOS included) — the token being chosen is
-            # generated token #index, so EOS is allowed from
-            # index >= min_length-1.  Like max_length, min_length counts
-            # generated tokens: it equals HF's min_length - 1 (HF counts
-            # the decoder start token too).
-            too_short = cache.self_kv.index < min_length - 1
-            logits = logits.at[:, dcfg.eos_token_id].set(
-                jnp.where(too_short, -jnp.inf,
-                          logits[:, dcfg.eos_token_id]))
+        logits = _process_logits_hf(
+            logits, dcfg, t, max_length, fullbuf=fullbuf,
+            repetition_penalty=repetition_penalty,
+            no_repeat_ngram_size=no_repeat_ngram_size, min_length=min_length,
+            forced_bos_token_id=forced_bos_token_id,
+            forced_eos_token_id=forced_eos_token_id)
         if do_sample:
             logits = sample_filter_logits(
                 logits / jnp.maximum(jnp.float32(temperature), 1e-6),
                 top_k, top_p)
-            step_rng = jax.random.fold_in(rng, cache.self_kv.index)
+            step_rng = jax.random.fold_in(rng, t)
             next_tok = jax.random.categorical(step_rng,
                                               logits).astype(jnp.int32)
         else:
             next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         next_tok = jnp.where(finished, dcfg.pad_token_id, next_tok)
         new_finished = finished | (next_tok == dcfg.eos_token_id)
-        return next_tok, out["cache"], new_finished
+        if fullbuf is not None:
+            fullbuf = jax.lax.dynamic_update_slice(
+                fullbuf, next_tok[:, None], (0, t + 1))
+        return next_tok, out["cache"], new_finished, fullbuf
+
+    fullbuf0 = None
+    if needs_history:
+        fullbuf0 = jnp.full((b, max_length + 1), dcfg.pad_token_id,
+                            jnp.int32).at[:, 0].set(
+                                dcfg.decoder_start_token_id)
 
     if early_stop:
         tokens_buf = jnp.full((b, max_length), dcfg.pad_token_id, jnp.int32)
 
         def cond(carry):
-            _, _, finished, _, t = carry
+            _, _, finished, _, _, t = carry
             return (t < max_length) & ~jnp.all(finished)
 
         def body(carry):
-            tok, cache, finished, buf, t = carry
-            next_tok, cache, finished = one_step(tok, cache, finished)
+            tok, cache, finished, buf, fullbuf, t = carry
+            next_tok, cache, finished, fullbuf = one_step(
+                tok, cache, finished, fullbuf, t)
             buf = jax.lax.dynamic_update_slice(buf, next_tok[:, None],
                                                (0, t))
-            return (next_tok[:, None], cache, finished, buf, t + 1)
+            return (next_tok[:, None], cache, finished, buf, fullbuf, t + 1)
 
-        (_, _, finished, tokens, _) = jax.lax.while_loop(
+        (_, _, finished, tokens, _, _) = jax.lax.while_loop(
             cond, body,
-            (start, cache, jnp.zeros((b,), bool), tokens_buf,
+            (start, cache, jnp.zeros((b,), bool), tokens_buf, fullbuf0,
              jnp.int32(0)))
     else:
         def step(carry, _):
-            tok, cache, finished = carry
-            next_tok, cache, finished = one_step(tok, cache, finished)
-            return (next_tok[:, None], cache, finished), next_tok
+            tok, cache, finished, fullbuf, t = carry
+            next_tok, cache, finished, fullbuf = one_step(
+                tok, cache, finished, fullbuf, t)
+            return (next_tok[:, None], cache, finished, fullbuf,
+                    t + 1), next_tok
 
-        (_, _, finished), tokens = jax.lax.scan(
-            step, (start, cache, jnp.zeros((b,), bool)), None,
+        (_, _, finished, _, _), tokens = jax.lax.scan(
+            step, (start, cache, jnp.zeros((b,), bool), fullbuf0,
+                   jnp.int32(0)), None,
             length=max_length)
         tokens = tokens.T  # (B, max_length)
     lengths = jnp.sum((tokens != dcfg.pad_token_id).astype(jnp.int32), axis=1)
@@ -172,7 +255,10 @@ def _gather_cache(cache: seq2seq.DecoderCache, idx, batch, beams):
 def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
                 length_penalty=1.0, dtype=jnp.float32, adapters=None,
                 use_flash=False, early_stopping=False, kv_int8=False,
-                min_length=0):
+                min_length=0, repetition_penalty=1.0,
+                no_repeat_ngram_size=0, forced_bos_token_id=None,
+                forced_eos_token_id=None, do_sample=False, temperature=1.0,
+                top_k=0, top_p=1.0, rng=None):
     """Batched beam search with HuggingFace `generate()` semantics — the
     surface the reference exposes (hf_model.py:304-338 delegates to HF
     PreTrainedModel.generate).  Re-derived for a lax.while_loop from the
@@ -188,6 +274,14 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
         worst finished score
       * `max_length` counts GENERATED tokens (HF counts the decoder start
         too, so this equals HF max_length - 1)
+      * the LogitsProcessor stack (_process_logits_hf) applies to the
+        per-beam log-probs, as in HF's beam path
+      * do_sample=True is HF beam-SAMPLE: the warper chain
+        (temperature/top-k/top-p) applies to the accumulated scores, then
+        2*num_beams candidates are drawn WITHOUT replacement from
+        softmax over (num_beams*vocab) — implemented with the Gumbel
+        top-k trick (jax RNG, so token-level HF parity is by construction
+        impossible; semantics and score bookkeeping match HF beam_sample)
 
     Returns (tokens (B, max_length) — best finished beam, pad after EOS —
     and lengths (B,)).  Token-exact vs HF generate: tests/test_beam_hf.py.
@@ -198,6 +292,9 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
     s_max = max_length
     neg = jnp.float32(-1e9)
     pad, eos = dcfg.pad_token_id, dcfg.eos_token_id
+    if do_sample and rng is None:
+        rng = jax.random.PRNGKey(0)
+    needs_history = repetition_penalty != 1.0 or no_repeat_ngram_size > 0
 
     rep = lambda x: jnp.repeat(x, k, axis=0)
     enc_hidden_t, enc_mask_t = rep(enc_hidden), rep(enc_mask)
@@ -239,15 +336,40 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
                              use_flash=use_flash)
         logp = jax.nn.log_softmax(
             out["logits"][:, -1, :].astype(jnp.float32), axis=-1)  # (B*K, V)
-        if min_length > 0:
-            # same convention as greedy_decode: EOS reachable once the
-            # sequence can reach min_length generated tokens
-            logp = logp.at[:, eos].set(
-                jnp.where(c["s"] < min_length - 1, neg, logp[:, eos]))
+        fullbuf = None
+        if needs_history:
+            # per-beam sequence so far: [decoder_start] + running tokens
+            fullbuf = jnp.concatenate(
+                [jnp.full((b, k, 1), dcfg.decoder_start_token_id, jnp.int32),
+                 c["running_seqs"]], axis=2).reshape(b * k, s_max + 1)
+        logp = _process_logits_hf(
+            logp, dcfg, c["s"], s_max, fullbuf=fullbuf,
+            repetition_penalty=repetition_penalty,
+            no_repeat_ngram_size=no_repeat_ngram_size, min_length=min_length,
+            forced_bos_token_id=forced_bos_token_id,
+            forced_eos_token_id=forced_eos_token_id)
         vocab = logp.shape[-1]
         acc = logp.reshape(b, k, vocab) + c["running_scores"][:, :, None]
-        topk_scores, topk_idx = jax.lax.top_k(
-            acc.reshape(b, k * vocab), k2)                   # (B, 2K)
+        if do_sample:
+            # HF beam_sample: warp the ACCUMULATED scores, then draw 2K
+            # candidates without replacement from softmax over (K*V) —
+            # Gumbel top-k is exactly that sampling scheme
+            warped = sample_filter_logits(
+                acc.reshape(b * k, vocab) /
+                jnp.maximum(jnp.float32(temperature), 1e-6), top_k, top_p)
+            flat = warped.reshape(b, k * vocab)
+            g = -jnp.log(-jnp.log(jax.random.uniform(
+                jax.random.fold_in(rng, c["s"]), flat.shape,
+                minval=1e-20, maxval=1.0) + 1e-20))
+            _, topk_idx = jax.lax.top_k(flat + g, k2)
+            topk_scores = jnp.take_along_axis(flat, topk_idx, axis=1)
+            # HF sorts the sampled candidates by score descending
+            order = jnp.argsort(-topk_scores, axis=1)
+            topk_scores = jnp.take_along_axis(topk_scores, order, axis=1)
+            topk_idx = jnp.take_along_axis(topk_idx, order, axis=1)
+        else:
+            topk_scores, topk_idx = jax.lax.top_k(
+                acc.reshape(b, k * vocab), k2)               # (B, 2K)
         src_beam = topk_idx // vocab
         tok = (topk_idx % vocab).astype(jnp.int32)
         topk_seqs = gather(c["running_seqs"], src_beam)      # (B, 2K, S)
@@ -316,16 +438,13 @@ def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
              length_penalty=1.0, use_flash=False, dtype=jnp.float32,
              early_stop=False, early_stopping=False, kv_int8=False,
              do_sample=False, temperature=1.0, top_k=0, top_p=1.0,
-             rng=None, min_length=0):
+             rng=None, min_length=0, repetition_penalty=1.0,
+             no_repeat_ngram_size=0, forced_bos_token_id=None,
+             forced_eos_token_id=None):
     """Full pipeline: waveform -> fused embeds -> text encoder (once) ->
     cached decode loop.  Equivalent of HFSpeechMixEED.generate
     (hf_model.py:304-338 + eval.py:12-14), including decoder_text_prompt via
-    `prompt_ids`."""
-    if do_sample and num_beams > 1:
-        raise ValueError(
-            "sampling with num_beams > 1 (beam-sample) is not supported; "
-            "use num_beams=1 for sampling or do_sample=False for beam "
-            "search")
+    `prompt_ids`.  do_sample with num_beams > 1 is HF beam-sample."""
     max_length = max_length or cfg.decoder.max_length
     inputs_embeds, enc_mask, _ = smx.encode_speech(
         params, cfg, input_values, lengths, prompt_ids,
@@ -347,11 +466,21 @@ def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
                              early_stop=early_stop, use_flash=use_flash,
                              kv_int8=kv_int8, do_sample=do_sample,
                              temperature=temperature, top_k=top_k,
-                             top_p=top_p, rng=rng, min_length=min_length)
+                             top_p=top_p, rng=rng, min_length=min_length,
+                             repetition_penalty=repetition_penalty,
+                             no_repeat_ngram_size=no_repeat_ngram_size,
+                             forced_bos_token_id=forced_bos_token_id,
+                             forced_eos_token_id=forced_eos_token_id)
     return beam_search(params["nlp"], cfg.decoder, enc_hidden, enc_mask,
                        max_length, num_beams, length_penalty, dtype, adapters,
                        use_flash=use_flash, early_stopping=early_stopping,
-                       kv_int8=kv_int8, min_length=min_length)
+                       kv_int8=kv_int8, min_length=min_length,
+                       repetition_penalty=repetition_penalty,
+                       no_repeat_ngram_size=no_repeat_ngram_size,
+                       forced_bos_token_id=forced_bos_token_id,
+                       forced_eos_token_id=forced_eos_token_id,
+                       do_sample=do_sample, temperature=temperature,
+                       top_k=top_k, top_p=top_p, rng=rng)
 
 
 def jit_generate(cfg: SpeechMixConfig, max_length=None, num_beams=1,

@@ -180,14 +180,25 @@ def test_min_length_blocks_early_eos(params):
         np.asarray(lengths) == 12).all()
 
 
-def test_min_length_beam_and_sampling_guard(params):
-    """min_length applies to beam search too; sampling with beams raises."""
+def test_min_length_beam_and_beam_sample(params):
+    """min_length applies to beam search too; beam-sample (do_sample with
+    num_beams > 1, HF beam_sample semantics) is seeded-deterministic and
+    seed-sensitive."""
     wav = jnp.asarray(
         np.random.RandomState(7).randn(2, 16000).astype(np.float32) * 0.1)
     toks, lengths = gen_lib.generate(params, CFG, wav, max_length=12,
                                      num_beams=2, min_length=6)
     eos = CFG.decoder.eos_token_id
     assert (np.asarray(toks)[:, :5] != eos).all()
-    with pytest.raises(ValueError):
-        gen_lib.generate(params, CFG, wav, max_length=8, num_beams=2,
-                         do_sample=True)
+
+    a, _ = gen_lib.generate(params, CFG, wav, max_length=8, num_beams=2,
+                            do_sample=True, temperature=3.0,
+                            rng=jax.random.PRNGKey(5))
+    b, _ = gen_lib.generate(params, CFG, wav, max_length=8, num_beams=2,
+                            do_sample=True, temperature=3.0,
+                            rng=jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c, _ = gen_lib.generate(params, CFG, wav, max_length=8, num_beams=2,
+                            do_sample=True, temperature=3.0,
+                            rng=jax.random.PRNGKey(6))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
