@@ -154,7 +154,7 @@ def speech_encoder_from_state_dict(sd, cfg: SpeechEncoderConfig,
             "final_layer_norm": _ln(sd, f"{b}.final_layer_norm"),
         }
 
-    return {
+    params = {
         "feature_extractor": {"layers": conv_layers},
         "feature_projection": {
             "layer_norm": _ln(sd, "feature_projection.layer_norm"),
@@ -164,6 +164,13 @@ def speech_encoder_from_state_dict(sd, cfg: SpeechEncoderConfig,
         "encoder_layer_norm": _ln(sd, "encoder.layer_norm"),
         "layers": _stack([block(i) for i in range(n_layers)]),
     }
+    if "masked_spec_embed" in sd:
+        # SpecAugment mask embedding: unused by this framework's forward
+        # (no spec-augment masking) but carried through so a converted
+        # checkpoint exports back to the reference bit-complete
+        # (strict load_state_dict needs the key)
+        params["masked_spec_embed"] = jnp.asarray(sd["masked_spec_embed"])
+    return params
 
 
 # ----------------------------------------------------------------------------
@@ -379,6 +386,17 @@ def _unstack(stacked):
 
 
 def _export_speech_encoder(out, params, prefix):
+    if "masked_spec_embed" in params:
+        out[f"{prefix}masked_spec_embed"] = np.asarray(
+            params["masked_spec_embed"])
+    else:
+        # models initialized here have no SpecAugment embedding; export a
+        # zeros vector so the reference's strict load_state_dict succeeds
+        # (the reference only reads it when apply_spec_augment masks during
+        # training)
+        hidden = np.asarray(
+            params["feature_projection"]["projection"]["kernel"]).shape[1]
+        out[f"{prefix}masked_spec_embed"] = np.zeros((hidden,), np.float32)
     for i, layer in enumerate(params["feature_extractor"]["layers"]):
         base = f"{prefix}feature_extractor.conv_layers.{i}"
         _exp_conv(out, layer["conv"], f"{base}.conv")

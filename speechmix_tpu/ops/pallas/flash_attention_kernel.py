@@ -373,3 +373,256 @@ def _trainable_bwd(scale, causal, res, g):
 
 
 flash_attention_trainable.defvjp(_trainable_fwd, _trainable_bwd)
+
+
+# ----------------------------------------------------------------------------
+# dropout-capable trainable attention: attention-probability dropout INSIDE
+# the kernel via the TPU PRNG (pltpu.prng_seed / prng_random_bits), so the
+# reference-fidelity recipe (HF backbone-default dropout, hf_model.py:216-219
+# loads checkpoints with ~0.1 rates) can use the flash VJP path — previously
+# dropout forced XLA attention, which keeps the (B, H, T, T) probabilities
+# alive as backward residuals (the B=16 OOM driver, PERF.md).
+#
+# The mask is NOT materialized in HBM: forward and backward regenerate the
+# same bits from (seed, program_id).  On CPU (tests) and for padded
+# T > _SINGLE_PASS_MAX_T the function falls back to XLA formulas with a
+# seed-derived jax.random mask — deterministic per backend, same semantics,
+# different stream than the TPU kernel (dropout is stochastic; only
+# seeded determinism within a backend is contractual).
+# ----------------------------------------------------------------------------
+
+
+def _dropout_scale_from_bits(bits, rate):
+    """uint32 random bits -> {0, 1/(1-rate)} f32 multiplier."""
+    threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+    keep = (bits >= threshold).astype(jnp.float32)
+    return keep * (1.0 / (1.0 - rate))
+
+
+def _attn_single_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref,
+                                o_ref, *, scale, causal, rate):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    kv_valid = mask_ref[0, 0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = s + (kv_valid - 1.0)[None, :] * (-NEG_INF)
+    if causal:
+        tq, tk = s.shape
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+        s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    d = _dropout_scale_from_bits(pltpu.prng_random_bits(p.shape), rate)
+    p = p * d
+
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _attn_bwd_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, g_ref,
+                             dq_ref, dk_ref, dv_ref, *, scale, causal, rate):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    kv_valid = mask_ref[0, 0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = s + (kv_valid - 1.0)[None, :] * (-NEG_INF)
+    if causal:
+        tq, tk = s.shape
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+        s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)          # (Tq, Tk) f32
+
+    # regenerate the EXACT forward mask: same seed, same program_id, same
+    # shape -> identical bit stream
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    d = _dropout_scale_from_bits(pltpu.prng_random_bits(p.shape), rate)
+    pd = p * d                                          # p-tilde
+
+    pdb = pd.astype(v.dtype)
+    dv_ref[0] = jax.lax.dot_general(                    # p-tilde^T @ g
+        pdb, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dpd = jax.lax.dot_general(                          # g @ v^T = dL/dp~
+        g, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = dpd * d                                        # chain through mask
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dsb = ds.astype(q.dtype)
+    dq_ref[0] = (jax.lax.dot_general(
+        dsb, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+    dk_ref[0] = (jax.lax.dot_general(
+        dsb, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+
+
+def _xla_dropout_mask(seed, shape, rate):
+    """Backend-portable fallback mask: {0, 1/(1-rate)} from a seed-derived
+    jax.random stream (regenerated identically in fwd and bwd)."""
+    key = jax.random.PRNGKey(0)
+    key = jax.random.fold_in(key, seed)
+    keep = jax.random.uniform(key, shape) >= rate
+    return keep.astype(jnp.float32) * (1.0 / (1.0 - rate))
+
+
+def _dropout_ref_fwd(q, k, v, kv_mask, seed, scale, causal, rate):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :], logits, NEG_INF)
+    if causal:
+        tq, tk = q.shape[1], k.shape[1]
+        cm = (jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+              <= jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0))
+        logits = jnp.where(cm[None, None], logits, NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1)
+    p = p * _xla_dropout_mask(seed, p.shape, rate)
+    return jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), v,
+                      preferred_element_type=q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def flash_attention_dropout(q, k, v, kv_mask, seed, scale, causal, rate):
+    """Differentiable attention WITH attention-prob dropout.
+
+    q (B, Tq, H, D), k/v (B, Tk, H, D), kv_mask (B, Tk) bool or None,
+    seed: int32 scalar (traced) — deterministic per (seed, backend).
+    rate: static python float in (0, 1).
+
+    TPU, padded T <= _SINGLE_PASS_MAX_T: single-pass Pallas kernels, mask
+    regenerated in-kernel (never materialized in HBM).  Elsewhere: XLA
+    formulas with a seed-derived mask (recompute-based backward, so the
+    probability matrix is still not a residual)."""
+    if _single_pass_ok(q.shape[1], k.shape[1]):
+        return _flash_dropout_fwd_tpu(q, k, v, kv_mask, seed, scale, causal,
+                                      rate)
+    return _dropout_ref_fwd(q, k, v, kv_mask, seed, scale, causal, rate)
+
+
+def _flash_dropout_fwd_tpu(q, k, v, kv_mask, seed, scale, causal, rate):
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    qt = _pad_axis(q.transpose(0, 2, 1, 3).reshape(b * h, tq, d), 8, 1)
+    kt = _pad_axis(k.transpose(0, 2, 1, 3).reshape(b * h, tk, d), 8, 1)
+    vt = _pad_axis(v.transpose(0, 2, 1, 3).reshape(b * h, tk, d), 8, 1)
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, tk), jnp.float32)
+    mask = _pad_axis(kv_mask.astype(jnp.float32)[:, None, :], 8, 2)
+    tq_p, tk_p = qt.shape[1], kt.shape[1]
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    out = pl.pallas_call(
+        functools.partial(_attn_single_dropout_kernel, scale=scale,
+                          causal=causal, rate=rate),
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tq_p, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, tk_p, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, tk_p, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, tk_p), lambda bh, h=h: (bh // h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tq_p, d), lambda bh: (bh, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
+    )(seed_arr, qt, kt, vt, mask)
+    return out[:, :tq].reshape(b, h, tq, d).transpose(0, 2, 1, 3)
+
+
+def _dropout_fwd(q, k, v, kv_mask, seed, scale, causal, rate):
+    return (flash_attention_dropout(q, k, v, kv_mask, seed, scale, causal,
+                                    rate),
+            (q, k, v, kv_mask, seed))
+
+
+def _dropout_ref_bwd(q, k, v, kv_mask, seed, scale, causal, rate, g):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :], logits, NEG_INF)
+    if causal:
+        tq, tk = q.shape[1], k.shape[1]
+        cm = (jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+              <= jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0))
+        logits = jnp.where(cm[None, None], logits, NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1)
+    dmask = _xla_dropout_mask(seed, p.shape, rate)
+    pd = p * dmask
+    dv = jnp.einsum("bhqk,bqhd->bkhd", pd.astype(g.dtype), g,
+                    preferred_element_type=jnp.float32)
+    dpd = jnp.einsum("bqhd,bkhd->bhqk", g, v,
+                     preferred_element_type=jnp.float32)
+    dp = dpd * dmask
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = ds.astype(g.dtype)
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k,
+                    preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q,
+                    preferred_element_type=jnp.float32) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _dropout_bwd(scale, causal, rate, res, g):
+    q, k, v, kv_mask, seed = res
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    if not _single_pass_ok(tq, tk):
+        dq, dk, dv = _dropout_ref_bwd(q, k, v, kv_mask, seed, scale, causal,
+                                      rate, g)
+        return dq, dk, dv, None, None
+
+    qt = _pad_axis(q.transpose(0, 2, 1, 3).reshape(b * h, tq, d), 8, 1)
+    kt = _pad_axis(k.transpose(0, 2, 1, 3).reshape(b * h, tk, d), 8, 1)
+    vt = _pad_axis(v.transpose(0, 2, 1, 3).reshape(b * h, tk, d), 8, 1)
+    gt = _pad_axis(g.transpose(0, 2, 1, 3).reshape(b * h, tq, d), 8, 1)
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, tk), jnp.float32)
+    mask = _pad_axis(kv_mask.astype(jnp.float32)[:, None, :], 8, 2)
+    tq_p, tk_p = qt.shape[1], kt.shape[1]
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_dropout_kernel, scale=scale,
+                          causal=causal, rate=rate),
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tq_p, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, tk_p, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, tk_p, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, tk_p), lambda bh, h=h: (bh // h, 0, 0)),
+            pl.BlockSpec((1, tq_p, d), lambda bh: (bh, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tq_p, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, tk_p, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, tk_p, d), lambda bh: (bh, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, tk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, tk_p, d), v.dtype),
+        ],
+    )(seed_arr, qt, kt, vt, mask, gt)
+
+    def unflat(x, t):
+        return x[:, :t].reshape(b, h, t, d).transpose(0, 2, 1, 3)
+    return unflat(dq, tq), unflat(dk, tk), unflat(dv, tk), None, None
+
+
+flash_attention_dropout.defvjp(_dropout_fwd, _dropout_bwd)

@@ -1,0 +1,83 @@
+"""Two-process multi-host worker (spawned by test_multihost.py).
+
+Each process owns 2 virtual CPU devices; jax.distributed.initialize over a
+localhost coordinator forms a 4-device global mesh across 2 processes — the
+same code path a TPU pod runs over DCN (SURVEY.md §2.4 multi-host).  The
+worker drives the REAL multi-host pipeline: shard_examples_per_host ->
+per-host collation -> shard_batch's make_array_from_process_local_data ->
+two DP train steps, and writes the step losses for the parent to compare
+against a single-process run.
+
+Usage: python multihost_worker.py <process_id> <coordinator_port> <out_dir>
+"""
+
+import os
+import sys
+
+
+def main():
+    pid, port, out_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from speechmix_tpu.parallel import mesh as mesh_lib
+    mesh_lib.initialize_distributed(
+        coordinator_address=f"localhost:{port}", num_processes=2,
+        process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 4, jax.device_count()
+    assert len(jax.local_devices()) == 2
+
+    import jax.numpy as jnp
+    import numpy as np
+    from speechmix_tpu.config import (SEQ2SEQ_PRESETS,
+                                      SPEECH_ENCODER_PRESETS,
+                                      SpeechMixConfig)
+    from speechmix_tpu.training import trainer as trainer_lib
+    from speechmix_tpu.training.trainer import TrainConfig, TrainState
+
+    cfg = SpeechMixConfig(encoder=SPEECH_ENCODER_PRESETS["tiny-speech"],
+                          decoder=SEQ2SEQ_PRESETS["tiny-bart-bytes"],
+                          down_scale=4)
+    tc = TrainConfig(learning_rate=1e-3, warmup_steps=0, grad_accum=1,
+                     output_dir="", dropout=False)
+
+    # the SAME deterministic global example set on every host
+    rng = np.random.RandomState(0)
+    b, t, label_len = 4, 8000, 6
+    labels = rng.randint(130, 200, size=(b, label_len)).astype(np.int64)
+    labels[:, -1] = cfg.decoder.eos_token_id
+    wavs = rng.randn(b, t).astype(np.float32) * 0.1
+    examples = [{"input_values": wavs[i], "labels": labels[i]}
+                for i in range(b)]
+
+    # per-host dataset sharding (round-robin) + local collation
+    local = mesh_lib.shard_examples_per_host(examples)
+    local_batch = {
+        "input_values": np.stack([e["input_values"] for e in local]),
+        "lengths": np.full((len(local),), t, np.int32),
+        "labels": np.stack([e["labels"] for e in local]),
+    }
+
+    mesh = mesh_lib.make_mesh()  # 4 x 1 x 1 over the global devices
+    state = trainer_lib.create_train_state(jax.random.PRNGKey(0), cfg, tc)
+    state = TrainState(params=mesh_lib.shard_params(mesh, state.params),
+                       opt_state=state.opt_state, step=state.step)
+    step_fn = trainer_lib.make_train_step(cfg, tc, state.params)
+
+    losses = []
+    for _ in range(2):
+        batch = mesh_lib.shard_batch(mesh, local_batch)
+        state, metrics = step_fn(state, batch, jnp.float32(1.0))
+        losses.append(float(metrics["loss"]))
+
+    with open(os.path.join(out_dir, f"loss_{pid}.txt"), "w") as f:
+        f.write(" ".join(f"{x:.8f}" for x in losses))
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()
