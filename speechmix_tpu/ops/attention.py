@@ -80,6 +80,15 @@ def _attend(q, k, v, bias, scale, dropout_rate=0.0, dropout_rng=None):
 # encoder kernel without dragging this one in.
 DECODE_KERNEL_ENABLED = False
 
+# Self-attention q/k/v as ONE (Din, 3*H*D) matmul (trace-time weight concat).
+# Trace-time switch for paired A/B benchmarking; numerics are identical.
+FUSED_QKV = True
+
+
+def set_fused_qkv(enabled: bool):
+    global FUSED_QKV
+    FUSED_QKV = bool(enabled)
+
 
 def set_decode_kernel(enabled: bool):
     """Opt into the single-query decode kernel.  TRACE-TIME switch: call it
@@ -123,8 +132,11 @@ def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
     cache: if given, new keys/values are written at cache.index and attention
       runs over the full cache capacity (bias must mask unfilled slots).
     dropout_rate/dropout_rng: attention-probability dropout (HF placement);
-      active only on the XLA path — the flash kernel is deterministic, so
-      training with dropout forces XLA attention (see models' call sites).
+      works on BOTH paths — the flash path regenerates the mask in-kernel
+      from a seed derived from dropout_rng (pltpu PRNG), the XLA path uses
+      layers.dropout.  The two paths draw different (seeded-deterministic)
+      streams; dropout is stochastic, so only per-backend determinism is
+      contractual.
     Returns (out, new_cache).
     """
     has_dropout = dropout_rng is not None and dropout_rate > 0.0
@@ -136,9 +148,26 @@ def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
     head_dim = head_dim or inner // num_heads
     scale = scale if scale is not None else 1.0 / math.sqrt(head_dim)
 
-    q = _split_heads(layers.dense(params["q_proj"], x_q, dtype), num_heads)
-    k = _split_heads(layers.dense(params["k_proj"], x_kv, dtype), num_heads)
-    v = _split_heads(layers.dense(params["v_proj"], x_kv, dtype), num_heads)
+    qp, kp, vp = params["q_proj"], params["k_proj"], params["v_proj"]
+    if (FUSED_QKV and x_kv is x_q and "kernel" in qp
+            and qp["kernel"].shape == kp["kernel"].shape):
+        # self-attention: one (Din, 3*H*D) matmul instead of three — a
+        # single bigger MXU op with one activation read (the q/k/v inputs
+        # are identical); trace-time weight concat, XLA folds it into the
+        # gemm.  Column-blockwise identical numerics to separate matmuls.
+        w = jnp.concatenate([qp["kernel"], kp["kernel"], vp["kernel"]],
+                            axis=1)
+        fused = {"kernel": w}
+        if "bias" in qp:
+            fused["bias"] = jnp.concatenate(
+                [qp["bias"], kp["bias"], vp["bias"]])
+        qkv = layers.dense(fused, x_q, dtype)
+        q, k, v = (_split_heads(part, num_heads)
+                   for part in jnp.split(qkv, 3, axis=-1))
+    else:
+        q = _split_heads(layers.dense(qp, x_q, dtype), num_heads)
+        k = _split_heads(layers.dense(kp, x_kv, dtype), num_heads)
+        v = _split_heads(layers.dense(vp, x_kv, dtype), num_heads)
 
     new_cache = None
     if cache is not None:
@@ -159,14 +188,25 @@ def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
                                          use_flash)
     if decode_out is not None:
         out = decode_out
-    # fused flash path: structured masks only, no extra bias, no cache, no
-    # attention dropout (the kernel has no rng).  flash_attention_trainable
-    # carries a custom VJP (single-pass backward kernel) so this path is safe
-    # under jax.grad for training too.
-    elif (use_flash and bias is None and cache is None and not has_dropout
+    # fused flash path: structured masks only, no extra bias, no cache.
+    # Both variants carry custom VJPs (single-pass recompute backward
+    # kernels) so this path is safe under jax.grad for training.  With
+    # attention dropout active, flash_attention_dropout regenerates the
+    # dropout mask IN-KERNEL from a seed (pltpu PRNG) — the mask never
+    # touches HBM, so the reference-fidelity dropout-on recipe gets the
+    # same O(T·D)-residual memory/throughput win as the deterministic path.
+    elif (use_flash and bias is None and cache is None
             and jax.default_backend() == "tpu"):
-        from .pallas.flash_attention_kernel import flash_attention_trainable
-        out = flash_attention_trainable(q, k, v, kv_mask, scale, causal)
+        if has_dropout:
+            from .pallas.flash_attention_kernel import \
+                flash_attention_dropout
+            seed = jax.random.randint(dropout_rng, (), 0, 2**31 - 1)
+            out = flash_attention_dropout(q, k, v, kv_mask, seed, scale,
+                                          causal, float(dropout_rate))
+        else:
+            from .pallas.flash_attention_kernel import \
+                flash_attention_trainable
+            out = flash_attention_trainable(q, k, v, kv_mask, scale, causal)
     else:
         from .masking import combine_masks_to_bias
         total_bias = bias

@@ -393,7 +393,10 @@ flash_attention_trainable.defvjp(_trainable_fwd, _trainable_bwd)
 
 
 def _dropout_scale_from_bits(bits, rate):
-    """uint32 random bits -> {0, 1/(1-rate)} f32 multiplier."""
+    """Random bits -> {0, 1/(1-rate)} f32 multiplier.  prng_random_bits
+    yields SIGNED int32 on TPU — bitcast to uint32 before the threshold
+    compare or half the range lands below any positive threshold."""
+    bits = jax.lax.bitcast_convert_type(bits, jnp.uint32)
     threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
     keep = (bits >= threshold).astype(jnp.float32)
     return keep * (1.0 / (1.0 - rate))
