@@ -51,14 +51,43 @@ def init_dense(key, in_dim, out_dim, use_bias=True, stddev=0.02):
     return p
 
 
+# Trace-time switch: with int8 weights present, ALSO quantize activations
+# per-token and run the matmul int8 x int8 -> int32 on the MXU (2x the bf16
+# MAC rate) instead of dequantize-then-bf16.  Serving-only knob (adds
+# activation rounding error ~1e-2 relative; see test_int8_dense_compute).
+INT8_DENSE_COMPUTE = False
+
+
+def set_int8_dense_compute(enabled: bool):
+    """TRACE-TIME switch — set before the first jit of the serving fns."""
+    global INT8_DENSE_COMPUTE
+    INT8_DENSE_COMPUTE = bool(enabled)
+
+
 def dense(params, x, dtype=None):
     dtype = dtype or x.dtype
     if "kernel_q" in params:
+        wq, sw = params["kernel_q"], params["kernel_scale"]
+        if INT8_DENSE_COMPUTE and wq.ndim == 2:
+            # dynamic per-token activation scales; int8 x int8 -> int32 MXU
+            # matmul; exact rescale in the epilogue
+            xf = x.astype(jnp.float32)
+            sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                             1e-8) / 127.0
+            xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = (acc.astype(jnp.float32) * sx *
+                 sw.astype(jnp.float32)).astype(dtype)
+            if "bias" in params:
+                y = y + params["bias"].astype(dtype)
+            return y
         # int8 weight-only quantization (utils/quantize.py): dequantize
         # per-output-channel on the fly; XLA fuses the scale multiply into
         # the matmul epilogue, and weight HBM traffic drops 4x vs fp32 —
         # the win for memory-bound decode steps
-        w = params["kernel_q"].astype(dtype) * params["kernel_scale"].astype(dtype)
+        w = wq.astype(dtype) * params["kernel_scale"].astype(dtype)
     else:
         w = params["kernel"].astype(dtype)
     y = jnp.dot(x, w, preferred_element_type=dtype)

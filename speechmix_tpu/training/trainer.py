@@ -80,8 +80,19 @@ class TrainConfig:
     # given (seed, step).  Off for exact-equivalence tests.
     dropout: bool = True
     # single-pass Pallas attention in the train step (custom-VJP backward
-    # recomputes scores in VMEM instead of storing (B, H, T, T) probs)
-    use_flash: bool = False
+    # recomputes scores in VMEM instead of storing (B, H, T, T) probs;
+    # in-kernel PRNG dropout, so it composes with the dropout-on
+    # reference-fidelity recipe).  None = AUTO: on unless sequence_parallel
+    # excludes it (XLA can't partition a Pallas call over the time axis).
+    # Measured dropout-ON, flagship B=16 no-remat: flash 239 ms/step vs XLA
+    # remat 464 ms (no-remat XLA OOMs) — PERF.md round-3 table.  On CPU the
+    # flash path falls back to XLA attention automatically.
+    use_flash: Optional[bool] = None
+
+    def resolved_use_flash(self) -> bool:
+        if self.use_flash is None:
+            return self.sequence_parallel <= 1
+        return self.use_flash
     model_parallel: int = 1
     sequence_parallel: int = 1  # mesh `seq` axis size (long-audio scaling)
     wandb: bool = False  # mirror metrics to wandb when installed
@@ -148,9 +159,10 @@ def make_train_step(cfg: SpeechMixConfig, tc: TrainConfig, params_example,
     dtype = jnp.bfloat16 if tc.bf16 else jnp.float32
     static_mask = freezing.variant_trainable_mask(
         params_example, cfg, tc.fixed_speech, tc.fixed_nlp)
+    use_flash = tc.resolved_use_flash()
     seq_mesh = mesh if (mesh is not None and tc.sequence_parallel > 1) \
         else None
-    if seq_mesh is not None and tc.use_flash:
+    if seq_mesh is not None and use_flash:
         # XLA cannot partition a pallas custom call over the time axis; it
         # would silently all-gather the sharded activations around every
         # attention, defeating sequence parallelism
@@ -173,7 +185,7 @@ def make_train_step(cfg: SpeechMixConfig, tc: TrainConfig, params_example,
                 lengths=micro.get("lengths"), labels=labels,
                 text_input_ids=micro.get("text_input_ids"),
                 prompt_ids=micro.get("prompt_ids"),
-                use_flash=tc.use_flash, dtype=dtype,
+                use_flash=use_flash, dtype=dtype,
                 dropout_rng=dropout_rng)
         return out["loss"], out
 

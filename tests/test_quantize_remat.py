@@ -117,3 +117,51 @@ def test_t5_stacked_kernels_quantized():
     # conv kernels stay full precision
     fe = qparams["speech_encoder"]["feature_extractor"]["layers"]
     assert "kernel" in fe[0]["conv"]
+
+
+def test_int8_dense_compute_accuracy():
+    """int8 x int8 MXU compute path (activations quantized per token):
+    matches the fp32 matmul within combined quantization error, and the
+    switch restores exactly."""
+    from speechmix_tpu.ops import layers
+    rng = jax.random.PRNGKey(0)
+    p = layers.init_dense(rng, 64, 96)
+    from speechmix_tpu.utils.quantize import quantize_weights
+    pq = quantize_weights({"d": p}, min_size=1)["d"]
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 10, 64)) * 1.5
+    ref = layers.dense(p, x)
+    try:
+        layers.set_int8_dense_compute(True)
+        out = layers.dense(pq, x)
+    finally:
+        layers.set_int8_dense_compute(False)
+    err = float(jnp.abs(out - ref).max())
+    scale = float(jnp.abs(ref).max())
+    assert err < 0.03 * scale, (err, scale)
+    # weight-only path still active when the switch is off
+    out_wo = layers.dense(pq, x)
+    err_wo = float(jnp.abs(out_wo - ref).max())
+    assert err_wo < 0.02 * scale
+
+
+def test_int8_compute_encoder_forward_error():
+    """Whole fused forward with the speech-encoder subtree in int8 compute:
+    logits error bounded (serving-mode accuracy guard)."""
+    from speechmix_tpu.ops import layers
+    cfg = SpeechMixConfig(encoder=ENC, decoder=DEC, down_scale=4)
+    params = smx.init_speechmix(jax.random.PRNGKey(0), cfg)
+    qparams = dict(params)
+    qparams["speech_encoder"] = quantize_weights(
+        {"e": params["speech_encoder"]}, min_size=2048)["e"]
+    wav = jnp.asarray(
+        np.random.RandomState(0).randn(2, 16000).astype(np.float32) * 0.1)
+    labels = jnp.asarray(np.array([[130, 140, 1], [150, 160, 1]]))
+    out_fp = smx.speechmix_forward(params, cfg, wav, labels=labels)
+    try:
+        layers.set_int8_dense_compute(True)
+        out_q = smx.speechmix_forward(qparams, cfg, wav, labels=labels)
+    finally:
+        layers.set_int8_dense_compute(False)
+    err = float(jnp.abs(out_fp["logits"] - out_q["logits"]).max())
+    ref = float(jnp.abs(out_fp["logits"]).max())
+    assert err < 0.08 * ref, (err, ref)

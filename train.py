@@ -109,11 +109,15 @@ def parse_args(args):
     parser.add_argument("--synthetic", action="store_true",
                         help="train on synthetic data (offline smoke runs)")
     parser.add_argument("--max_steps", default=0, type=int)
-    parser.add_argument("--flash_attention", action="store_true",
+    parser.add_argument("--flash_attention", default=None,
+                        action=argparse.BooleanOptionalAction,
                         help="single-pass Pallas attention in the train "
                              "step (custom-VJP backward recomputes scores "
-                             "in VMEM — fits 2x the batch; +33%% measured "
-                             "throughput, PERF.md)")
+                             "in VMEM — fits 2x the batch; in-kernel PRNG "
+                             "dropout so it composes with --dropout).  "
+                             "Default: ON (auto-off under "
+                             "--sequence_parallel; --no-flash_attention to "
+                             "force the XLA path)")
     parser.add_argument("--stall_timeout", default=0.0, type=float,
                         help="failure detection: exit 98 if no train-loop "
                              "heartbeat for this many seconds (restart "
