@@ -80,14 +80,15 @@ def _attend(q, k, v, bias, scale, dropout_rate=0.0, dropout_rng=None):
 # encoder kernel without dragging this one in.
 DECODE_KERNEL_ENABLED = False
 
-# Self-attention q/k/v as ONE (Din, 3*H*D) matmul (trace-time weight concat).
-# Trace-time switch for paired A/B benchmarking; numerics are identical.
-FUSED_QKV = True
+# Self-attention q/k/v as ONE (Din, 3*H*D) matmul via TRACE-TIME weight
+# concat.  Measured at B=128 full encoder: 479 ms fused vs 463 ms separate
+# (paired, same process) — the per-call concat materializes a new weight
+# tensor, DOUBLING q/k/v weight HBM traffic, which outweighs the wider
+# gemm.  Default OFF; the winning form is the PRE-CONCATENATED param
+# transform (utils.quantize.fuse_qkv_params -> "qkv_proj" entry below),
+# which adds no traffic.
 
 
-def set_fused_qkv(enabled: bool):
-    global FUSED_QKV
-    FUSED_QKV = bool(enabled)
 
 
 def set_decode_kernel(enabled: bool):
@@ -142,32 +143,33 @@ def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
     has_dropout = dropout_rng is not None and dropout_rate > 0.0
     dtype = dtype or x_q.dtype
     x_kv = x_q if x_kv is None else x_kv
-    qp = params["q_proj"]
-    inner = (qp["kernel"] if "kernel" in qp else qp["kernel_q"]).shape[-1]
+    if "qkv_proj" in params:
+        fp = params["qkv_proj"]
+        inner = (fp["kernel"] if "kernel" in fp
+                 else fp["kernel_q"]).shape[-1] // 3
+    else:
+        qp = params["q_proj"]
+        inner = (qp["kernel"] if "kernel" in qp
+                 else qp["kernel_q"]).shape[-1]
     num_heads = num_heads or (inner // (head_dim or inner))
     head_dim = head_dim or inner // num_heads
     scale = scale if scale is not None else 1.0 / math.sqrt(head_dim)
 
-    qp, kp, vp = params["q_proj"], params["k_proj"], params["v_proj"]
-    if (FUSED_QKV and x_kv is x_q and "kernel" in qp
-            and qp["kernel"].shape == kp["kernel"].shape):
-        # self-attention: one (Din, 3*H*D) matmul instead of three — a
-        # single bigger MXU op with one activation read (the q/k/v inputs
-        # are identical); trace-time weight concat, XLA folds it into the
-        # gemm.  Column-blockwise identical numerics to separate matmuls.
-        w = jnp.concatenate([qp["kernel"], kp["kernel"], vp["kernel"]],
-                            axis=1)
-        fused = {"kernel": w}
-        if "bias" in qp:
-            fused["bias"] = jnp.concatenate(
-                [qp["bias"], kp["bias"], vp["bias"]])
-        qkv = layers.dense(fused, x_q, dtype)
+    if "qkv_proj" in params:
+        # pre-concatenated (Din, 3*H*D) kernel (quantize.fuse_qkv_params,
+        # self-attention subtrees only so x_kv is x_q holds): one MXU op +
+        # one activation read, no extra weight traffic.  Column-blockwise
+        # identical numerics to the three separate matmuls.
+        qkv = layers.dense(params["qkv_proj"], x_q, dtype)
         q, k, v = (_split_heads(part, num_heads)
                    for part in jnp.split(qkv, 3, axis=-1))
     else:
-        q = _split_heads(layers.dense(qp, x_q, dtype), num_heads)
-        k = _split_heads(layers.dense(kp, x_kv, dtype), num_heads)
-        v = _split_heads(layers.dense(vp, x_kv, dtype), num_heads)
+        q = _split_heads(layers.dense(params["q_proj"], x_q, dtype),
+                         num_heads)
+        k = _split_heads(layers.dense(params["k_proj"], x_kv, dtype),
+                         num_heads)
+        v = _split_heads(layers.dense(params["v_proj"], x_kv, dtype),
+                         num_heads)
 
     new_cache = None
     if cache is not None:

@@ -33,7 +33,8 @@ class TranscriptionPipeline:
                  use_flash: bool = None, early_stop: bool = True,
                  kv_int8: bool = False, long_audio: str = "chunk",
                  long_audio_search_sec: float = 2.0, mesh=None,
-                 transfer_dtype: str = "float32", min_length: int = 0):
+                 transfer_dtype: str = "float32", min_length: int = 0,
+                 fuse_qkv: bool = True):
         # use_flash=None: auto — the single-pass Pallas attention kernel on
         # TPU (measured faster in situ, PERF.md); False/True to override.
         # early_stop: exit the decode loop once every row has emitted EOS
@@ -94,6 +95,16 @@ class TranscriptionPipeline:
                         reversed(ecfg.conv_strides)):
             need = (need - 1) * s + k
         self._min_samples = need
+        # pre-concatenated self-attention q/k/v kernels (one matmul + one
+        # activation read per attention; token-exact —
+        # quantize.fuse_qkv_params).  Disabled over a tensor-parallel mesh:
+        # the fused 3*H*D output dim would split across `model` shards at
+        # the wrong boundaries.
+        if mesh is not None and mesh.shape[mesh_lib.MODEL_AXIS] > 1:
+            fuse_qkv = False
+        self.fuse_qkv = fuse_qkv
+        self._fused_params = None
+        self._fused_src = None
         self._sharded_params = None
         self._sharded_src = None
         self._fns = {}
@@ -127,16 +138,26 @@ class TranscriptionPipeline:
             self._fns[t_samples] = fn
         return fn
 
-    def _run_params(self):
-        """Model params placed for execution: mesh-sharded (replicated over
-        `data`, tensor-parallel over `model`) when serving over a mesh."""
-        if self.mesh is None:
+    def _base_params(self):
+        if not self.fuse_qkv:
             return self.model.params
-        if self._sharded_params is None or \
-                self._sharded_src is not self.model.params:
-            self._sharded_params = mesh_lib.shard_params(self.mesh,
-                                                         self.model.params)
-            self._sharded_src = self.model.params
+        if self._fused_params is None or \
+                self._fused_src is not self.model.params:
+            from .utils.quantize import fuse_qkv_params
+            self._fused_params = fuse_qkv_params(self.model.params)
+            self._fused_src = self.model.params
+        return self._fused_params
+
+    def _run_params(self):
+        """Model params placed for execution: qkv-fused (serving layout),
+        then mesh-sharded (replicated over `data`, tensor-parallel over
+        `model`) when serving over a mesh."""
+        base = self._base_params()
+        if self.mesh is None:
+            return base
+        if self._sharded_params is None or self._sharded_src is not base:
+            self._sharded_params = mesh_lib.shard_params(self.mesh, base)
+            self._sharded_src = base
         return self._sharded_params
 
     def _place_batch(self, batch, lengths):

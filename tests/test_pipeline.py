@@ -176,3 +176,16 @@ def test_pipeline_min_length(model):
                  jnp.ones((1,), np.float32))
     eos = model.config.decoder.eos_token_id
     assert (np.asarray(toks)[0, :7] != eos).all()
+
+
+def test_fused_qkv_pipeline_token_exact(model):
+    """fuse_qkv=True (default serving layout: pre-concatenated q/k/v
+    kernels) decodes identically to the unfused tree."""
+    rng = np.random.RandomState(12)
+    waveforms = [rng.randn(n).astype(np.float32) * 0.1
+                 for n in [7000, 15000, 11000]]
+    fused = TranscriptionPipeline(model, batch_size=2, max_length=6,
+                                  buckets_sec=(0.5, 1.0))
+    unfused = TranscriptionPipeline(model, batch_size=2, max_length=6,
+                                    buckets_sec=(0.5, 1.0), fuse_qkv=False)
+    assert fused(waveforms) == unfused(waveforms)
