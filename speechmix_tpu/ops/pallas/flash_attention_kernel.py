@@ -629,3 +629,68 @@ def _dropout_bwd(scale, causal, rate, res, g):
 
 
 flash_attention_dropout.defvjp(_dropout_fwd, _dropout_bwd)
+
+
+# ----------------------------------------------------------------------------
+# multi-head single-pass kernel: one program per BATCH row (all heads inside)
+# instead of one per (batch, head).  The (B*H,)-grid kernel spends ~9.5 us
+# of per-program pipeline/DMA overhead on ~3 us of work at speech shapes
+# (measured: 12-layer encoder attention ~13 ms/layer at B=128 while the
+# gemms run at ~peak MFU); folding the head loop inside cuts programs H-fold
+# and lets the per-head dots pipeline against one block fetch.
+# ----------------------------------------------------------------------------
+
+
+def _attn_single_mh_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
+                           causal, heads):
+    kv_valid = mask_ref[0, 0].astype(jnp.float32)      # (Tk,)
+    for h in range(heads):
+        q = q_ref[0, h]                                # (Tq, D)
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + (kv_valid - 1.0)[None, :] * (-NEG_INF)
+        if causal:
+            tq, tk = s.shape
+            q_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+            k_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, h] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def flash_attention_multihead(q, k, v, kv_mask=None, causal=False,
+                              scale=None):
+    """Single-pass attention, one grid program per batch row (heads looped
+    in-kernel).  Same numerics as the (B*H,)-grid single-pass kernel.
+    q: (B, Tq, H, D); k/v: (B, Tk, H, D); kv_mask: (B, Tk)."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    qt = _pad_axis(q.transpose(0, 2, 1, 3), 8, 2)      # (B, H, Tq_p, D)
+    kt = _pad_axis(k.transpose(0, 2, 1, 3), 8, 2)
+    vt = _pad_axis(v.transpose(0, 2, 1, 3), 8, 2)
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, tk), jnp.float32)
+    mask = _pad_axis(kv_mask.astype(jnp.float32)[:, None, :], 8, 2)
+    tq_p, tk_p = qt.shape[2], kt.shape[2]
+    out = pl.pallas_call(
+        functools.partial(_attn_single_mh_kernel, scale=scale,
+                          causal=causal, heads=h),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, tq_p, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, tk_p, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, tk_p, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, tk_p), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, tq_p, d), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, tq_p, d), q.dtype),
+    )(qt, kt, vt, mask)
+    return out[:, :, :tq].transpose(0, 2, 1, 3)

@@ -34,7 +34,7 @@ class TranscriptionPipeline:
                  kv_int8: bool = False, long_audio: str = "chunk",
                  long_audio_search_sec: float = 2.0, mesh=None,
                  transfer_dtype: str = "float32", min_length: int = 0,
-                 fuse_qkv: bool = True):
+                 fuse_qkv: bool = False):
         # use_flash=None: auto — the single-pass Pallas attention kernel on
         # TPU (measured faster in situ, PERF.md); False/True to override.
         # early_stop: exit the decode loop once every row has emitted EOS
@@ -95,11 +95,15 @@ class TranscriptionPipeline:
                         reversed(ecfg.conv_strides)):
             need = (need - 1) * s + k
         self._min_samples = need
-        # pre-concatenated self-attention q/k/v kernels (one matmul + one
-        # activation read per attention; token-exact —
-        # quantize.fuse_qkv_params).  Disabled over a tensor-parallel mesh:
-        # the fused 3*H*D output dim would split across `model` shards at
-        # the wrong boundaries.
+        # pre-concatenated self-attention q/k/v kernels (token-exact —
+        # quantize.fuse_qkv_params).  Default OFF on measurement: the fused
+        # (B, T, 3HD) output must be re-sliced into contiguous q/k/v for
+        # the attention kernel, and those relayout copies cost more than
+        # the saved gemm launches (paired A/B: encoder 265->282 ms at
+        # B=128; full generate -2% int8 / -6% bf16 — PERF.md round 3).
+        # Kept as an opt-in for shapes where projections dominate.
+        # Also disabled over a tensor-parallel mesh: the fused output dim
+        # would split across `model` shards at the wrong boundaries.
         if mesh is not None and mesh.shape[mesh_lib.MODEL_AXIS] > 1:
             fuse_qkv = False
         self.fuse_qkv = fuse_qkv
