@@ -150,6 +150,12 @@ def flash_attention_masked(q, k, v, kv_mask=None, causal=False, scale=None,
     mask = kv_mask.astype(jnp.float32)[:, None, :]
 
     if max(tq, tk) <= _SINGLE_PASS_MAX_T:
+        if h > 1:
+            # head-grouped grid: H-fold fewer programs; per-program
+            # pipeline/DMA overhead was the single-pass kernel's cost
+            # driver (measured +10% at encoder shapes — PERF.md round 3)
+            return flash_attention_multihead(q, k, v, kv_mask=kv_mask,
+                                             causal=causal, scale=scale)
         qt = _pad_axis(qt, 8, 1)
         kt = _pad_axis(kt, 8, 1)
         vt = _pad_axis(vt, 8, 1)
@@ -642,9 +648,9 @@ flash_attention_dropout.defvjp(_dropout_fwd, _dropout_bwd)
 
 
 def _attn_single_mh_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
-                           causal, heads):
+                           causal, heads_per_block):
     kv_valid = mask_ref[0, 0].astype(jnp.float32)      # (Tk,)
-    for h in range(heads):
+    for h in range(heads_per_block):
         q = q_ref[0, h]                                # (Tq, D)
         k = k_ref[0, h]
         v = v_ref[0, h]
@@ -666,10 +672,14 @@ def _attn_single_mh_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
 
 
 def flash_attention_multihead(q, k, v, kv_mask=None, causal=False,
-                              scale=None):
-    """Single-pass attention, one grid program per batch row (heads looped
-    in-kernel).  Same numerics as the (B*H,)-grid single-pass kernel.
-    q: (B, Tq, H, D); k/v: (B, Tk, H, D); kv_mask: (B, Tk)."""
+                              scale=None, heads_per_block=None):
+    """Single-pass attention, one grid program per (batch row, head group)
+    with heads_per_block heads looped in-kernel.  Same numerics as the
+    (B*H,)-grid single-pass kernel with H-fold fewer programs.
+    q: (B, Tq, H, D); k/v: (B, Tk, H, D); kv_mask: (B, Tk).
+    heads_per_block: None = largest divisor of H whose blocks fit the
+    ~16 MB VMEM budget (q/k/v/o blocks double-buffered + (Tq, Tk) f32
+    scores)."""
     b, tq, h, d = q.shape
     tk = k.shape[1]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
@@ -680,17 +690,31 @@ def flash_attention_multihead(q, k, v, kv_mask=None, causal=False,
         kv_mask = jnp.ones((b, tk), jnp.float32)
     mask = _pad_axis(kv_mask.astype(jnp.float32)[:, None, :], 8, 2)
     tq_p, tk_p = qt.shape[2], kt.shape[2]
+    if heads_per_block is None:
+        itemsize = jnp.dtype(q.dtype).itemsize
+        budget = 13 * 2**20  # leave headroom under the 16 MB scoped limit
+        scores = tq_p * tk_p * 4
+        heads_per_block = 1
+        for cand in range(h, 0, -1):
+            if h % cand:
+                continue
+            blocks = 2 * cand * (2 * tq_p + 2 * tk_p) * d * itemsize
+            if blocks + scores <= budget:
+                heads_per_block = cand
+                break
+    hb = heads_per_block
+    n_hb = h // hb
     out = pl.pallas_call(
         functools.partial(_attn_single_mh_kernel, scale=scale,
-                          causal=causal, heads=h),
-        grid=(b,),
+                          causal=causal, heads_per_block=hb),
+        grid=(b, n_hb),
         in_specs=[
-            pl.BlockSpec((1, h, tq_p, d), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, tk_p, d), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, tk_p, d), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, tk_p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, hb, tq_p, d), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, hb, tk_p, d), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, hb, tk_p, d), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, tk_p), lambda i, j: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, h, tq_p, d), lambda i: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, hb, tq_p, d), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, tq_p, d), q.dtype),
     )(qt, kt, vt, mask)
     return out[:, :, :tq].transpose(0, 2, 1, 3)
