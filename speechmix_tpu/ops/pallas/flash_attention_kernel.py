@@ -692,8 +692,13 @@ def flash_attention_multihead(q, k, v, kv_mask=None, causal=False,
     tq_p, tk_p = qt.shape[2], kt.shape[2]
     if heads_per_block is None:
         itemsize = jnp.dtype(q.dtype).itemsize
-        budget = 13 * 2**20  # leave headroom under the 16 MB scoped limit
-        scores = tq_p * tk_p * 4
+        # conservative VMEM model: double-buffered q/k/v/o blocks plus ~3
+        # live (Tq, Tk) f32 score intermediates (s, p, and a compiler temp
+        # — the in-situ compile reported 18.75M for hb=6 at T=800 where a
+        # 1-temp model predicted 7.5M), under an 11 MB budget so other live
+        # buffers in the surrounding program still fit the 16 MB scope
+        budget = 11 * 2**20
+        scores = 3 * tq_p * tk_p * 4
         heads_per_block = 1
         for cand in range(h, 0, -1):
             if h % cand:
