@@ -250,9 +250,14 @@ class DecoderCache(NamedTuple):
     cross_*_scale the per-(layer, batch, token, head) f32 scales — halves
     the dominant per-step HBM read of the decode loop (PERF.md stage
     breakdown: cross-KV re-read is the decode bandwidth floor).  The
-    rescaling in _cross_attention is exact given the quantized codes."""
+    rescaling in _cross_attention is exact given the quantized codes.
+
+    Layouts: bf16 cross K/V is (L, B, T_enc, H, D); int8 codes are stored
+    batch-minor (L, T_enc, H, D, B) so the in-jit-produced cache gets a
+    physical layout the per-step dots stream fast from (2.6x, see
+    precompute_cross_kv)."""
     self_kv: KVCache          # leaves have leading layer axis
-    cross_k: jnp.ndarray      # (L, B, T_enc, H, D) dtype or int8
+    cross_k: jnp.ndarray      # (L, B, T_enc, H, D) dtype | (L, T, H, D, B) i8
     cross_v: jnp.ndarray
     cross_k_scale: Optional[jnp.ndarray] = None   # (L, B, T_enc, H) f32
     cross_v_scale: Optional[jnp.ndarray] = None
@@ -335,12 +340,19 @@ def _cross_attention(attn_params, cfg, x_q, enc_hidden, bias, cross_kv,
     s = scale if scale is not None else 1.0 / _math.sqrt(d)
     q = layers.dense(attn_params["q_proj"], x_q, dtype)
     q = q.reshape(*q.shape[:2], cfg.num_heads, d)
+    # int8 codes arrive batch-minor (T, H, D, B) — see precompute_cross_kv;
+    # bf16 K/V keeps (B, T, H, D)
+    int8_layout = k_scale is not None
     if bias is None:
         from ..ops.attention import maybe_decode_kernel
-        if k_scale is None:
-            k_in, v_in = k.astype(dtype), v.astype(dtype)
+        if int8_layout:
+            # the opt-in Pallas kernel wants (B, T, H, D); the transpose is
+            # loop-invariant and hoisted, but it costs a full-cache copy —
+            # acceptable only because the kernel is a non-default opt-in
+            k_in, v_in = (jnp.transpose(k, (3, 0, 1, 2)),
+                          jnp.transpose(v, (3, 0, 1, 2)))
         else:
-            k_in, v_in = k, v  # int8 codes go to the kernel untouched
+            k_in, v_in = k.astype(dtype), v.astype(dtype)
         out = maybe_decode_kernel(q, k_in, v_in, kv_mask, s, cfg.num_heads,
                                   use_flash, k_scale=k_scale,
                                   v_scale=v_scale)
@@ -352,18 +364,25 @@ def _cross_attention(attn_params, cfg, x_q, enc_hidden, bias, cross_kv,
     # int8-KV path: scores/values computed on the int8 codes (convert fuses
     # into the dot, so HBM reads stay int8); per-(token, head) scales applied
     # on the small (B, H, q, T) tensors — exact given the codes
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k.astype(dtype),
-                        preferred_element_type=jnp.float32) * s
-    if k_scale is not None:
+    if int8_layout:
+        logits = jnp.einsum("bqhd,khdb->bhqk", q, k.astype(dtype),
+                            preferred_element_type=jnp.float32) * s
         logits = logits * k_scale.transpose(0, 2, 1)[:, :, None, :]
+    else:
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k.astype(dtype),
+                            preferred_element_type=jnp.float32) * s
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
     if v_scale is not None:
         probs = probs * v_scale.transpose(0, 2, 1)[:, :, None, :]
     probs = probs.astype(dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(dtype),
-                     preferred_element_type=dtype)
+    if int8_layout:
+        out = jnp.einsum("bhqk,khdb->bqhd", probs, v.astype(dtype),
+                         preferred_element_type=dtype)
+    else:
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(dtype),
+                         preferred_element_type=dtype)
     out = out.reshape(*out.shape[:2], cfg.num_heads * d)
     return layers.dense(attn_params["out_proj"], out, dtype)
 
@@ -498,7 +517,17 @@ def precompute_cross_kv(params, cfg: Seq2SeqConfig, enc_hidden,
         if kv_int8:
             kq, ks = _quantize_kv(k)
             vq, vs = _quantize_kv(v)
-            return kq, vq, ks, vs
+            # store the codes batch-minor (T, H, D, B): when the (B, T, H, D)
+            # codes are produced inside the decode jit, XLA assigns the
+            # intermediate a batch-minor physical layout and then lowers the
+            # per-step attention dots as VPU loops at the penalized
+            # int8-tiling stream rate (~130 GB/s measured) instead of the
+            # ~330 GB/s it reaches when batch-minor is the NATURAL layout of
+            # the stored array.  Measured 2.6x on the decode hot loop
+            # (PERF.md round-3 "int8 layout fix"); bf16 K/V is unaffected
+            # and keeps the (B, T, H, D) layout.
+            return (jnp.transpose(kq, (1, 2, 3, 0)),
+                    jnp.transpose(vq, (1, 2, 3, 0)), ks, vs)
         return k, v
 
     return _map_blocks(proj, params["decoder"]["layers"])
