@@ -252,12 +252,12 @@ class DecoderCache(NamedTuple):
     breakdown: cross-KV re-read is the decode bandwidth floor).  The
     rescaling in _cross_attention is exact given the quantized codes.
 
-    Layouts: bf16 cross K/V is (L, B, T_enc, H, D); int8 codes are stored
-    batch-minor (L, T_enc, H, D, B) so the in-jit-produced cache gets a
-    physical layout the per-step dots stream fast from (2.6x, see
+    Layout: cross K/V (both dtypes) is stored batch-minor
+    (L, T_enc, H, D, B) so the in-jit-produced cache gets a physical layout
+    the per-step dots stream fast from (2.6x int8, 1.7x bf16 — see
     precompute_cross_kv)."""
     self_kv: KVCache          # leaves have leading layer axis
-    cross_k: jnp.ndarray      # (L, B, T_enc, H, D) dtype | (L, T, H, D, B) i8
+    cross_k: jnp.ndarray      # (L, T_enc, H, D, B) dtype or int8 codes
     cross_v: jnp.ndarray
     cross_k_scale: Optional[jnp.ndarray] = None   # (L, B, T_enc, H) f32
     cross_v_scale: Optional[jnp.ndarray] = None
@@ -340,19 +340,16 @@ def _cross_attention(attn_params, cfg, x_q, enc_hidden, bias, cross_kv,
     s = scale if scale is not None else 1.0 / _math.sqrt(d)
     q = layers.dense(attn_params["q_proj"], x_q, dtype)
     q = q.reshape(*q.shape[:2], cfg.num_heads, d)
-    # int8 codes arrive batch-minor (T, H, D, B) — see precompute_cross_kv;
-    # bf16 K/V keeps (B, T, H, D)
-    int8_layout = k_scale is not None
+    # cross K/V arrives batch-minor (T, H, D, B) — see precompute_cross_kv
     if bias is None:
         from ..ops.attention import maybe_decode_kernel
-        if int8_layout:
-            # the opt-in Pallas kernel wants (B, T, H, D); the transpose is
-            # loop-invariant and hoisted, but it costs a full-cache copy —
-            # acceptable only because the kernel is a non-default opt-in
-            k_in, v_in = (jnp.transpose(k, (3, 0, 1, 2)),
-                          jnp.transpose(v, (3, 0, 1, 2)))
-        else:
-            k_in, v_in = k.astype(dtype), v.astype(dtype)
+        # the opt-in Pallas kernel wants (B, T, H, D); the transpose is
+        # loop-invariant and hoisted, but it costs a full-cache copy —
+        # acceptable only because the kernel is a non-default opt-in
+        k_in = jnp.transpose(k, (3, 0, 1, 2))
+        v_in = jnp.transpose(v, (3, 0, 1, 2))
+        if k_scale is None:
+            k_in, v_in = k_in.astype(dtype), v_in.astype(dtype)
         out = maybe_decode_kernel(q, k_in, v_in, kv_mask, s, cfg.num_heads,
                                   use_flash, k_scale=k_scale,
                                   v_scale=v_scale)
@@ -364,25 +361,18 @@ def _cross_attention(attn_params, cfg, x_q, enc_hidden, bias, cross_kv,
     # int8-KV path: scores/values computed on the int8 codes (convert fuses
     # into the dot, so HBM reads stay int8); per-(token, head) scales applied
     # on the small (B, H, q, T) tensors — exact given the codes
-    if int8_layout:
-        logits = jnp.einsum("bqhd,khdb->bhqk", q, k.astype(dtype),
-                            preferred_element_type=jnp.float32) * s
+    logits = jnp.einsum("bqhd,khdb->bhqk", q, k.astype(dtype),
+                        preferred_element_type=jnp.float32) * s
+    if k_scale is not None:
         logits = logits * k_scale.transpose(0, 2, 1)[:, :, None, :]
-    else:
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k.astype(dtype),
-                            preferred_element_type=jnp.float32) * s
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
     if v_scale is not None:
         probs = probs * v_scale.transpose(0, 2, 1)[:, :, None, :]
     probs = probs.astype(dtype)
-    if int8_layout:
-        out = jnp.einsum("bhqk,khdb->bqhd", probs, v.astype(dtype),
-                         preferred_element_type=dtype)
-    else:
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(dtype),
-                         preferred_element_type=dtype)
+    out = jnp.einsum("bhqk,khdb->bqhd", probs, v.astype(dtype),
+                     preferred_element_type=dtype)
     out = out.reshape(*out.shape[:2], cfg.num_heads * d)
     return layers.dense(attn_params["out_proj"], out, dtype)
 
@@ -514,21 +504,19 @@ def precompute_cross_kv(params, cfg: Seq2SeqConfig, enc_hidden,
         b, t, _ = k.shape
         k = k.reshape(b, t, cfg.num_heads, cfg.per_head_dim)
         v = v.reshape(b, t, cfg.num_heads, cfg.per_head_dim)
+        # store K/V batch-minor (T, H, D, B): when the (B, T, H, D) arrays
+        # are produced inside the decode jit, XLA assigns the intermediate a
+        # batch-minor physical layout and then lowers the per-step attention
+        # dots as VPU loops at a penalized stream rate (int8 codes: 128 vs
+        # 333 GB/s; bf16: 281 vs ~490 GB/s measured in situ).  Making
+        # batch-minor the NATURAL layout of the stored array restores the
+        # fast emitters — PERF.md round-3 "layout fix".
         if kv_int8:
             kq, ks = _quantize_kv(k)
             vq, vs = _quantize_kv(v)
-            # store the codes batch-minor (T, H, D, B): when the (B, T, H, D)
-            # codes are produced inside the decode jit, XLA assigns the
-            # intermediate a batch-minor physical layout and then lowers the
-            # per-step attention dots as VPU loops at the penalized
-            # int8-tiling stream rate (~130 GB/s measured) instead of the
-            # ~330 GB/s it reaches when batch-minor is the NATURAL layout of
-            # the stored array.  Measured 2.6x on the decode hot loop
-            # (PERF.md round-3 "int8 layout fix"); bf16 K/V is unaffected
-            # and keeps the (B, T, H, D) layout.
             return (jnp.transpose(kq, (1, 2, 3, 0)),
                     jnp.transpose(vq, (1, 2, 3, 0)), ks, vs)
-        return k, v
+        return jnp.transpose(k, (1, 2, 3, 0)), jnp.transpose(v, (1, 2, 3, 0))
 
     return _map_blocks(proj, params["decoder"]["layers"])
 
