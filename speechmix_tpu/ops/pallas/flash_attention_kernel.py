@@ -151,6 +151,15 @@ def flash_attention_masked(q, k, v, kv_mask=None, causal=False, scale=None,
 
     if max(tq, tk) <= _SINGLE_PASS_MAX_T:
         if h > 1:
+            # native-layout head-grouped kernel: (B, T, H*D) lane slabs, no
+            # head transposes (those cost 3.56 ms/layer at encoder shapes —
+            # PERF.md round 3).  The (B,T,H,D)->(B,T,H*D) reshape is free.
+            out = flash_attention_fused_layout(
+                q.reshape(b, tq, h * d), k.reshape(b, tk, h * d),
+                v.reshape(b, tk, h * d), kv_mask, heads=h, scale=scale,
+                causal=causal)
+            if out is not None:
+                return out.reshape(b, tq, h, d)
             # head-grouped grid: H-fold fewer programs; per-program
             # pipeline/DMA overhead was the single-pass kernel's cost
             # driver (measured +10% at encoder shapes — PERF.md round 3)
@@ -645,6 +654,96 @@ flash_attention_dropout.defvjp(_dropout_fwd, _dropout_bwd)
 # gemms run at ~peak MFU); folding the head loop inside cuts programs H-fold
 # and lets the per-head dots pipeline against one block fetch.
 # ----------------------------------------------------------------------------
+
+
+def _attn_single_fused_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                              scale, causal, hb, d):
+    """Head-grouped single-pass attention on the NATIVE activation layout:
+    q/k/v blocks are (Tq|Tk, hb*d) lane-slabs of the (B, T, H*D) projection
+    outputs, heads sliced as 64-lane columns in-kernel.  Avoids the
+    (B,T,H,D)<->(B,H,T,D) relayouts of the transposed wrappers — measured
+    3.56 ms/layer of pure copies at encoder shapes (PERF.md round 3)."""
+    kv_valid = mask_ref[0, 0].astype(jnp.float32)      # (Tk,)
+    qa = q_ref[0]                                      # (Tq, hb*d)
+    ka = k_ref[0]
+    va = v_ref[0]
+    outs = []
+    for i in range(hb):
+        sl = slice(i * d, (i + 1) * d)
+        s = jax.lax.dot_general(
+            qa[:, sl], ka[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale     # (Tq, Tk)
+        s = s + (kv_valid - 1.0)[None, :] * (-NEG_INF)
+        if causal:
+            tq, tk = s.shape
+            q_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+            k_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)          # (Tq, 1)
+        o = jax.lax.dot_general(
+            p.astype(va.dtype), va[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        outs.append((o / denom).astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=1)
+
+
+def _fused_heads_per_block(h, d, tq_p, tk_p, itemsize):
+    """Largest divisor of h whose lane-slab blocks satisfy the TPU lane
+    constraint ((hb*d) % 128 == 0, or the full row) and fit the conservative
+    VMEM model (double-buffered q/k/v/o slabs + ~3 live (Tq, Tk) f32 score
+    temps, 11 MB budget — see flash_attention_multihead)."""
+    budget = 11 * 2**20
+    scores = 3 * tq_p * tk_p * 4
+    for cand in range(h, 0, -1):
+        if h % cand:
+            continue
+        if (cand * d) % 128 and cand != h:
+            continue
+        blocks = 2 * cand * d * (tq_p + 2 * tk_p + tq_p) * itemsize
+        if blocks + scores <= budget:
+            return cand
+    return None
+
+
+def flash_attention_fused_layout(q2, k2, v2, kv_mask, *, heads, scale,
+                                 causal=False):
+    """Single-pass attention on (B, T, H*D) activations (the dense-projection
+    output layout) — no head transposes in or out.  q2: (B, Tq, H*D);
+    k2/v2: (B, Tk, H*D); kv_mask: (B, Tk) float/bool or None.
+    Returns (B, Tq, H*D) in q2.dtype, or None if no head grouping satisfies
+    the lane/VMEM constraints (caller falls back to the transposed kernels).
+    """
+    b, tq, hd = q2.shape
+    tk = k2.shape[1]
+    d = hd // heads
+    hb = _fused_heads_per_block(heads, d, -(-tq // 8) * 8, -(-tk // 8) * 8,
+                                jnp.dtype(q2.dtype).itemsize)
+    if hb is None:
+        return None
+    qt = _pad_axis(q2, 8, 1)
+    kt = _pad_axis(k2, 8, 1)
+    vt = _pad_axis(v2, 8, 1)
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, tk), jnp.float32)
+    mask = _pad_axis(kv_mask.astype(jnp.float32)[:, None, :], 8, 2)
+    tq_p, tk_p = qt.shape[1], kt.shape[1]
+    n_g = heads // hb
+    out = pl.pallas_call(
+        functools.partial(_attn_single_fused_kernel, scale=scale,
+                          causal=causal, hb=hb, d=d),
+        grid=(b, n_g),
+        in_specs=[
+            pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, tk_p), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, tq_p, hd), q2.dtype),
+    )(qt, kt, vt, mask)
+    return out[:, :tq]
 
 
 def _attn_single_mh_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
