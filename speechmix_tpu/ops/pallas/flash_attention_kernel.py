@@ -307,6 +307,117 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
         preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
 
 
+def _attn_bwd_fused_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
+                           dq_ref, dk_ref, dv_ref, *, scale, causal, hb, d):
+    """Native-layout recompute backward: (T, hb*d) lane slabs, heads as
+    64-lane columns — the backward twin of _attn_single_fused_kernel (no
+    head transposes around the kernel)."""
+    kv_valid = mask_ref[0, 0].astype(jnp.float32)
+    qa = q_ref[0]
+    ka = k_ref[0]
+    va = v_ref[0]
+    ga = g_ref[0]
+    dqs, dks, dvs = [], [], []
+    for i in range(hb):
+        sl = slice(i * d, (i + 1) * d)
+        q = qa[:, sl]
+        k = ka[:, sl]
+        v = va[:, sl]
+        g = ga[:, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + (kv_valid - 1.0)[None, :] * (-NEG_INF)
+        if causal:
+            tq, tk = s.shape
+            q_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+            k_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)          # (Tq, Tk) f32
+        pb = p.astype(v.dtype)
+        dvs.append(jax.lax.dot_general(                     # p^T @ g
+            pb, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype))
+        dp = jax.lax.dot_general(                           # g @ v^T
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsb = ds.astype(q.dtype)
+        dqs.append((jax.lax.dot_general(
+            dsb, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype))
+        dks.append((jax.lax.dot_general(                    # ds^T @ q
+            dsb, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype))
+    dq_ref[0] = jnp.concatenate(dqs, axis=1)
+    dk_ref[0] = jnp.concatenate(dks, axis=1)
+    dv_ref[0] = jnp.concatenate(dvs, axis=1)
+
+
+def _bwd_fused_heads_per_block(h, d, tq_p, tk_p, itemsize):
+    """hb chooser for the backward fused kernel: 7 double-buffered lane
+    slabs (q/k/v/g/dq/dk/dv) + ~4 live (Tq, Tk) f32 temps (p, dp, ds and a
+    compiler temp)."""
+    budget = 11 * 2**20
+    scores = 4 * tq_p * tk_p * 4
+    for cand in range(h, 0, -1):
+        if h % cand:
+            continue
+        if (cand * d) % 128 and cand != h:
+            continue
+        blocks = 2 * cand * d * (3 * tq_p + 4 * tk_p) * itemsize
+        if blocks + scores <= budget:
+            return cand
+    return None
+
+
+def _flash_bwd_fused_layout(q, k, v, kv_mask, g, *, scale, causal):
+    """Backward pass on native (B, T, H*D) layout; returns (dq, dk, dv) in
+    the (B, T, H, D) convention of the VJP, or None if constraints fail."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    hb = _bwd_fused_heads_per_block(h, d, -(-tq // 8) * 8, -(-tk // 8) * 8,
+                                    jnp.dtype(q.dtype).itemsize)
+    if hb is None or h <= 1:
+        return None
+    qt = _pad_axis(q.reshape(b, tq, h * d), 8, 1)
+    kt = _pad_axis(k.reshape(b, tk, h * d), 8, 1)
+    vt = _pad_axis(v.reshape(b, tk, h * d), 8, 1)
+    gt = _pad_axis(g.reshape(b, tq, h * d), 8, 1)
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, tk), jnp.float32)
+    mask = _pad_axis(kv_mask.astype(jnp.float32)[:, None, :], 8, 2)
+    tq_p, tk_p = qt.shape[1], kt.shape[1]
+    n_g = h // hb
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_fused_kernel, scale=scale, causal=causal,
+                          hb=hb, d=d),
+        grid=(b, n_g),
+        in_specs=[
+            pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, tk_p), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, tq_p, h * d), q.dtype),
+            jax.ShapeDtypeStruct((b, tk_p, h * d), k.dtype),
+            jax.ShapeDtypeStruct((b, tk_p, h * d), v.dtype),
+        ],
+    )(qt, kt, vt, mask, gt)
+    return (dq[:, :tq].reshape(b, tq, h, d),
+            dk[:, :tk].reshape(b, tk, h, d),
+            dv[:, :tk].reshape(b, tk, h, d))
+
+
 def _single_pass_ok(tq, tk):
     return (max(tq, tk) <= _SINGLE_PASS_MAX_T
             and jax.default_backend() == "tpu")
@@ -350,6 +461,11 @@ def _trainable_bwd(scale, causal, res, g):
     if not _bwd_kernel_ok(tq, tk):
         dq, dk, dv = _attn_ref_bwd(q, k, v, kv_mask, scale, causal, g)
         return dq, dk, dv, None
+
+    fused = _flash_bwd_fused_layout(q, k, v, kv_mask, g, scale=scale,
+                                    causal=causal)
+    if fused is not None:
+        return fused + (None,)
 
     qt = _pad_axis(q.transpose(0, 2, 1, 3).reshape(b * h, tq, d), 8, 1)
     kt = _pad_axis(k.transpose(0, 2, 1, 3).reshape(b * h, tk, d), 8, 1)
@@ -491,6 +607,106 @@ def _attn_bwd_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, g_ref,
         preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
 
 
+def _attn_dropout_fused_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref,
+                               o_ref, *, scale, causal, rate, hb, d):
+    """Native-layout dropout forward: heads as 64-lane columns, PRNG seeded
+    per (batch, head-group) program; the head loop draws hb masks in order —
+    the backward twin regenerates the identical stream because both use the
+    SAME hb (shared chooser _bwd_fused_heads_per_block)."""
+    kv_valid = mask_ref[0, 0].astype(jnp.float32)
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
+    qa = q_ref[0]
+    ka = k_ref[0]
+    va = v_ref[0]
+    outs = []
+    for i in range(hb):
+        sl = slice(i * d, (i + 1) * d)
+        s = jax.lax.dot_general(
+            qa[:, sl], ka[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + (kv_valid - 1.0)[None, :] * (-NEG_INF)
+        if causal:
+            tq, tk = s.shape
+            q_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+            k_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        dmask = _dropout_scale_from_bits(pltpu.prng_random_bits(e.shape),
+                                         rate)
+        o = jax.lax.dot_general(
+            (e * dmask).astype(va.dtype), va[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        outs.append((o / denom).astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=1)
+
+
+def _attn_bwd_dropout_fused_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref,
+                                   g_ref, dq_ref, dk_ref, dv_ref, *, scale,
+                                   causal, rate, hb, d):
+    kv_valid = mask_ref[0, 0].astype(jnp.float32)
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
+    qa = q_ref[0]
+    ka = k_ref[0]
+    va = v_ref[0]
+    ga = g_ref[0]
+    dqs, dks, dvs = [], [], []
+    for i in range(hb):
+        sl = slice(i * d, (i + 1) * d)
+        q = qa[:, sl]
+        k = ka[:, sl]
+        v = va[:, sl]
+        g = ga[:, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + (kv_valid - 1.0)[None, :] * (-NEG_INF)
+        if causal:
+            tq, tk = s.shape
+            q_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+            k_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        dmask = _dropout_scale_from_bits(pltpu.prng_random_bits(p.shape),
+                                         rate)
+        pd = p * dmask
+        pdb = pd.astype(v.dtype)
+        dvs.append(jax.lax.dot_general(
+            pdb, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype))
+        dpd = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = dpd * dmask
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsb = ds.astype(q.dtype)
+        dqs.append((jax.lax.dot_general(
+            dsb, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype))
+        dks.append((jax.lax.dot_general(
+            dsb, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype))
+    dq_ref[0] = jnp.concatenate(dqs, axis=1)
+    dk_ref[0] = jnp.concatenate(dks, axis=1)
+    dv_ref[0] = jnp.concatenate(dvs, axis=1)
+
+
+def _dropout_fused_hb(q, k):
+    """Shared fwd/bwd head grouping for the dropout kernels: both sides must
+    draw the identical PRNG stream, so both use the (tighter) backward VMEM
+    model.  Returns None when the fused layout is not applicable."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    if h <= 1:
+        return None
+    return _bwd_fused_heads_per_block(h, d, -(-tq // 8) * 8,
+                                      -(-tk // 8) * 8,
+                                      jnp.dtype(q.dtype).itemsize)
+
+
 def _xla_dropout_mask(seed, shape, rate):
     """Backend-portable fallback mask: {0, 1/(1-rate)} from a seed-derived
     jax.random stream (regenerated identically in fwd and bwd)."""
@@ -537,6 +753,31 @@ def flash_attention_dropout(q, k, v, kv_mask, seed, scale, causal, rate):
 def _flash_dropout_fwd_tpu(q, k, v, kv_mask, seed, scale, causal, rate):
     b, tq, h, d = q.shape
     tk = k.shape[1]
+    hb = _dropout_fused_hb(q, k)
+    if hb is not None:
+        qt = _pad_axis(q.reshape(b, tq, h * d), 8, 1)
+        kt = _pad_axis(k.reshape(b, tk, h * d), 8, 1)
+        vt = _pad_axis(v.reshape(b, tk, h * d), 8, 1)
+        if kv_mask is None:
+            kv_mask = jnp.ones((b, tk), jnp.float32)
+        mask = _pad_axis(kv_mask.astype(jnp.float32)[:, None, :], 8, 2)
+        tq_p, tk_p = qt.shape[1], kt.shape[1]
+        seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+        out = pl.pallas_call(
+            functools.partial(_attn_dropout_fused_kernel, scale=scale,
+                              causal=causal, rate=rate, hb=hb, d=d),
+            grid=(b, h // hb),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((1, 1, tk_p), lambda i, j: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
+            out_shape=jax.ShapeDtypeStruct((b, tq_p, h * d), q.dtype),
+        )(seed_arr, qt, kt, vt, mask)
+        return out[:, :tq].reshape(b, tq, h, d)
     qt = _pad_axis(q.transpose(0, 2, 1, 3).reshape(b * h, tq, d), 8, 1)
     kt = _pad_axis(k.transpose(0, 2, 1, 3).reshape(b * h, tk, d), 8, 1)
     vt = _pad_axis(v.transpose(0, 2, 1, 3).reshape(b * h, tk, d), 8, 1)
@@ -603,6 +844,47 @@ def _dropout_bwd(scale, causal, rate, res, g):
         dq, dk, dv = _dropout_ref_bwd(q, k, v, kv_mask, seed, scale, causal,
                                       rate, g)
         return dq, dk, dv, None, None
+
+    hb = _dropout_fused_hb(q, k)
+    if hb is not None:
+        # native-layout twin — MUST mirror _flash_dropout_fwd_tpu's fused
+        # branch exactly (same hb, same program grid) so the regenerated
+        # PRNG stream matches the forward mask
+        qt = _pad_axis(q.reshape(b, tq, h * d), 8, 1)
+        kt = _pad_axis(k.reshape(b, tk, h * d), 8, 1)
+        vt = _pad_axis(v.reshape(b, tk, h * d), 8, 1)
+        gt = _pad_axis(g.reshape(b, tq, h * d), 8, 1)
+        if kv_mask is None:
+            kv_mask = jnp.ones((b, tk), jnp.float32)
+        mask = _pad_axis(kv_mask.astype(jnp.float32)[:, None, :], 8, 2)
+        tq_p, tk_p = qt.shape[1], kt.shape[1]
+        seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_attn_bwd_dropout_fused_kernel, scale=scale,
+                              causal=causal, rate=rate, hb=hb, d=d),
+            grid=(b, h // hb),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((1, 1, tk_p), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, tq_p, h * d), q.dtype),
+                jax.ShapeDtypeStruct((b, tk_p, h * d), k.dtype),
+                jax.ShapeDtypeStruct((b, tk_p, h * d), v.dtype),
+            ],
+        )(seed_arr, qt, kt, vt, mask, gt)
+        return (dq[:, :tq].reshape(b, tq, h, d),
+                dk[:, :tk].reshape(b, tk, h, d),
+                dv[:, :tk].reshape(b, tk, h, d), None, None)
 
     qt = _pad_axis(q.transpose(0, 2, 1, 3).reshape(b * h, tq, d), 8, 1)
     kt = _pad_axis(k.transpose(0, 2, 1, 3).reshape(b * h, tk, d), 8, 1)

@@ -91,3 +91,40 @@ def test_flash_trainable_grad_matches_reference(causal, monkeypatch):
     for a, b_ in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_layout_kernels_match_reference(causal, monkeypatch):
+    """Native-layout (B, T, H*D) forward and backward kernels (heads as
+    64-lane columns in-kernel, no head transposes) == reference math."""
+    from speechmix_tpu.ops.pallas import flash_attention_kernel as fak
+    orig = fak.pl.pallas_call
+    monkeypatch.setattr(fak.pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+
+    b, tq, tk, h, d = 2, 40, 40, 4, 64   # hb*d % 128 == 0 reachable
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, tq, h, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, tk, h, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, tk, h, d).astype(np.float32))
+    mask = jnp.asarray(np.arange(tk)[None, :] < np.array([[tk], [tk - 9]]))
+    scale = 1.0 / math.sqrt(d)
+
+    # forward
+    out = fak.flash_attention_fused_layout(
+        q.reshape(b, tq, h * d), k.reshape(b, tk, h * d),
+        v.reshape(b, tk, h * d), mask, heads=h, scale=scale, causal=causal)
+    assert out is not None
+    ref = _reference(q, k, v, mask, causal, scale)
+    np.testing.assert_allclose(np.asarray(out).reshape(b, tq, h, d),
+                               np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    # backward
+    g = jnp.asarray(rng.randn(b, tq, h, d).astype(np.float32))
+    fused = fak._flash_bwd_fused_layout(q, k, v, mask, g, scale=scale,
+                                        causal=causal)
+    assert fused is not None
+    refg = fak._attn_ref_bwd(q, k, v, mask, scale, causal, g)
+    for a, b_ in zip(fused, refg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
