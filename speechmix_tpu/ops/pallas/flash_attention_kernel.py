@@ -138,7 +138,23 @@ def flash_attention_masked(q, k, v, kv_mask=None, causal=False, scale=None,
     tk = k.shape[1]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
 
-    # (B*H, T, D) layout
+    if max(tq, tk) <= _SINGLE_PASS_MAX_T and h > 1:
+        # native-layout head-grouped kernel: (B, T, H*D) lane slabs, no
+        # head transposes (those cost 3.56 ms/layer at encoder shapes —
+        # PERF.md round 3).  The (B,T,H,D)->(B,T,H*D) reshape is free.
+        out = flash_attention_fused_layout(
+            q.reshape(b, tq, h * d), k.reshape(b, tk, h * d),
+            v.reshape(b, tk, h * d), kv_mask, heads=h, scale=scale,
+            causal=causal)
+        if out is not None:
+            return out.reshape(b, tq, h, d)
+        # head-grouped grid: H-fold fewer programs; per-program
+        # pipeline/DMA overhead was the single-pass kernel's cost
+        # driver (measured +10% at encoder shapes — PERF.md round 3)
+        return flash_attention_multihead(q, k, v, kv_mask=kv_mask,
+                                         causal=causal, scale=scale)
+
+    # (B*H, T, D) layout for the transposed kernels below
     qt = q.transpose(0, 2, 1, 3).reshape(b * h, tq, d)
     kt = k.transpose(0, 2, 1, 3).reshape(b * h, tk, d)
     vt = v.transpose(0, 2, 1, 3).reshape(b * h, tk, d)
@@ -150,21 +166,6 @@ def flash_attention_masked(q, k, v, kv_mask=None, causal=False, scale=None,
     mask = kv_mask.astype(jnp.float32)[:, None, :]
 
     if max(tq, tk) <= _SINGLE_PASS_MAX_T:
-        if h > 1:
-            # native-layout head-grouped kernel: (B, T, H*D) lane slabs, no
-            # head transposes (those cost 3.56 ms/layer at encoder shapes —
-            # PERF.md round 3).  The (B,T,H,D)->(B,T,H*D) reshape is free.
-            out = flash_attention_fused_layout(
-                q.reshape(b, tq, h * d), k.reshape(b, tk, h * d),
-                v.reshape(b, tk, h * d), kv_mask, heads=h, scale=scale,
-                causal=causal)
-            if out is not None:
-                return out.reshape(b, tq, h, d)
-            # head-grouped grid: H-fold fewer programs; per-program
-            # pipeline/DMA overhead was the single-pass kernel's cost
-            # driver (measured +10% at encoder shapes — PERF.md round 3)
-            return flash_attention_multihead(q, k, v, kv_mask=kv_mask,
-                                             causal=causal, scale=scale)
         qt = _pad_axis(qt, 8, 1)
         kt = _pad_axis(kt, 8, 1)
         vt = _pad_axis(vt, 8, 1)
@@ -324,15 +325,7 @@ def _attn_bwd_fused_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
         k = ka[:, sl]
         v = va[:, sl]
         g = ga[:, sl]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        s = s + (kv_valid - 1.0)[None, :] * (-NEG_INF)
-        if causal:
-            tq, tk = s.shape
-            q_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
-            k_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        s = _slab_scores(qa, ka, sl, kv_valid, scale, causal)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)          # (Tq, Tk) f32
@@ -356,21 +349,17 @@ def _attn_bwd_fused_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
     dv_ref[0] = jnp.concatenate(dvs, axis=1)
 
 
-def _bwd_fused_heads_per_block(h, d, tq_p, tk_p, itemsize):
-    """hb chooser for the backward fused kernel: 7 double-buffered lane
-    slabs (q/k/v/g/dq/dk/dv) + ~4 live (Tq, Tk) f32 temps (p, dp, ds and a
-    compiler temp)."""
-    budget = 11 * 2**20
-    scores = 4 * tq_p * tk_p * 4
-    for cand in range(h, 0, -1):
-        if h % cand:
-            continue
-        if (cand * d) % 128 and cand != h:
-            continue
-        blocks = 2 * cand * d * (3 * tq_p + 4 * tk_p) * itemsize
-        if blocks + scores <= budget:
-            return cand
-    return None
+def _bwd_fused_hb(q, k):
+    """hb chooser for the backward fused kernels: 3 Tq-shaped + 4 Tk-shaped
+    double-buffered slabs (q/g/dq, k/v/dk/dv) + ~4 live (Tq, Tk) f32 temps
+    (p, dp, ds and a compiler temp).  None when not applicable."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    if h <= 1:
+        return None
+    return _fused_heads_per_block(h, d, -(-tq // 8) * 8, -(-tk // 8) * 8,
+                                  jnp.dtype(q.dtype).itemsize,
+                                  n_q_slabs=3, n_k_slabs=4, n_score_temps=4)
 
 
 def _flash_bwd_fused_layout(q, k, v, kv_mask, g, *, scale, causal):
@@ -378,35 +367,20 @@ def _flash_bwd_fused_layout(q, k, v, kv_mask, g, *, scale, causal):
     the (B, T, H, D) convention of the VJP, or None if constraints fail."""
     b, tq, h, d = q.shape
     tk = k.shape[1]
-    hb = _bwd_fused_heads_per_block(h, d, -(-tq // 8) * 8, -(-tk // 8) * 8,
-                                    jnp.dtype(q.dtype).itemsize)
-    if hb is None or h <= 1:
+    hb = _bwd_fused_hb(q, k)
+    if hb is None:
         return None
-    qt = _pad_axis(q.reshape(b, tq, h * d), 8, 1)
-    kt = _pad_axis(k.reshape(b, tk, h * d), 8, 1)
-    vt = _pad_axis(v.reshape(b, tk, h * d), 8, 1)
-    gt = _pad_axis(g.reshape(b, tq, h * d), 8, 1)
-    if kv_mask is None:
-        kv_mask = jnp.ones((b, tk), jnp.float32)
-    mask = _pad_axis(kv_mask.astype(jnp.float32)[:, None, :], 8, 2)
-    tq_p, tk_p = qt.shape[1], kt.shape[1]
-    n_g = h // hb
+    (qt, gt), (kt, vt), mask, tq_p, tk_p, qspec, kspec, mspec = \
+        _lane_slab_prep(hb, d, [q.reshape(b, tq, h * d),
+                                g.reshape(b, tq, h * d)],
+                        [k.reshape(b, tk, h * d), v.reshape(b, tk, h * d)],
+                        kv_mask, b, tk)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_fused_kernel, scale=scale, causal=causal,
                           hb=hb, d=d),
-        grid=(b, n_g),
-        in_specs=[
-            pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, 1, tk_p), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
-        ],
+        grid=(b, h // hb),
+        in_specs=[qspec, kspec, kspec, mspec, qspec],
+        out_specs=[qspec, kspec, kspec],
         out_shape=[
             jax.ShapeDtypeStruct((b, tq_p, h * d), q.dtype),
             jax.ShapeDtypeStruct((b, tk_p, h * d), k.dtype),
@@ -612,7 +586,7 @@ def _attn_dropout_fused_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref,
     """Native-layout dropout forward: heads as 64-lane columns, PRNG seeded
     per (batch, head-group) program; the head loop draws hb masks in order —
     the backward twin regenerates the identical stream because both use the
-    SAME hb (shared chooser _bwd_fused_heads_per_block)."""
+    SAME hb (shared chooser _bwd_fused_hb / _lane_slab_prep)."""
     kv_valid = mask_ref[0, 0].astype(jnp.float32)
     pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
     qa = q_ref[0]
@@ -621,15 +595,7 @@ def _attn_dropout_fused_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref,
     outs = []
     for i in range(hb):
         sl = slice(i * d, (i + 1) * d)
-        s = jax.lax.dot_general(
-            qa[:, sl], ka[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        s = s + (kv_valid - 1.0)[None, :] * (-NEG_INF)
-        if causal:
-            tq, tk = s.shape
-            q_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
-            k_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        s = _slab_scores(qa, ka, sl, kv_valid, scale, causal)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         denom = jnp.sum(e, axis=-1, keepdims=True)
@@ -658,15 +624,7 @@ def _attn_bwd_dropout_fused_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref,
         k = ka[:, sl]
         v = va[:, sl]
         g = ga[:, sl]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        s = s + (kv_valid - 1.0)[None, :] * (-NEG_INF)
-        if causal:
-            tq, tk = s.shape
-            q_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
-            k_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        s = _slab_scores(qa, ka, sl, kv_valid, scale, causal)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -698,13 +656,7 @@ def _dropout_fused_hb(q, k):
     """Shared fwd/bwd head grouping for the dropout kernels: both sides must
     draw the identical PRNG stream, so both use the (tighter) backward VMEM
     model.  Returns None when the fused layout is not applicable."""
-    b, tq, h, d = q.shape
-    tk = k.shape[1]
-    if h <= 1:
-        return None
-    return _bwd_fused_heads_per_block(h, d, -(-tq // 8) * 8,
-                                      -(-tk // 8) * 8,
-                                      jnp.dtype(q.dtype).itemsize)
+    return _bwd_fused_hb(q, k)
 
 
 def _xla_dropout_mask(seed, shape, rate):
@@ -755,26 +707,18 @@ def _flash_dropout_fwd_tpu(q, k, v, kv_mask, seed, scale, causal, rate):
     tk = k.shape[1]
     hb = _dropout_fused_hb(q, k)
     if hb is not None:
-        qt = _pad_axis(q.reshape(b, tq, h * d), 8, 1)
-        kt = _pad_axis(k.reshape(b, tk, h * d), 8, 1)
-        vt = _pad_axis(v.reshape(b, tk, h * d), 8, 1)
-        if kv_mask is None:
-            kv_mask = jnp.ones((b, tk), jnp.float32)
-        mask = _pad_axis(kv_mask.astype(jnp.float32)[:, None, :], 8, 2)
-        tq_p, tk_p = qt.shape[1], kt.shape[1]
+        (qt,), (kt, vt), mask, tq_p, tk_p, qspec, kspec, mspec = \
+            _lane_slab_prep(hb, d, [q.reshape(b, tq, h * d)],
+                            [k.reshape(b, tk, h * d),
+                             v.reshape(b, tk, h * d)], kv_mask, b, tk)
         seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
         out = pl.pallas_call(
             functools.partial(_attn_dropout_fused_kernel, scale=scale,
                               causal=causal, rate=rate, hb=hb, d=d),
             grid=(b, h // hb),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
-                pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
-                pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
-                pl.BlockSpec((1, 1, tk_p), lambda i, j: (i, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      qspec, kspec, kspec, mspec],
+            out_specs=qspec,
             out_shape=jax.ShapeDtypeStruct((b, tq_p, h * d), q.dtype),
         )(seed_arr, qt, kt, vt, mask)
         return out[:, :tq].reshape(b, tq, h, d)
@@ -847,35 +791,22 @@ def _dropout_bwd(scale, causal, rate, res, g):
 
     hb = _dropout_fused_hb(q, k)
     if hb is not None:
-        # native-layout twin — MUST mirror _flash_dropout_fwd_tpu's fused
-        # branch exactly (same hb, same program grid) so the regenerated
-        # PRNG stream matches the forward mask
-        qt = _pad_axis(q.reshape(b, tq, h * d), 8, 1)
-        kt = _pad_axis(k.reshape(b, tk, h * d), 8, 1)
-        vt = _pad_axis(v.reshape(b, tk, h * d), 8, 1)
-        gt = _pad_axis(g.reshape(b, tq, h * d), 8, 1)
-        if kv_mask is None:
-            kv_mask = jnp.ones((b, tk), jnp.float32)
-        mask = _pad_axis(kv_mask.astype(jnp.float32)[:, None, :], 8, 2)
-        tq_p, tk_p = qt.shape[1], kt.shape[1]
+        # native-layout twin of _flash_dropout_fwd_tpu's fused branch: same
+        # hb (shared chooser), same grid, same _lane_slab_prep blocks -> the
+        # regenerated PRNG stream matches the forward mask by construction
+        (qt, gt), (kt, vt), mask, tq_p, tk_p, qspec, kspec, mspec = \
+            _lane_slab_prep(hb, d, [q.reshape(b, tq, h * d),
+                                    g.reshape(b, tq, h * d)],
+                            [k.reshape(b, tk, h * d),
+                             v.reshape(b, tk, h * d)], kv_mask, b, tk)
         seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
         dq, dk, dv = pl.pallas_call(
             functools.partial(_attn_bwd_dropout_fused_kernel, scale=scale,
                               causal=causal, rate=rate, hb=hb, d=d),
             grid=(b, h // hb),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
-                pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
-                pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
-                pl.BlockSpec((1, 1, tk_p), lambda i, j: (i, 0, 0)),
-                pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
-                pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
-                pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      qspec, kspec, kspec, mspec, qspec],
+            out_specs=[qspec, kspec, kspec],
             out_shape=[
                 jax.ShapeDtypeStruct((b, tq_p, h * d), q.dtype),
                 jax.ShapeDtypeStruct((b, tk_p, h * d), k.dtype),
@@ -938,6 +869,42 @@ flash_attention_dropout.defvjp(_dropout_fwd, _dropout_bwd)
 # ----------------------------------------------------------------------------
 
 
+def _slab_scores(qa, ka, sl, kv_valid, scale, causal):
+    """Masked (Tq, Tk) f32 scores for one 64-lane head column `sl` of the
+    (T, hb*d) lane slabs — the shared front half of every fused-layout
+    kernel body (fwd, bwd, dropout fwd, dropout bwd)."""
+    s = jax.lax.dot_general(
+        qa[:, sl], ka[:, sl], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = s + (kv_valid - 1.0)[None, :] * (-NEG_INF)
+    if causal:
+        tq, tk = s.shape
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+        s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+    return s
+
+
+def _lane_slab_prep(hb, d, q_like, k_like, kv_mask, b, tk):
+    """Shared pad + BlockSpec builder for every fused-layout pallas_call.
+    q_like: list of (B, Tq, H*D) arrays (q, and g for backward); k_like:
+    list of (B, Tk, H*D) arrays (k, v).  Returns (q_list, k_list, mask,
+    tq_p, tk_p, qspec, kspec, mspec).  The dropout fwd and bwd kernels
+    MUST issue identical grids/blocks so their in-kernel PRNG streams
+    match — routing both through this one builder makes that hold by
+    construction."""
+    q_like = [_pad_axis(a, 8, 1) for a in q_like]
+    k_like = [_pad_axis(a, 8, 1) for a in k_like]
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, tk), jnp.float32)
+    mask = _pad_axis(kv_mask.astype(jnp.float32)[:, None, :], 8, 2)
+    tq_p, tk_p = q_like[0].shape[1], k_like[0].shape[1]
+    qspec = pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j))
+    kspec = pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j))
+    mspec = pl.BlockSpec((1, 1, tk_p), lambda i, j: (i, 0, 0))
+    return q_like, k_like, mask, tq_p, tk_p, qspec, kspec, mspec
+
+
 def _attn_single_fused_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
                               scale, causal, hb, d):
     """Head-grouped single-pass attention on the NATIVE activation layout:
@@ -952,15 +919,7 @@ def _attn_single_fused_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
     outs = []
     for i in range(hb):
         sl = slice(i * d, (i + 1) * d)
-        s = jax.lax.dot_general(
-            qa[:, sl], ka[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale     # (Tq, Tk)
-        s = s + (kv_valid - 1.0)[None, :] * (-NEG_INF)
-        if causal:
-            tq, tk = s.shape
-            q_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
-            k_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        s = _slab_scores(qa, ka, sl, kv_valid, scale, causal)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)          # (Tq, 1)
@@ -971,19 +930,24 @@ def _attn_single_fused_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
     o_ref[0] = jnp.concatenate(outs, axis=1)
 
 
-def _fused_heads_per_block(h, d, tq_p, tk_p, itemsize):
+def _fused_heads_per_block(h, d, tq_p, tk_p, itemsize, n_q_slabs=2,
+                           n_k_slabs=2, n_score_temps=3):
     """Largest divisor of h whose lane-slab blocks satisfy the TPU lane
     constraint ((hb*d) % 128 == 0, or the full row) and fit the conservative
-    VMEM model (double-buffered q/k/v/o slabs + ~3 live (Tq, Tk) f32 score
-    temps, 11 MB budget — see flash_attention_multihead)."""
+    VMEM model: double-buffered lane slabs (n_q_slabs Tq-shaped +
+    n_k_slabs Tk-shaped) + n_score_temps live (Tq, Tk) f32 score temps,
+    11 MB budget (see flash_attention_multihead for the temp-count
+    calibration).  Forward: q/o + k/v with ~3 temps; backward: q/g/dq +
+    k/v/dk/dv with ~4 temps."""
     budget = 11 * 2**20
-    scores = 3 * tq_p * tk_p * 4
+    scores = n_score_temps * tq_p * tk_p * 4
     for cand in range(h, 0, -1):
         if h % cand:
             continue
         if (cand * d) % 128 and cand != h:
             continue
-        blocks = 2 * cand * d * (tq_p + 2 * tk_p + tq_p) * itemsize
+        blocks = 2 * cand * d * (n_q_slabs * tq_p
+                                 + n_k_slabs * tk_p) * itemsize
         if blocks + scores <= budget:
             return cand
     return None
@@ -1004,25 +968,14 @@ def flash_attention_fused_layout(q2, k2, v2, kv_mask, *, heads, scale,
                                 jnp.dtype(q2.dtype).itemsize)
     if hb is None:
         return None
-    qt = _pad_axis(q2, 8, 1)
-    kt = _pad_axis(k2, 8, 1)
-    vt = _pad_axis(v2, 8, 1)
-    if kv_mask is None:
-        kv_mask = jnp.ones((b, tk), jnp.float32)
-    mask = _pad_axis(kv_mask.astype(jnp.float32)[:, None, :], 8, 2)
-    tq_p, tk_p = qt.shape[1], kt.shape[1]
-    n_g = heads // hb
+    (qt,), (kt, vt), mask, tq_p, tk_p, qspec, kspec, mspec = \
+        _lane_slab_prep(hb, d, [q2], [k2, v2], kv_mask, b, tk)
     out = pl.pallas_call(
         functools.partial(_attn_single_fused_kernel, scale=scale,
                           causal=causal, hb=hb, d=d),
-        grid=(b, n_g),
-        in_specs=[
-            pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, tk_p, hb * d), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, 1, tk_p), lambda i, j: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, tq_p, hb * d), lambda i, j: (i, 0, j)),
+        grid=(b, heads // hb),
+        in_specs=[qspec, kspec, kspec, mspec],
+        out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((b, tq_p, hd), q2.dtype),
     )(qt, kt, vt, mask)
     return out[:, :tq]

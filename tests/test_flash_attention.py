@@ -128,3 +128,96 @@ def test_fused_layout_kernels_match_reference(causal, monkeypatch):
     for a, b_ in zip(fused, refg):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_layout_multigroup_and_padding(causal, monkeypatch):
+    """Force hb < h (multiple head-group grid steps) and a non-multiple-of-8
+    T so the group BlockSpec indexing and the pad/unpad paths are exercised
+    — the single-group case cannot catch a wrong group index_map."""
+    from speechmix_tpu.ops.pallas import flash_attention_kernel as fak
+    orig = fak.pl.pallas_call
+    monkeypatch.setattr(fak.pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+    monkeypatch.setattr(fak, "_fused_heads_per_block",
+                        lambda *a, **k: 2)      # h=4 -> n_g=2
+
+    b, tq, tk, h, d = 2, 44, 52, 4, 64          # T % 8 != 0
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(b, tq, h, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, tk, h, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, tk, h, d).astype(np.float32))
+    mask = jnp.asarray(np.arange(tk)[None, :] < np.array([[tk], [tk - 7]]))
+    scale = 1.0 / math.sqrt(d)
+
+    out = fak.flash_attention_fused_layout(
+        q.reshape(b, tq, h * d), k.reshape(b, tk, h * d),
+        v.reshape(b, tk, h * d), mask, heads=h, scale=scale, causal=causal)
+    assert out is not None
+    ref = _reference(q, k, v, mask, causal, scale)
+    np.testing.assert_allclose(np.asarray(out).reshape(b, tq, h, d),
+                               np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    g = jnp.asarray(rng.randn(b, tq, h, d).astype(np.float32))
+    fused = fak._flash_bwd_fused_layout(q, k, v, mask, g, scale=scale,
+                                        causal=causal)
+    assert fused is not None
+    refg = fak._attn_ref_bwd(q, k, v, mask, scale, causal, g)
+    for a, b_ in zip(fused, refg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pltpu.prng_* has no CPU interpret lowering; "
+                           "the TPU run of this suite covers it (and the "
+                           "identity-v probe is re-run on hardware each "
+                           "round — PERF.md)")
+def test_fused_dropout_fwd_bwd_mask_consistency(monkeypatch):
+    """TPU check that the fused-layout dropout forward and backward
+    regenerate the SAME PRNG mask (h>1, multi-group grid): recover the
+    forward mask via an identity-v probe, then pin the custom-VJP grads
+    against an explicit-mask reference built from the recovered mask."""
+    from speechmix_tpu.ops.pallas import flash_attention_kernel as fak
+    monkeypatch.setattr(fak, "_fused_heads_per_block", lambda *a, **k: 2)
+
+    b, tq, h = 2, 16, 4
+    tk = d = 128                                 # identity-v needs D == Tk
+    rate, scale, seed = 0.3, 0.125, 11
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(b, tq, h, d).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.randn(b, tk, h, d).astype(np.float32) * 0.3)
+    v_eye = jnp.broadcast_to(
+        jnp.eye(d, dtype=jnp.float32)[None, :, None, :], (b, tk, h, d))
+
+    pd = fak._flash_dropout_fwd_tpu(q, k, v_eye, None, seed, scale, False,
+                                    rate)
+    pd = np.asarray(pd).transpose(0, 2, 1, 3)     # (B, H, Tq, Tk)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    p_ref = np.asarray(jax.nn.softmax(logits, -1))
+    dmask = (pd != 0).astype(np.float32) / (1.0 - rate)
+    # mask semantics: output is exactly p * dmask
+    np.testing.assert_allclose(pd, p_ref * dmask, rtol=2e-4, atol=2e-5)
+    keep = (pd != 0).mean()
+    assert 0.6 < keep < 0.8                       # ~1 - rate
+
+    # grads via the bwd kernel == explicit-mask autodiff reference
+    v = jnp.asarray(rng.randn(b, tk, h, d).astype(np.float32) * 0.3)
+    w = jnp.asarray(rng.randn(b, tq, h, d).astype(np.float32) * 0.1)
+    dmask_j = jnp.asarray(dmask)
+
+    def loss_kernel(q, k, v):
+        out = fak.flash_attention_dropout(q, k, v, None, seed, scale, False,
+                                          rate)
+        return jnp.sum(out * w)
+
+    def loss_expl(q, k, v):
+        p = jax.nn.softmax(
+            jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale, -1) * dmask_j
+        return jnp.sum(jnp.einsum("bhqk,bkhd->bqhd", p, v) * w)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_expl, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
