@@ -55,6 +55,16 @@ class SpeechEncoderConfig:
     attention_dropout: float = 0.1   # on attention probabilities
     activation_dropout: float = 0.1  # inside the FFN, after the activation
     feat_proj_dropout: float = 0.1   # after the feature projection
+    # SpecAugment time masking (training only, applied after the feature
+    # projection like HF Wav2Vec2Model._mask_hidden_states): HF wav2vec2 /
+    # hubert configs default apply_spec_augment=True, so the reference
+    # TRAINS with it on every pretrained checkpoint.  Span starts are
+    # sampled with replacement (HF permutes without replacement) — same
+    # expectation, documented divergence.  Tiny test presets turn it off.
+    apply_spec_augment: bool = True
+    mask_time_prob: float = 0.05
+    mask_time_length: int = 10
+    mask_time_min_masks: int = 2
     # rematerialize transformer layers in the backward pass (jax.checkpoint):
     # trades ~30% extra FLOPs for O(layers) less activation HBM
     remat: bool = False
@@ -270,6 +280,9 @@ SPEECH_ENCODER_PRESETS = {
         conv_dims=(32, 32, 32), conv_kernels=(10, 3, 3), conv_strides=(5, 2, 2),
         hidden_size=64, num_layers=4, num_heads=4, ffn_dim=128,
         pos_conv_kernel=16, pos_conv_groups=4,
+        # our own test preset (no HF counterpart): keep training forward
+        # deterministic apart from dropout
+        apply_spec_augment=False,
     ),
 }
 

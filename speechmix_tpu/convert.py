@@ -563,6 +563,10 @@ def _encoder_config_from_dict(d: dict) -> SpeechEncoderConfig:
         attention_dropout=float(d.get("attention_dropout", 0.1)),
         activation_dropout=float(d.get("activation_dropout", 0.1)),
         feat_proj_dropout=float(d.get("feat_proj_dropout", 0.1)),
+        apply_spec_augment=bool(d.get("apply_spec_augment", True)),
+        mask_time_prob=float(d.get("mask_time_prob", 0.05)),
+        mask_time_length=int(d.get("mask_time_length", 10)),
+        mask_time_min_masks=int(d.get("mask_time_min_masks", 2)),
     )
 
 

@@ -74,6 +74,12 @@ def init_speech_encoder(key, cfg: SpeechEncoderConfig):
 
     params["encoder_layer_norm"] = layers.init_layer_norm(cfg.hidden_size)
 
+    # SpecAugment replacement vector (HF Wav2Vec2Model.masked_spec_embed:
+    # FloatTensor(hidden).uniform_()); used only when a dropout_rng is
+    # threaded (training) and cfg.apply_spec_augment
+    params["masked_spec_embed"] = jax.random.uniform(keys[4],
+                                                     (cfg.hidden_size,))
+
     # transformer layers: stacked pytree for lax.scan
     def init_layer(k):
         k1, k2, k3 = jax.random.split(k, 3)
@@ -191,6 +197,34 @@ def _pairs_slack_pad(t_samples, kernels, strides):
     raise ValueError("no pairs-compatible pad found")  # pragma: no cover
 
 
+def compute_time_mask(rng, batch, t_frames, lengths, prob, mask_len,
+                      min_masks):
+    """Jittable SpecAugment time-mask sampler — the HF semantics
+    (modeling_wav2vec2._compute_mask_indices): per row with valid length L,
+    mask `num` spans of `mask_len` frames where
+    num = floor(prob * L / mask_len + eps), eps ~ U(0,1), clamped to
+    [min_masks, L // mask_len]; span starts uniform in [0, L - mask_len].
+    Divergence: starts are drawn WITH replacement (HF permutes without),
+    so overlapping spans mask slightly fewer frames — same expectation.
+    Returns (B, T) bool, True = replace with masked_spec_embed."""
+    r_eps, r_starts = jax.random.split(rng)
+    lengths = lengths.astype(jnp.float32)
+    eps = jax.random.uniform(r_eps, (batch,))
+    num = jnp.floor(prob * lengths / mask_len + eps).astype(jnp.int32)
+    cap = (lengths // mask_len).astype(jnp.int32)
+    num = jnp.clip(jnp.maximum(num, min_masks), 0, cap)
+    # static upper bound on spans per row (worst case: full-length row)
+    s_max = max(min_masks, int(prob * t_frames / mask_len) + 1)
+    span_room = jnp.maximum(lengths - mask_len + 1, 1.0)       # (B,)
+    starts = (jax.random.uniform(r_starts, (batch, s_max))
+              * span_room[:, None]).astype(jnp.int32)          # (B, S)
+    active = jnp.arange(s_max)[None, :] < num[:, None]         # (B, S)
+    t = jnp.arange(t_frames)[None, None, :]                    # (1, 1, T)
+    span = ((t >= starts[..., None]) & (t < (starts + mask_len)[..., None])
+            & active[..., None])                               # (B, S, T)
+    return jnp.any(span, axis=1)
+
+
 def _encoder_layer(layer_params, x, kv_mask, cfg, use_flash, dtype,
                    dropout_rng=None):
     # dropout placements mirror HF Wav2Vec2EncoderLayer: attention probs
@@ -262,13 +296,26 @@ def speech_encoder_apply(params, cfg: SpeechEncoderConfig, waveform,
     feats = mesh_lib.constrain_time_sharded(feats)
     frame_mask = mesh_lib.constrain_time_sharded(frame_mask)
 
-    k_proj, k_pos, k_layers = layers.split_or_none(dropout_rng, 3)
+    k_proj, k_pos, k_layers, k_spec = layers.split_or_none(dropout_rng, 4)
 
     # feature projection
     fp = params["feature_projection"]
     h = layers.layer_norm(fp["layer_norm"], feats, cfg.layer_norm_eps)
     h = layers.dense(fp["projection"], h, dtype)
     h = layers.dropout(h, cfg.feat_proj_dropout, k_proj)
+
+    # SpecAugment time masking (training only — HF applies it between the
+    # feature projection and the positional conv, Wav2Vec2Model
+    # _mask_hidden_states; reference checkpoints train with
+    # apply_spec_augment=True).  Older checkpoints may lack
+    # masked_spec_embed; skip silently then (inference is never affected).
+    if (k_spec is not None and cfg.apply_spec_augment
+            and cfg.mask_time_prob > 0 and "masked_spec_embed" in params):
+        tmask = compute_time_mask(k_spec, b, t_frames, frame_lengths,
+                                  cfg.mask_time_prob, cfg.mask_time_length,
+                                  cfg.mask_time_min_masks)
+        h = jnp.where(tmask[..., None],
+                      params["masked_spec_embed"].astype(h.dtype), h)
 
     # zero out padded frames before the pos-conv so padding can't leak in
     h = h * frame_mask[..., None].astype(h.dtype)

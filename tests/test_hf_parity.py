@@ -261,3 +261,50 @@ def test_bart_deep_scale_embedding_parity():
                             decoder_input_ids=jnp.asarray(dec_ids))
     np.testing.assert_allclose(np.asarray(out["logits"]), ref,
                                rtol=2e-3, atol=2e-3)
+
+
+def test_wav2vec2_spec_augment_parity(monkeypatch):
+    """Given the SAME time-mask indices, our SpecAugment application equals
+    HF's _mask_hidden_states (replacement with masked_spec_embed between the
+    feature projection and the positional conv) — hf passes explicit
+    mask_time_indices so the stochastic sampling is out of the picture."""
+    hf_cfg = transformers.Wav2Vec2Config(
+        vocab_size=32, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        conv_dim=(16, 16, 16), conv_kernel=(10, 3, 3), conv_stride=(5, 2, 2),
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=2,
+        do_stable_layer_norm=False, feat_extract_norm="group",
+        hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        feat_proj_dropout=0.0, layerdrop=0.0, apply_spec_augment=True,
+        mask_time_prob=0.2)
+    hf = transformers.Wav2Vec2Model(hf_cfg).eval()
+
+    cfg = SpeechEncoderConfig(
+        name="parity", conv_dims=(16, 16, 16), conv_kernels=(10, 3, 3),
+        conv_strides=(5, 2, 2), conv_bias=False, feat_extract_norm="group",
+        hidden_size=32, num_layers=2, num_heads=2, ffn_dim=64,
+        pos_conv_kernel=16, pos_conv_groups=2,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        feat_proj_dropout=0.0, apply_spec_augment=True, mask_time_prob=0.2)
+
+    sd_path = _save_sd(hf)
+    params = convert.load_speech_encoder(sd_path, cfg)
+    os.remove(sd_path)
+    assert "masked_spec_embed" in params
+
+    wav = np.random.RandomState(1).randn(2, 4000).astype(np.float32) * 0.1
+    t_frames = int(cfg.feature_lengths(jnp.asarray([4000]))[0])
+    rng = np.random.RandomState(2)
+    fixed_mask = rng.rand(2, t_frames) < 0.25
+
+    with torch.no_grad():
+        ref = hf(torch.tensor(wav),
+                 mask_time_indices=torch.tensor(fixed_mask)
+                 ).last_hidden_state.numpy()
+
+    monkeypatch.setattr(se, "compute_time_mask",
+                        lambda *a, **k: jnp.asarray(fixed_mask))
+    out = se.speech_encoder_apply(params, cfg, jnp.asarray(wav),
+                                  dropout_rng=jax.random.PRNGKey(0))
+    got = np.asarray(out["last_hidden_state"])
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)

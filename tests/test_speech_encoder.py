@@ -133,3 +133,71 @@ def test_aligned_samples():
         # already-aligned inputs are unchanged
         assert cfg.aligned_samples(a) == a
     assert int(cfg.feature_lengths(cfg.aligned_samples(256000))) == 800
+
+
+def test_spec_augment_time_mask_semantics():
+    """compute_time_mask: spans of mask_time_length inside the valid
+    region, span count within [min_masks, L // mask_len], deterministic
+    per rng."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from speechmix_tpu.models import speech_encoder as se
+
+    b, t, mlen, prob, min_masks = 8, 200, 10, 0.2, 2
+    lengths = jnp.asarray(np.linspace(60, 200, b, dtype=np.int32))
+    rng = jax.random.PRNGKey(3)
+    m = np.asarray(se.compute_time_mask(rng, b, t, lengths, prob, mlen,
+                                        min_masks))
+    m2 = np.asarray(se.compute_time_mask(rng, b, t, lengths, prob, mlen,
+                                         min_masks))
+    np.testing.assert_array_equal(m, m2)  # deterministic per rng
+    L = np.asarray(lengths)
+    for i in range(b):
+        # nothing masked beyond the valid region
+        assert not m[i, L[i]:].any()
+        # masked frames between min_masks*mlen*(could overlap: >= mlen) and
+        # the cap; at least one span exists
+        n_masked = m[i].sum()
+        assert mlen <= n_masked <= (L[i] // mlen) * mlen
+        # every masked run is at most ... spans can merge; check each
+        # maximal run length is a multiple-of-nothing but >= 1; instead
+        # check total spans estimate: runs boundaries
+        runs = np.diff(np.concatenate([[0], m[i].astype(int), [0]]))
+        starts = (runs == 1).sum()
+        assert starts >= 1
+
+
+def test_spec_augment_applies_only_in_training():
+    """Training forward (dropout_rng given) with apply_spec_augment differs
+    from inference; inference output is unchanged by the flag."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from speechmix_tpu.config import SPEECH_ENCODER_PRESETS
+    from speechmix_tpu.models import speech_encoder as se
+
+    base = SPEECH_ENCODER_PRESETS["tiny-speech"]
+    cfg = dataclasses.replace(
+        base, apply_spec_augment=True, mask_time_prob=0.5,
+        # disable dropout so the only stochastic difference is SpecAugment
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        feat_proj_dropout=0.0)
+    params = se.init_speech_encoder(jax.random.PRNGKey(0), cfg)
+    assert "masked_spec_embed" in params
+    wav = jnp.asarray(np.random.RandomState(0).randn(2, 3200)
+                      .astype(np.float32))
+
+    infer = se.speech_encoder_apply(params, cfg, wav)["last_hidden_state"]
+    train = se.speech_encoder_apply(
+        params, cfg, wav, dropout_rng=jax.random.PRNGKey(5)
+    )["last_hidden_state"]
+    assert not np.allclose(np.asarray(infer), np.asarray(train))
+
+    off = dataclasses.replace(cfg, apply_spec_augment=False)
+    train_off = se.speech_encoder_apply(
+        params, off, wav, dropout_rng=jax.random.PRNGKey(5)
+    )["last_hidden_state"]
+    np.testing.assert_allclose(np.asarray(infer), np.asarray(train_off),
+                               rtol=1e-5, atol=1e-6)
