@@ -65,6 +65,12 @@ class SpeechEncoderConfig:
     mask_time_prob: float = 0.05
     mask_time_length: int = 10
     mask_time_min_masks: int = 2
+    # LayerDrop (training only): HF Wav2Vec2Config defaults layerdrop=0.1 —
+    # the reference trains with stochastic layer skipping.  Implemented as
+    # a select (the skipped layer is still computed under jit — no FLOP
+    # saving on TPU static graphs, but the REGULARIZATION semantics match);
+    # mask_feature_prob defaults to 0.0 in HF and is not implemented.
+    layerdrop: float = 0.1
     # rematerialize transformer layers in the backward pass (jax.checkpoint):
     # trades ~30% extra FLOPs for O(layers) less activation HBM
     remat: bool = False
@@ -282,7 +288,7 @@ SPEECH_ENCODER_PRESETS = {
         pos_conv_kernel=16, pos_conv_groups=4,
         # our own test preset (no HF counterpart): keep training forward
         # deterministic apart from dropout
-        apply_spec_augment=False,
+        apply_spec_augment=False, layerdrop=0.0,
     ),
 }
 

@@ -165,10 +165,10 @@ def speech_encoder_from_state_dict(sd, cfg: SpeechEncoderConfig,
         "layers": _stack([block(i) for i in range(n_layers)]),
     }
     if "masked_spec_embed" in sd:
-        # SpecAugment mask embedding: unused by this framework's forward
-        # (no spec-augment masking) but carried through so a converted
-        # checkpoint exports back to the reference bit-complete
-        # (strict load_state_dict needs the key)
+        # SpecAugment replacement embedding: used by the training forward
+        # when cfg.apply_spec_augment (speech_encoder.compute_time_mask),
+        # and carried through exports so a converted checkpoint loads back
+        # into the reference strictly
         params["masked_spec_embed"] = jnp.asarray(sd["masked_spec_embed"])
     return params
 
@@ -567,6 +567,7 @@ def _encoder_config_from_dict(d: dict) -> SpeechEncoderConfig:
         mask_time_prob=float(d.get("mask_time_prob", 0.05)),
         mask_time_length=int(d.get("mask_time_length", 10)),
         mask_time_min_masks=int(d.get("mask_time_min_masks", 2)),
+        layerdrop=float(d.get("layerdrop", 0.1)),
     )
 
 

@@ -339,17 +339,25 @@ def speech_encoder_apply(params, cfg: SpeechEncoderConfig, waveform,
 
     n_layers = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
     if k_layers is not None:
+        k_layers, k_drop = jax.random.split(k_layers)
         layer_rngs = jax.random.split(k_layers, n_layers)
+        # LayerDrop (HF Wav2Vec2Encoder: skip_the_layer = training and
+        # rand() < layerdrop).  A select keeps the graph static; the
+        # skipped layer's output is discarded, matching HF's semantics of
+        # passing hidden_states through unchanged.
+        drop_u = jax.random.uniform(k_drop, (n_layers,))
 
         def scan_body(x, xs):
-            layer_params, rng = xs
+            layer_params, rng, u = xs
             y = layer_fn(layer_params, x, frame_mask, cfg, use_flash, dtype,
                          rng)
+            if cfg.layerdrop > 0:
+                y = jnp.where(u < cfg.layerdrop, x, y)
             y = mesh_lib.constrain_time_sharded(y)
             return y, (y if output_hidden_states else 0)
 
         h, per_layer = jax.lax.scan(scan_body, h,
-                                    (params["layers"], layer_rngs))
+                                    (params["layers"], layer_rngs, drop_u))
     else:
         def scan_body(x, layer_params):
             y = layer_fn(layer_params, x, frame_mask, cfg, use_flash, dtype)

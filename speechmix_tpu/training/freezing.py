@@ -81,7 +81,11 @@ def variant_trainable_mask(params, cfg: SpeechMixConfig, fixed_speech=False,
                            fixed_nlp=True):
     """Static trainable mask for each variant:
 
-    eed/ed:  everything trainable (model.py:57-177)
+    eed:     everything trainable (model.py:57-177)
+    ed:      everything except the conv feature extractor — the reference ED
+             constructor calls model.freeze_feature_encoder()
+             (model.py:37, hf_model.py:112), which freezes exactly the conv
+             extractor (HF Wav2Vec2FeatureEncoder._freeze_parameters)
     fixed:   speech and/or NLP frozen per flags (model.py:182-193)
     adapter: NLP enc/dec layers frozen; adapters + bridge + speech trainable
              (model.py:198-222 freezes only the layer stacks)
@@ -93,7 +97,11 @@ def variant_trainable_mask(params, cfg: SpeechMixConfig, fixed_speech=False,
     v = cfg.variant
 
     def pred(path):
-        if v in ("eed", "ed"):
+        if v == "ed":
+            # reference ED freezes the conv feature extractor permanently
+            return not path.startswith(
+                f"speech_encoder{SEP}feature_extractor")
+        if v == "eed":
             return True
         if v == "fixed":
             if path.startswith("speech_encoder") and fixed_speech:

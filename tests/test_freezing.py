@@ -103,3 +103,20 @@ def test_gan_alternating_masks():
     assert float(np.max(nlp_gen)) == 1.0
     nlp_disc = jax.tree_util.tree_leaves(m_disc["speech_encoder"])[0]
     assert float(np.max(nlp_disc)) == 0.0
+
+
+def test_ed_variant_freezes_feature_extractor():
+    """The reference ED constructor calls model.freeze_feature_encoder()
+    (model.py:37, hf_model.py:112): the conv feature extractor is frozen,
+    everything else trains."""
+    cfg, params = make("ed")
+    mask = freezing.variant_trainable_mask(params, cfg)
+    import jax
+    leaves = jax.tree_util.tree_flatten_with_path(mask)[0]
+    for keypath, v in leaves:
+        path = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in keypath)
+        expect = 0.0 if path.startswith(
+            "speech_encoder/feature_extractor") else 1.0
+        assert float(v if not hasattr(v, "item") else v.item()) == expect, \
+            path

@@ -201,3 +201,40 @@ def test_spec_augment_applies_only_in_training():
     )["last_hidden_state"]
     np.testing.assert_allclose(np.asarray(infer), np.asarray(train_off),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_layerdrop_semantics():
+    """LayerDrop: layerdrop=1.0 in training passes hidden states through
+    every layer unchanged (output == the pre-layer embedding output);
+    inference is unaffected by the setting."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from speechmix_tpu.config import SPEECH_ENCODER_PRESETS
+    from speechmix_tpu.models import speech_encoder as se
+
+    base = SPEECH_ENCODER_PRESETS["tiny-speech"]
+    cfg = dataclasses.replace(
+        base, layerdrop=1.0, apply_spec_augment=False,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        feat_proj_dropout=0.0)
+    params = se.init_speech_encoder(jax.random.PRNGKey(0), cfg)
+    wav = jnp.asarray(np.random.RandomState(0).randn(2, 3200)
+                      .astype(np.float32))
+
+    out = se.speech_encoder_apply(params, cfg, wav,
+                                  dropout_rng=jax.random.PRNGKey(7),
+                                  output_hidden_states=True)
+    hs = np.asarray(out["hidden_states"])  # (L+1, B, T, H)
+    # every layer skipped: all per-layer states equal the embedding output
+    for i in range(1, hs.shape[0]):
+        np.testing.assert_allclose(hs[i], hs[0], rtol=1e-6, atol=1e-7)
+
+    # inference (no rng): layerdrop must not engage
+    infer_hi = se.speech_encoder_apply(params, cfg, wav)["last_hidden_state"]
+    infer_off = se.speech_encoder_apply(
+        params, dataclasses.replace(cfg, layerdrop=0.0), wav
+    )["last_hidden_state"]
+    np.testing.assert_allclose(np.asarray(infer_hi), np.asarray(infer_off),
+                               rtol=1e-6, atol=1e-7)
