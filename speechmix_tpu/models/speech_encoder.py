@@ -231,6 +231,9 @@ def _encoder_layer(layer_params, x, kv_mask, cfg, use_flash, dtype,
     # (attention_dropout), post-attention output (dropout), post-activation
     # (activation_dropout), post-FFN output (dropout)
     k_attn, k_h1, k_act, k_h2 = layers.split_or_none(dropout_rng, 4)
+    # sequence-parallel: when tracing under seq_sharding (time axis sharded
+    # over `seq`), self-attention runs as ring attention (ops/ring_attention)
+    ring_mesh = mesh_lib.active_seq_mesh()
 
     def ffn(h):
         h = layers.dense(layer_params["ffn_in"], h, dtype)
@@ -246,7 +249,7 @@ def _encoder_layer(layer_params, x, kv_mask, cfg, use_flash, dtype,
         attn, _ = attention(layer_params["attention"], h, kv_mask=kv_mask,
                             num_heads=cfg.num_heads, use_flash=use_flash,
                             dtype=dtype, dropout_rate=cfg.attention_dropout,
-                            dropout_rng=k_attn)
+                            dropout_rng=k_attn, ring_mesh=ring_mesh)
         x = x + layers.dropout(attn, cfg.dropout, k_h1)
         h = layers.layer_norm(layer_params["final_layer_norm"], x,
                               cfg.layer_norm_eps)
@@ -256,7 +259,7 @@ def _encoder_layer(layer_params, x, kv_mask, cfg, use_flash, dtype,
         attn, _ = attention(layer_params["attention"], x, kv_mask=kv_mask,
                             num_heads=cfg.num_heads, use_flash=use_flash,
                             dtype=dtype, dropout_rate=cfg.attention_dropout,
-                            dropout_rng=k_attn)
+                            dropout_rng=k_attn, ring_mesh=ring_mesh)
         attn = layers.dropout(attn, cfg.dropout, k_h1)
         x = layers.layer_norm(layer_params["attention_layer_norm"], x + attn,
                               cfg.layer_norm_eps)

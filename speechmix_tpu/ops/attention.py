@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from . import layers
+from .ring_attention import ring_attention, ring_attention_eligible
 
 
 class KVCache(NamedTuple):
@@ -121,7 +122,7 @@ def maybe_decode_kernel(q, k, v, kv_mask, scale, num_heads, use_flash,
 def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
               num_heads=None, head_dim=None, scale=None,
               cache: Optional[KVCache] = None, use_flash=False, dtype=None,
-              dropout_rate=0.0, dropout_rng=None):
+              dropout_rate=0.0, dropout_rng=None, ring_mesh=None):
     """General MHA.
 
     x_q: (B, Tq, Dq).  x_kv: (B, Tk, Dk) or None for self-attention.
@@ -138,6 +139,11 @@ def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
       layers.dropout.  The two paths draw different (seeded-deterministic)
       streams; dropout is stochastic, so only per-backend determinism is
       contractual.
+    ring_mesh: sequence-parallel dispatch — when the caller's activations
+      have their time axis sharded over the mesh's `seq` axis
+      (parallel.mesh.seq_sharding trace), non-causal self-attention runs as
+      ring attention over the `seq` ring (ops/ring_attention.py) instead of
+      letting XLA all-gather K/V around the contraction.
     Returns (out, new_cache).
     """
     has_dropout = dropout_rng is not None and dropout_rate > 0.0
@@ -190,6 +196,18 @@ def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
                                          use_flash)
     if decode_out is not None:
         out = decode_out
+    # sequence-parallel ring path: the time axis is sharded over the mesh's
+    # `seq` axis, so K/V blocks rotate around the ring (ppermute) instead of
+    # being all-gathered per layer.  Differentiable (scan + ppermute), with
+    # blockwise attention-prob dropout.
+    elif ring_attention_eligible(ring_mesh, num_heads, causal,
+                                 bias is not None, cache is not None):
+        seed = (jax.random.randint(dropout_rng, (), 0, 2**31 - 1)
+                if has_dropout else None)
+        out = ring_attention(
+            q, k, v, kv_mask, scale=scale, mesh=ring_mesh,
+            dropout_rate=float(dropout_rate) if has_dropout else 0.0,
+            dropout_seed=seed)
     # fused flash path: structured masks only, no extra bias, no cache.
     # Both variants carry custom VJPs (single-pass recompute backward
     # kernels) so this path is safe under jax.grad for training.  With

@@ -165,6 +165,17 @@ def seq_sharding(mesh: Optional[Mesh],
         _SEQ_SHARDING = prev
 
 
+def active_seq_mesh() -> Optional[Mesh]:
+    """The mesh of the active seq_sharding() trace, when its `seq` axis is
+    actually parallel (size > 1); None otherwise.  Lets ops (attention)
+    dispatch sequence-parallel implementations (ring attention) without
+    threading the mesh through every model signature."""
+    if _SEQ_SHARDING is None:
+        return None
+    mesh, _ = _SEQ_SHARDING
+    return mesh if mesh.shape.get(SEQ_AXIS, 1) > 1 else None
+
+
 def constrain_time_sharded(x):
     """Annotate a (B, T, C) activation (or a (B, T) mask) as sequence-
     sharded.  Identity when no seq_sharding() trace is active."""

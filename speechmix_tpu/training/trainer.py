@@ -82,17 +82,18 @@ class TrainConfig:
     # single-pass Pallas attention in the train step (custom-VJP backward
     # recomputes scores in VMEM instead of storing (B, H, T, T) probs;
     # in-kernel PRNG dropout, so it composes with the dropout-on
-    # reference-fidelity recipe).  None = AUTO: on unless sequence_parallel
-    # excludes it (XLA can't partition a Pallas call over the time axis).
+    # reference-fidelity recipe).  None = AUTO: on.  With
+    # sequence_parallel > 1 the seq-sharded speech-encoder self-attention
+    # dispatches to ring attention over the `seq` axis (ops/ring_attention;
+    # XLA can't partition a Pallas call over the time axis) while flash
+    # kernels keep serving the unsharded decoder/text attention.
     # Measured dropout-ON, flagship B=16 no-remat: flash 239 ms/step vs XLA
     # remat 464 ms (no-remat XLA OOMs) — PERF.md round-3 table.  On CPU the
     # flash path falls back to XLA attention automatically.
     use_flash: Optional[bool] = None
 
     def resolved_use_flash(self) -> bool:
-        if self.use_flash is None:
-            return self.sequence_parallel <= 1
-        return self.use_flash
+        return True if self.use_flash is None else self.use_flash
     model_parallel: int = 1
     sequence_parallel: int = 1  # mesh `seq` axis size (long-audio scaling)
     wandb: bool = False  # mirror metrics to wandb when installed
@@ -152,8 +153,10 @@ def make_train_step(cfg: SpeechMixConfig, tc: TrainConfig, params_example,
     (accum, micro_b, ...) and lax.scan-accumulates gradients.
 
     mesh: required when tc.sequence_parallel > 1 — encoder activations are
-    annotated time-sharded over the mesh's `seq` axis while tracing (XLA
-    inserts the attention K/V all-gathers).
+    annotated time-sharded over the mesh's `seq` axis while tracing, and
+    the seq-sharded self-attention runs as ring attention over the `seq`
+    ring (ops/ring_attention.py: ppermute K/V rotation + online-softmax
+    block merge) instead of XLA all-gathering K/V around every layer.
     """
     optimizer = make_optimizer(tc)
     dtype = jnp.bfloat16 if tc.bf16 else jnp.float32
@@ -162,12 +165,6 @@ def make_train_step(cfg: SpeechMixConfig, tc: TrainConfig, params_example,
     use_flash = tc.resolved_use_flash()
     seq_mesh = mesh if (mesh is not None and tc.sequence_parallel > 1) \
         else None
-    if seq_mesh is not None and use_flash:
-        # XLA cannot partition a pallas custom call over the time axis; it
-        # would silently all-gather the sharded activations around every
-        # attention, defeating sequence parallelism
-        raise ValueError("sequence_parallel > 1 is incompatible with "
-                         "use_flash (Pallas attention); pick one")
 
     # dropout rng: deterministic chain keyed on (seed, step, microbatch) —
     # resumable runs replay identical masks
