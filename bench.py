@@ -22,12 +22,11 @@ def main():
     import jax.numpy as jnp
 
     # persistent compile cache: repeated bench runs skip the multi-minute
-    # first compile
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # first compile (namespaced by host — stale cross-machine CPU AOT
+    # entries hard-abort on load, utils/compile_cache.py)
+    from speechmix_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
     from speechmix_tpu.config import (SPEECH_ENCODER_PRESETS,
                                       SEQ2SEQ_PRESETS, SpeechMixConfig)

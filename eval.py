@@ -56,11 +56,9 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache_tpu")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    from speechmix_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"))
 
     from speechmix_tpu import HFSpeechMixEED
     if args.hf_checkpoint_dir:

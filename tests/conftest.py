@@ -28,12 +28,14 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # regardless of the env var).  Post-import config update is authoritative.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compile cache: test models are tiny but shape-diverse; caching
-# compiles across runs keeps the suite fast.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# Persistent compile cache: a no-op here — jax 0.9.0's XLA:CPU AOT cache
+# reload path is broken (cross-host entries SIGABRT in ThunkExecutor;
+# same-host reloads of the sharded train step abort too — measured, see
+# utils/compile_cache.py).  The helper enables caching only on TPU.
+from speechmix_tpu.utils.compile_cache import setup_compile_cache
+
+setup_compile_cache(os.path.join(os.path.dirname(__file__), "..",
+                                 ".jax_cache"))
 
 
 @pytest.fixture(scope="session")

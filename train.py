@@ -198,11 +198,9 @@ def main(arg=None):
         _mesh_early.initialize_distributed()
     # persistent compile cache (first compiles through tunneled TPU
     # transports take minutes; cached runs start in seconds)
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache_tpu")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    from speechmix_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"))
     model_type, model = pick_model(input_args, other)
     print(f"model: {model_type} "
           f"speech_layers={model.speech_encoder_layer} "
