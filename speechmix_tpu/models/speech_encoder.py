@@ -131,9 +131,13 @@ def extract_features(params, cfg: SpeechEncoderConfig, waveform,
     #   "conv"    XLA NWC conv            62.6 ms
     #   "patches" strided unfold + concat 227.5 ms (HBM-bound; OOMs at B=128)
     #   "pairs"   row-merge reshapes + dense matmuls (layers._conv1d_pairs)
+    #   "fused"   Pallas VMEM-unfold kernel for the stride-2 512ch layers
+    #             (ops/pallas/conv_extractor.py); conv0 (+norm) stays XLA
     # "pairs" avoids the strided gathers that sank "patches" — see PERF.md.
     impl = cfg.extractor_impl
     if impl == "auto":
+        impl = "conv"
+    if impl == "fused" and not _fused_extractor_ok(cfg):
         impl = "conv"
     x = waveform.astype(dtype)[..., None]  # (B, T, 1)
     l = lengths
@@ -151,9 +155,11 @@ def extract_features(params, cfg: SpeechEncoderConfig, waveform,
             if l is None:
                 l = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-    for i, layer in enumerate(params["feature_extractor"]["layers"]):
+    conv_layers = params["feature_extractor"]["layers"]
+    xla_layers = (1 if impl == "fused" else len(conv_layers))
+    for i, layer in enumerate(conv_layers[:xla_layers]):
         x = layers.conv1d(layer["conv"], x, cfg.conv_strides[i], dtype,
-                          impl=impl)
+                          impl="conv" if impl == "fused" else impl)
         mask = None
         if l is not None:
             l = (l - cfg.conv_kernels[i]) // cfg.conv_strides[i] + 1
@@ -167,9 +173,29 @@ def extract_features(params, cfg: SpeechEncoderConfig, waveform,
             else:
                 x = layers.layer_norm(layer["norm"], x, cfg.layer_norm_eps)
         x = jax.nn.gelu(x, approximate=False)
+    if impl == "fused":
+        from ..ops.pallas import conv_extractor as _fx
+        if l is not None:
+            for k, s in zip(cfg.conv_kernels[1:], cfg.conv_strides[1:]):
+                l = (l - k) // s + 1
+        x = _fx.fused_conv_stack(
+            x, conv_layers[1:], cfg.conv_kernels[1:], cfg.conv_strides[1:],
+            ln_layers=(cfg.feat_extract_norm == "layer"),
+            ln_eps=cfg.layer_norm_eps,
+            interpret=jax.default_backend() != "tpu")
     if t_expect is not None and x.shape[1] != t_expect:
         x = x[:, :t_expect]
     return x
+
+
+def _fused_extractor_ok(cfg: SpeechEncoderConfig) -> bool:
+    """Geometry gate for the fused Pallas extractor: layers 1.. must be
+    stride-2, k in {2, 3}, constant channel width (true of every wav2vec2
+    preset; anything else falls back to the XLA conv)."""
+    return (len(cfg.conv_dims) >= 2
+            and all(s == 2 for s in cfg.conv_strides[1:])
+            and all(k in (2, 3) for k in cfg.conv_kernels[1:])
+            and len(set(cfg.conv_dims)) == 1)
 
 
 def _conv_out_len(t, kernels, strides):
