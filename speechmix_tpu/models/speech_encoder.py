@@ -178,11 +178,11 @@ def extract_features(params, cfg: SpeechEncoderConfig, waveform,
         if l is not None:
             for k, s in zip(cfg.conv_kernels[1:], cfg.conv_strides[1:]):
                 l = (l - k) // s + 1
-        x = _fx.fused_conv_stack(
-            x, conv_layers[1:], cfg.conv_kernels[1:], cfg.conv_strides[1:],
-            ln_layers=(cfg.feat_extract_norm == "layer"),
-            ln_eps=cfg.layer_norm_eps,
-            interpret=jax.default_backend() != "tpu")
+        x = _fx.fused_conv_stack_trainable(
+            x, list(conv_layers[1:]),
+            tuple(cfg.conv_kernels[1:]), tuple(cfg.conv_strides[1:]),
+            cfg.feat_extract_norm == "layer", cfg.layer_norm_eps,
+            jax.default_backend() != "tpu")
     if t_expect is not None and x.shape[1] != t_expect:
         x = x[:, :t_expect]
     return x

@@ -212,3 +212,51 @@ def fused_conv_stack(x, layers, kernels, strides, *, bt=512, block_b=None,
             ln_params=ln, ln_eps=ln_eps, deinterleave=deinterleave,
             interpret=interpret)
     return x[:, :plan[-1][0]]
+
+
+def _xla_stack(x, layers, kernels, strides, ln_layers, ln_eps):
+    """Pure-XLA chain with identical logical semantics to fused_conv_stack
+    (the backward-pass recompute reference)."""
+    for lp, k, s in zip(layers, kernels, strides):
+        y = jax.lax.conv_general_dilated(
+            x, lp["conv"]["kernel"].astype(x.dtype), (s,), "VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32)
+        if "bias" in lp["conv"]:
+            y = y + lp["conv"]["bias"]
+        if ln_layers and "norm" in lp:
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+            y = (y - mu) * jax.lax.rsqrt(var + ln_eps)
+            y = y * lp["norm"]["scale"] + lp["norm"]["bias"]
+        x = jax.nn.gelu(y, approximate=False).astype(x.dtype)
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def fused_conv_stack_trainable(x, layers, kernels, strides, ln_layers,
+                               ln_eps, interpret):
+    """fused_conv_stack with a total VJP: pallas_call has no autodiff rule,
+    so the backward recomputes through the XLA chain (the extractor is
+    frozen in most reference recipes — HF freeze_feature_encoder — so this
+    path is rarely hot; it exists so jax.grad never errors)."""
+    return fused_conv_stack(x, layers, kernels, strides,
+                            ln_layers=ln_layers, ln_eps=ln_eps,
+                            interpret=interpret)
+
+
+def _fcst_fwd(x, layers, kernels, strides, ln_layers, ln_eps, interpret):
+    out = fused_conv_stack(x, layers, kernels, strides, ln_layers=ln_layers,
+                           ln_eps=ln_eps, interpret=interpret)
+    return out, (x, layers)
+
+
+def _fcst_bwd(kernels, strides, ln_layers, ln_eps, interpret, res, g):
+    x, layers = res
+    _, vjp = jax.vjp(
+        lambda x_, layers_: _xla_stack(x_, layers_, kernels, strides,
+                                       ln_layers, ln_eps), x, layers)
+    return vjp(g.astype(x.dtype))
+
+
+fused_conv_stack_trainable.defvjp(_fcst_fwd, _fcst_bwd)

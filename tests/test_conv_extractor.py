@@ -128,6 +128,35 @@ def test_plan_slack_does_not_compound():
         assert w - (-(-t // 512)) <= 2, plan
 
 
+def test_stack_trainable_grads_match_xla(rng):
+    """fused_conv_stack_trainable's custom VJP (XLA-chain recompute) must
+    equal autodiff of the XLA chain — so jax.grad through
+    extractor_impl='fused' is total and correct even when the extractor is
+    NOT frozen (reference recipes usually freeze it)."""
+    from speechmix_tpu.ops.pallas.conv_extractor import (
+        fused_conv_stack_trainable, _xla_stack)
+
+    kernels, strides = (3, 2), (2, 2)
+    layers = _stack_params(rng, kernels)
+    x = jnp.asarray(rng.randn(2, 301, 64).astype(np.float32) * 0.3)
+    w = jnp.asarray(rng.randn(2, 75, 64).astype(np.float32) * 0.1)
+
+    def loss_fused(x, layers):
+        out = fused_conv_stack_trainable(x, layers, kernels, strides,
+                                         False, 1e-5, True)
+        return jnp.sum(out * w)
+
+    def loss_xla(x, layers):
+        return jnp.sum(_xla_stack(x, layers, kernels, strides,
+                                  False, 1e-5) * w)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1))(x, layers)
+    g_x = jax.grad(loss_xla, argnums=(0, 1))(x, layers)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g_f, g_x)
+
+
 def test_extract_features_fused_matches_conv(rng, tiny_cfg):
     """End-to-end extractor: extractor_impl='fused' must equal the XLA path
     (tiny-speech geometry: conv0 k=10 s=5 + 2x k=3 s=2 + group norm)."""
