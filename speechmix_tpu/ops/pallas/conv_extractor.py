@@ -45,6 +45,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 HALO = 16  # halo block rows (bf16 sublane tile); only the first row is used
 
+# process-wide defaults for the in-model path (extract_features doesn't
+# thread kernel tuning knobs); experiments/extractor_ab.py sweeps these
+_DEFAULTS = {"bt": 512, "block_b": None, "deinterleave": "reshape"}
+
+
+def set_fused_conv_defaults(**kw):
+    """Override kernel tuning defaults (bt, block_b, deinterleave) for
+    calls that don't pass them explicitly (the extract_features path)."""
+    for k, v in kw.items():
+        if k not in _DEFAULTS:
+            raise KeyError(k)
+        _DEFAULTS[k] = v
+
 
 def _kernel(xa_ref, xb_ref, wa_ref, w2_ref, b_ref, g_ref, be_ref, o_ref, *,
             k, bt, cin, ln, ln_eps, deinterleave):
@@ -191,13 +204,18 @@ def plan_stack(t_in: int, kernels, strides, bt: int = 512):
     return pad_to, list(zip(ts, ws))
 
 
-def fused_conv_stack(x, layers, kernels, strides, *, bt=512, block_b=None,
-                     ln_layers=False, ln_eps=1e-5, deinterleave="reshape",
+def fused_conv_stack(x, layers, kernels, strides, *, bt=None, block_b=None,
+                     ln_layers=False, ln_eps=1e-5, deinterleave=None,
                      interpret=False):
     """Run a chain of stride-2 conv(+LN)+GELU layers through the fused
     kernel.  x: (B, T_in, C); layers: list of param dicts with "conv"
     {kernel, bias} (+ "norm" {scale, bias} when ln_layers).  Returns
     (B, t_out_logical, C)."""
+    bt = _DEFAULTS["bt"] if bt is None else bt
+    deinterleave = (_DEFAULTS["deinterleave"] if deinterleave is None
+                    else deinterleave)
+    if block_b is None:
+        block_b = _DEFAULTS["block_b"]
     if block_b is None:  # 2 batch rows/program amortizes grid overhead and
         block_b = 2 if x.shape[0] % 2 == 0 else 1  # stays within VMEM
     pad_to, plan = plan_stack(x.shape[1], kernels, strides, bt)
