@@ -115,6 +115,47 @@ def test_ring_eligibility_gate():
     assert not ring_attention_eligible(mesh_mp, 3, False, False, False)
 
 
+def test_ring_train_step_remat_grad_accum(rng):
+    """Ring attention composes with jax.checkpoint (encoder remat) and the
+    grad-accum lax.scan: SP train step with remat + accum=2 must match the
+    single-device step (ppermute's transpose under rematerialization)."""
+    import dataclasses
+    from speechmix_tpu.config import (SpeechMixConfig,
+                                      SPEECH_ENCODER_PRESETS,
+                                      SEQ2SEQ_PRESETS)
+    from speechmix_tpu.training import trainer as trainer_lib
+    from speechmix_tpu.training.trainer import TrainConfig, TrainState
+
+    cfg = SpeechMixConfig(
+        encoder=dataclasses.replace(SPEECH_ENCODER_PRESETS["tiny-speech"],
+                                    remat=True),
+        decoder=SEQ2SEQ_PRESETS["tiny-bart-bytes"], down_scale=4)
+    labels = rng.randint(130, 200, size=(4, 6)).astype(np.int64)
+    batch = {
+        "input_values": jnp.asarray(
+            rng.randn(4, 16000).astype(np.float32) * 0.1),
+        "lengths": jnp.asarray(np.full((4,), 16000, np.int32)),
+        "labels": jnp.asarray(labels),
+    }
+    base = dict(learning_rate=1e-3, warmup_steps=0, grad_accum=2,
+                output_dir="")
+
+    tc0 = TrainConfig(**base)
+    s0 = trainer_lib.create_train_state(jax.random.PRNGKey(0), cfg, tc0)
+    f0 = trainer_lib.make_train_step(cfg, tc0, s0.params)
+    _, m0 = f0(s0, batch, jnp.float32(1.0))
+
+    mesh = mesh_lib.make_mesh(n_data=2, n_model=1, n_seq=4)
+    tc1 = TrainConfig(sequence_parallel=4, use_flash=True, **base)
+    s1 = trainer_lib.create_train_state(jax.random.PRNGKey(0), cfg, tc1)
+    s1 = TrainState(params=mesh_lib.shard_params(mesh, s1.params),
+                    opt_state=s1.opt_state, step=s1.step)
+    f1 = trainer_lib.make_train_step(cfg, tc1, s1.params, mesh=mesh)
+    _, m1 = f1(s1, mesh_lib.shard_batch(mesh, batch), jnp.float32(1.0))
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-4)
+
+
 def test_encoder_ring_matches_unsharded(rng, tiny_cfg):
     """Full speech encoder under seq_sharding: ring attention output must
     match the unsharded encoder bit-for-bit-ish (f32 highest precision)."""
