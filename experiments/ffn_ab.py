@@ -38,9 +38,11 @@ def main():
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 and x.ndim >= 2 else x, params)
 
+    from speechmix_tpu.ops import layers as L
+
     results = {}
     for barrier in (False, True, False):  # repeat baseline to bound drift
-        se.set_ffn_ln_barrier(barrier)
+        L.set_ffn_ln_barrier(barrier)
 
         @jax.jit
         def full(params, wav, lengths, _b=barrier):
@@ -59,13 +61,45 @@ def main():
         results.setdefault(barrier, []).append((t, float(v)))
         print(f"barrier={barrier}: {t*1e3:8.2f} ms  checksum={float(v):.4f}",
               flush=True)
-    se.set_ffn_ln_barrier(False)
+    L.set_ffn_ln_barrier(False)
     t_off = min(t for t, _ in results[False])
     t_on = min(t for t, _ in results[True])
     v_off, v_on = results[False][0][1], results[True][0][1]
     print(f"\nbarrier win: {t_off/t_on:0.3f}x ({(t_off-t_on)*1e3:+.1f} ms); "
           f"checksum match: {abs(v_off-v_on)/max(abs(v_off),1e-9):.2e}",
           flush=True)
+
+    # full-generate A/B (also exercises the BART text-encoder prefill —
+    # the seq2seq encoder blocks share the barrier)
+    from speechmix_tpu.config import SEQ2SEQ_PRESETS, SpeechMixConfig
+    from speechmix_tpu.models import speechmix as smx
+    from speechmix_tpu import generation as gen_lib
+
+    cfg = SpeechMixConfig(encoder=enc,
+                          decoder=SEQ2SEQ_PRESETS["bart-base"], down_scale=2)
+    fparams = smx.init_speechmix(jax.random.PRNGKey(0), cfg)
+    fparams = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 and x.ndim >= 2 else x, fparams)
+    for barrier in (False, True):
+        L.set_ffn_ln_barrier(barrier)
+
+        @jax.jit
+        def decode(params, wav, lengths, _b=barrier):
+            return gen_lib.generate(params, cfg, wav, lengths, max_length=64,
+                                    use_flash=True, dtype=jnp.bfloat16)
+
+        tok, _ = decode(fparams, wav, lengths)
+        jax.device_get(tok)
+        times = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            tok, _ = decode(fparams, wav, lengths)
+            jax.device_get(tok)
+            times.append(time.perf_counter() - t0)
+        print(f"generate barrier={barrier}: {min(times)*1e3:8.1f} ms "
+              f"(RTFx {B*16.0/min(times):7.1f})", flush=True)
+    L.set_ffn_ln_barrier(False)
 
 
 if __name__ == "__main__":

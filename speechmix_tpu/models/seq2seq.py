@@ -203,7 +203,8 @@ def _encoder_block(block, cfg, x, bias, kv_mask, use_flash, dtype,
         x = _norm(cfg, block["self_attn_layer_norm"], x + a)
         f = layers.dropout(_ffn(block, cfg, x, dtype, k_act), cfg.dropout,
                            k_h2)
-        x = _norm(cfg, block["final_layer_norm"], x + f)
+        x = _norm(cfg, block["final_layer_norm"],
+                  x + layers.ffn_ln_barrier(f))
     else:  # t5 pre-LN
         h = _norm(cfg, block["self_attn_layer_norm"], x)
         a, _ = attention(block["self_attn"], h, bias=bias, kv_mask=kv_mask,
@@ -213,8 +214,9 @@ def _encoder_block(block, cfg, x, bias, kv_mask, use_flash, dtype,
                          dropout_rng=k_attn)
         x = x + layers.dropout(a, cfg.dropout, k_h1)
         h = _norm(cfg, block["final_layer_norm"], x)
-        x = x + layers.dropout(_ffn(block, cfg, h, dtype, k_act),
-                               cfg.dropout, k_h2)
+        x = x + layers.ffn_ln_barrier(
+            layers.dropout(_ffn(block, cfg, h, dtype, k_act),
+                           cfg.dropout, k_h2))
     return x
 
 

@@ -36,15 +36,9 @@ from ..ops.attention import attention, init_attention
 from ..ops.masking import length_mask
 from ..parallel import mesh as mesh_lib
 
-# experiment toggle (experiments/ffn_ab.py): barrier between the encoder
-# FFN output and the residual+LayerNorm so XLA can't fuse the LN epilogue
-# into the fc2 gemm.  Numerics-identical; default off pending TPU A/B.
-_FFN_LN_BARRIER = False
-
-
-def set_ffn_ln_barrier(on: bool):
-    global _FFN_LN_BARRIER
-    _FFN_LN_BARRIER = bool(on)
+# experiment toggle re-export (the barrier lives in ops.layers so the
+# seq2seq blocks share it; experiments/ffn_ab.py flips it)
+set_ffn_ln_barrier = layers.set_ffn_ln_barrier
 
 
 # ----------------------------------------------------------------------------
@@ -277,13 +271,7 @@ def _encoder_layer(layer_params, x, kv_mask, cfg, use_flash, dtype,
         h = layers.dropout(h, cfg.activation_dropout, k_act)
         h = layers.dense(layer_params["ffn_out"], h, dtype)
         h = layers.dropout(h, cfg.dropout, k_h2)
-        if _FFN_LN_BARRIER:
-            # experiments/ffn_ab.py: keep the residual+LayerNorm epilogue
-            # OUT of the fc2 gemm fusion (the profiled convert_reduce
-            # fusion runs at ~112 TFLOP/s vs ~192 for the bare gemms —
-            # PERF.md round-3 encoder roofline)
-            h = jax.lax.optimization_barrier(h)
-        return h
+        return layers.ffn_ln_barrier(h)
 
     if cfg.do_stable_layer_norm:
         # pre-LN (wav2vec2-large)

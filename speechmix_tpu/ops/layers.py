@@ -205,6 +205,25 @@ def dropout(x, rate, rng):
     return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
 
 
+# experiment toggle (experiments/ffn_ab.py): barrier between a transformer
+# block's FFN output and the residual+LayerNorm so XLA can't fuse the LN
+# epilogue into the fc2 gemm (profiled at ~112 TFLOP/s vs ~192 for bare
+# gemms — PERF.md round-3 encoder roofline).  Numerics-identical; default
+# off pending TPU A/B.
+_FFN_LN_BARRIER = False
+
+
+def set_ffn_ln_barrier(on: bool):
+    global _FFN_LN_BARRIER
+    _FFN_LN_BARRIER = bool(on)
+
+
+def ffn_ln_barrier(h):
+    """Identity, or an optimization barrier when the experiment toggle is
+    on (keeps the residual+LN epilogue out of the fc2 gemm fusion)."""
+    return jax.lax.optimization_barrier(h) if _FFN_LN_BARRIER else h
+
+
 def split_or_none(rng, n):
     """jax.random.split that passes None through (no-dropout path)."""
     if rng is None:
