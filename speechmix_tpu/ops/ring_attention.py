@@ -97,26 +97,39 @@ def _combine(m_run, l_run, acc_run, m_new, l_new, acc_new):
 
 def _ring_body(q, k, v, kv_valid, *, scale, n_seq, dropout_rate, seed):
     """Per-device program (inside shard_map): local q block attends to all
-    n_seq K/V blocks as they rotate around the `seq` ring."""
-    perm = [(i, (i + 1) % n_seq) for i in range(n_seq)]
+    n_seq K/V blocks as they rotate around the `seq` ring.
 
-    acc, m, l = _block_attn(q, k, v, kv_valid, scale, dropout_rate, seed,
-                            hop=jnp.int32(0))
+    Comm/compute overlap: each hop STARTS the ppermute for block j+1
+    before computing on block j (the compute consumes the carried block,
+    not the permuted one), so there is no data dependence between the
+    collective and the block attention — XLA's latency-hiding scheduler
+    can run the ICI transfer under the (T/n)² attention math.  The last
+    hop's compute needs no further permute."""
+    perm = [(i, (i + 1) % n_seq) for i in range(n_seq)]
 
     def hop(carry, j):
         k, v, kv_valid, m, l, acc = carry
-        k = jax.lax.ppermute(k, "seq", perm)
-        v = jax.lax.ppermute(v, "seq", perm)
-        kv_valid = jax.lax.ppermute(kv_valid, "seq", perm)
+        k_nxt = jax.lax.ppermute(k, "seq", perm)
+        v_nxt = jax.lax.ppermute(v, "seq", perm)
+        valid_nxt = jax.lax.ppermute(kv_valid, "seq", perm)
         a2, m2, l2 = _block_attn(q, k, v, kv_valid, scale, dropout_rate,
                                  seed, hop=j)
         m, l, acc = _combine(m, l, acc, m2, l2, a2)
-        return (k, v, kv_valid, m, l, acc), None
+        return (k_nxt, v_nxt, valid_nxt, m, l, acc), None
 
+    b, tq, h, d = q.shape
+    m0 = jnp.full((b, h, tq), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, h, tq), jnp.float32)
+    acc0 = jnp.zeros((b, tq, h, d), jnp.float32)
     if n_seq > 1:
-        (_, _, _, m, l, acc), _ = jax.lax.scan(
-            hop, (k, v, kv_valid, m, l, acc),
-            jnp.arange(1, n_seq, dtype=jnp.int32))
+        (k, v, kv_valid, m, l, acc), _ = jax.lax.scan(
+            hop, (k, v, kv_valid, m0, l0, acc0),
+            jnp.arange(0, n_seq - 1, dtype=jnp.int32))
+    else:
+        m, l, acc = m0, l0, acc0
+    a2, m2, l2 = _block_attn(q, k, v, kv_valid, scale, dropout_rate, seed,
+                             hop=jnp.int32(n_seq - 1))
+    m, l, acc = _combine(m, l, acc, m2, l2, a2)
     denom = jnp.maximum(l, 1e-30).transpose(0, 2, 1)[..., None]
     return (acc / denom).astype(q.dtype)
 
