@@ -157,13 +157,17 @@ def test_stack_trainable_grads_match_xla(rng):
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g_f, g_x)
 
 
-def test_extract_features_fused_matches_conv(rng, tiny_cfg):
+@pytest.mark.parametrize("norm_mode", ["group", "layer"])
+def test_extract_features_fused_matches_conv(rng, tiny_cfg, norm_mode):
     """End-to-end extractor: extractor_impl='fused' must equal the XLA path
-    (tiny-speech geometry: conv0 k=10 s=5 + 2x k=3 s=2 + group norm)."""
+    for both norm families — 'group' (wav2vec2-base: group norm after
+    conv0 only) and 'layer' (wav2vec2-large: LayerNorm in every conv
+    layer, handled by the kernel's LN epilogue)."""
     import dataclasses
     from speechmix_tpu.models import speech_encoder as se
 
-    cfg = tiny_cfg.encoder
+    cfg = dataclasses.replace(tiny_cfg.encoder, feat_extract_norm=norm_mode,
+                              conv_bias=(norm_mode == "layer"))
     params = se.init_speech_encoder(jax.random.PRNGKey(0), cfg)
     wav = jnp.asarray(rng.randn(2, 8000).astype(np.float32) * 0.1)
     lengths = jnp.asarray([8000, 5000], jnp.int32)
