@@ -51,7 +51,10 @@ def main():
     from speechmix_tpu.ops.pallas import conv_extractor as fx
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    enc = SPEECH_ENCODER_PRESETS["wav2vec2-base"]
+    # argv[2]: encoder preset (wav2vec2-large exercises the LN-epilogue
+    # kernel family — feat_extract_norm == "layer")
+    enc = SPEECH_ENCODER_PRESETS[
+        sys.argv[2] if len(sys.argv) > 2 else "wav2vec2-base"]
     t_samples = enc.aligned_samples(16 * 16000)
     rng = np.random.RandomState(0)
     wav = jnp.asarray(rng.randn(B, t_samples).astype(np.float32) * 0.1)
@@ -74,11 +77,12 @@ def main():
     x0 = jax.device_put(jnp.asarray(x0))
     print(f"conv0 out: {x0.shape} {x0.dtype}", flush=True)
     ks, ss = enc.conv_kernels[1:], enc.conv_strides[1:]
+    ln = enc.feat_extract_norm == "layer"  # large family: LN epilogue live
 
     @jax.jit
     def xla_chain(x):
         return jnp.sum(fx._xla_stack(
-            x, layers[1:], ks, ss, False, enc.layer_norm_eps)
+            x, layers[1:], ks, ss, ln, enc.layer_norm_eps)
             .astype(jnp.float32))
 
     t_xla = bench(xla_chain, x0)
@@ -93,7 +97,8 @@ def main():
                     f = jax.jit(functools.partial(
                         lambda x, m, b, b2: jnp.sum(fx.fused_conv_stack(
                             x, layers[1:], ks, ss, bt=b, block_b=b2,
-                            deinterleave=m,
+                            deinterleave=m, ln_layers=ln,
+                            ln_eps=enc.layer_norm_eps,
                             interpret=interp).astype(jnp.float32)),
                         m=mode, b=bt, b2=bb))
                     # numerics guard vs XLA on the first iter
