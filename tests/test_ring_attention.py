@@ -37,6 +37,18 @@ def test_ring_forward_matches_reference(rng):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_ring_forward_uneven_time(rng):
+    """T not divisible by n_seq: ring_attention pads T to a seq multiple
+    (masked keys, sliced-off query rows) — result must still be exact."""
+    mesh = mesh_lib.make_mesh(n_data=2, n_model=1, n_seq=4)
+    q, k, v, kv_mask = _inputs(rng, T=50)
+    out = ring_attention(q, k, v, kv_mask, scale=0.3, mesh=mesh)
+    assert out.shape == q.shape
+    ref = _attn_ref_fwd(q, k, v, kv_mask, 0.3, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_ring_forward_no_mask(rng):
     mesh = mesh_lib.make_mesh(n_data=2, n_model=1, n_seq=4)
     q, k, v, _ = _inputs(rng)
