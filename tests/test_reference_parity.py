@@ -596,3 +596,50 @@ def test_ed_variant_execution_parity(checkpoints):
                                ref_out.logits.numpy(), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(float(out["loss"]), ref_out.loss.item(),
                                rtol=2e-3, atol=2e-3)
+
+
+# ----------------------------------------------------------------------------
+# Real-checkpoint turnkey path: config derived from the checkpoint's own
+# config.json (convert.config_from_hf), weights converted, forward pinned —
+# the CI-scale twin of examples/full_scale_rehearsal.py.
+# Reference layout: voidful/speechmix_eed_fixed (composite SpeechMixConfig
+# config.json, hf_model.py:37-79, beside pytorch_model.bin).
+# ----------------------------------------------------------------------------
+
+def test_from_reference_checkpoint_turnkey(checkpoints, tmp_path):
+    from speechmix_tpu.api import HFSpeechMixEED
+
+    ref_model = REF.HFSpeechMixEED(
+        checkpoints["speech"], checkpoints["bart"],
+        share_layer_ratio=0.5, down_scale=2).eval()
+    ckpt = tmp_path / "eed_fixed"
+    ckpt.mkdir()
+    torch.save(ref_model.state_dict(), str(ckpt / "pytorch_model.bin"))
+    with open(ckpt / "config.json", "w") as f:
+        json.dump(ref_model.config.to_dict(), f, default=str)
+
+    spm = HFSpeechMixEED.from_reference_checkpoint(
+        str(ckpt), share_layer_ratio=0.5, down_scale=2,
+        tokenizer_path=checkpoints["bart"])
+    # architecture derived from config.json, not hand-matched
+    assert spm.config.encoder.hidden_size == HID
+    assert spm.config.encoder.num_layers == 4
+    assert spm.config.num_speech_encoder_layers == 2  # 4 - int(4*0.5)
+    assert spm.config.decoder.vocab_size == VOCAB
+    assert spm.config.decoder.arch == "bart"
+
+    wav = np.random.RandomState(33).randn(2, 4000).astype(np.float32) * 0.1
+    labels = np.array([[5, 6, 7, 2], [8, 9, 10, 2]], np.int64)
+    ref_logits, ref_loss = _ref_forward(ref_model, wav, labels=labels)
+    out = spm([wav[0], wav[1]], labels=labels)
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref_logits,
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(float(out["loss"]), ref_loss,
+                               rtol=2e-3, atol=2e-3)
+
+    # single-model checkpoint dirs derive too (eval.py backbone path)
+    enc_cfg = convert.config_from_hf(checkpoints["speech"])
+    assert enc_cfg.conv_dims == (16, 16, 16)
+    assert enc_cfg.num_layers == 4 and enc_cfg.hidden_size == HID
+    dec_cfg = convert.config_from_hf(checkpoints["bart"])
+    assert dec_cfg.arch == "bart" and dec_cfg.vocab_size == VOCAB
