@@ -33,7 +33,9 @@ def main():
     p.add_argument("--max_length", default=250, type=int)
     p.add_argument("--min_length", default=0, type=int,
                    help="EOS is suppressed until this many tokens are "
-                        "generated (HF generate min_length semantics)")
+                        "generated.  Counts GENERATED tokens, i.e. HF "
+                        "generate's min_length - 1 (HF counts the "
+                        "decoder-start token)")
     p.add_argument("--beam", default=1, type=int)
     p.add_argument("--kv_int8", action="store_true",
                    help="int8 cross-attention KV in the decode loop "

@@ -609,14 +609,26 @@ def _seq2seq_config_from_dict(d: dict) -> Seq2SeqConfig:
                 d.get("relative_attention_max_distance", 128)),
             max_length=int(d.get("max_length") or 128),
         )
+    enc_heads = int(d.get("encoder_attention_heads", 12))
+    dec_heads = int(d.get("decoder_attention_heads", enc_heads))
+    enc_ffn = int(d.get("encoder_ffn_dim", 3072))
+    dec_ffn = int(d.get("decoder_ffn_dim", enc_ffn))
+    if dec_heads != enc_heads or dec_ffn != enc_ffn:
+        # Seq2SeqConfig carries ONE num_heads/ffn_dim for both stacks;
+        # deriving the encoder's values for an asymmetric checkpoint would
+        # silently mis-split decoder heads.  Fail loudly instead.
+        raise ValueError(
+            f"asymmetric BART checkpoint not representable: encoder "
+            f"heads/ffn {enc_heads}/{enc_ffn} vs decoder "
+            f"{dec_heads}/{dec_ffn}")
     return Seq2SeqConfig(
         name=name, arch="bart",
         vocab_size=int(d.get("vocab_size", 50265)),
         hidden_size=int(d.get("d_model", 768)),
         encoder_layers=int(d.get("encoder_layers", 6)),
         decoder_layers=int(d.get("decoder_layers", 6)),
-        num_heads=int(d.get("encoder_attention_heads", 12)),
-        ffn_dim=int(d.get("encoder_ffn_dim", 3072)),
+        num_heads=enc_heads,
+        ffn_dim=enc_ffn,
         activation=d.get("activation_function", "gelu"),
         max_positions=int(d.get("max_position_embeddings", 1024)),
         dropout=float(d.get("dropout", 0.1)),

@@ -172,7 +172,7 @@ def ring_attention(q, k, v, kv_mask, *, scale, mesh: Mesh,
         q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
         kv_mask = jnp.pad(kv_mask, [(0, 0), (0, t_pad - t)])
     seed = (jnp.int32(0) if dropout_seed is None
-            else dropout_seed.astype(jnp.int32))
+            else jnp.asarray(dropout_seed).astype(jnp.int32))
 
     qkv_spec = P("data", "seq", "model" if n_model > 1 else None, None)
     body = functools.partial(_ring_body, scale=scale, n_seq=n_seq,

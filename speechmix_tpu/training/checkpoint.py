@@ -47,6 +47,15 @@ def save_pytree_npz(path: str, tree):
     np.savez(path, __paths__=np.array(paths, dtype=object), **arrays)
 
 
+# Parameters added after checkpoints were already in the wild: absent from
+# an older archive, the live initialized value is kept (with a warning)
+# instead of failing the whole load.  Any OTHER missing leaf still raises —
+# strictness catches truncated/mismatched checkpoints.
+_OPTIONAL_LEAF_SUBSTRINGS = (
+    "masked_spec_embed",  # SpecAugment embedding, added round 3
+)
+
+
 def load_pytree_npz(path: str, like):
     data = np.load(path, allow_pickle=True)
     paths, leaves, treedef = _paths_and_leaves(like)
@@ -55,6 +64,13 @@ def load_pytree_npz(path: str, like):
     out = []
     for p, leaf in zip(paths, leaves):
         if p not in index:
+            if any(s in p for s in _OPTIONAL_LEAF_SUBSTRINGS):
+                import warnings
+                warnings.warn(
+                    f"checkpoint {path} predates parameter {p}; keeping "
+                    f"the initialized value")
+                out.append(jnp.asarray(leaf))
+                continue
             raise KeyError(f"checkpoint missing parameter {p}")
         arr = data[f"arr_{index[p]}"]
         out.append(jnp.asarray(arr, dtype=getattr(leaf, "dtype", None)))

@@ -1,5 +1,6 @@
 """Transcription pipeline tests: bucketing, order preservation, resampling."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -179,13 +180,20 @@ def test_pipeline_min_length(model):
 
 
 def test_fused_qkv_pipeline_token_exact(model):
-    """fuse_qkv=True (default serving layout: pre-concatenated q/k/v
+    """fuse_qkv=True (opt-in serving layout: pre-concatenated q/k/v
     kernels) decodes identically to the unfused tree."""
     rng = np.random.RandomState(12)
     waveforms = [rng.randn(n).astype(np.float32) * 0.1
                  for n in [7000, 15000, 11000]]
     fused = TranscriptionPipeline(model, batch_size=2, max_length=6,
-                                  buckets_sec=(0.5, 1.0))
+                                  buckets_sec=(0.5, 1.0), fuse_qkv=True)
+    assert fused.fuse_qkv  # guard: the opt-in actually engaged
     unfused = TranscriptionPipeline(model, batch_size=2, max_length=6,
                                     buckets_sec=(0.5, 1.0), fuse_qkv=False)
-    assert fused(waveforms) == unfused(waveforms)
+    texts = fused(waveforms)
+    # guard: the fused tree really carries pre-concatenated projections
+    leaves = jax.tree_util.tree_flatten_with_path(fused._run_params())[0]
+    assert any("qkv_proj" in "/".join(str(getattr(k, "key", k))
+                                      for k in path)
+               for path, _ in leaves)
+    assert texts == unfused(waveforms)

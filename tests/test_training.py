@@ -304,3 +304,55 @@ def test_final_step_eval_runs_before_max_steps_exit(tmp_path):
                 eval_steps.append(rec["step"])
     assert eval_steps == [2, 4]              # final step 4 evaluated
     assert tr.ckpt.latest_step() == 4        # and checkpointed
+
+
+def test_checkpoint_backward_compat_masked_spec_embed(tmp_path):
+    """Archives saved before masked_spec_embed existed (round-1/2 weights)
+    still load: the new optional leaf keeps its initialized value with a
+    warning; any OTHER missing parameter still raises."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from speechmix_tpu.training.checkpoint import (load_pytree_npz,
+                                                   save_pytree_npz)
+
+    old_tree = {"enc": {"w": jnp.ones((2, 2))}, "b": jnp.zeros((3,))}
+    path = str(tmp_path / "old.npz")
+    save_pytree_npz(path, old_tree)
+
+    new_tree = {"enc": {"w": jnp.zeros((2, 2)),
+                        "masked_spec_embed": jnp.full((4,), 7.0)},
+                "b": jnp.ones((3,))}
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        loaded = load_pytree_npz(path, new_tree)
+    assert any("masked_spec_embed" in str(w.message) for w in rec)
+    np.testing.assert_array_equal(loaded["enc"]["w"], np.ones((2, 2)))
+    np.testing.assert_array_equal(loaded["b"], np.zeros((3,)))
+    # the missing optional leaf keeps the live initialized value
+    np.testing.assert_array_equal(loaded["enc"]["masked_spec_embed"],
+                                  np.full((4,), 7.0))
+
+    # strictness retained for every non-optional leaf
+    with pytest.raises(KeyError):
+        load_pytree_npz(path, {**new_tree, "extra": jnp.zeros((1,))})
+
+
+def test_config_from_hf_rejects_asymmetric_bart():
+    """A BART checkpoint with decoder heads/ffn differing from the encoder
+    is unrepresentable (one num_heads/ffn_dim) — must raise, not silently
+    mis-derive."""
+    from speechmix_tpu import convert
+
+    sym = {"model_type": "bart", "d_model": 32, "encoder_layers": 2,
+           "decoder_layers": 2, "encoder_attention_heads": 2,
+           "decoder_attention_heads": 2, "encoder_ffn_dim": 64,
+           "decoder_ffn_dim": 64, "vocab_size": 100}
+    cfg = convert.config_from_hf(sym)
+    assert cfg.num_heads == 2 and cfg.ffn_dim == 64
+
+    with pytest.raises(ValueError, match="asymmetric"):
+        convert.config_from_hf({**sym, "decoder_attention_heads": 4})
+    with pytest.raises(ValueError, match="asymmetric"):
+        convert.config_from_hf({**sym, "decoder_ffn_dim": 128})

@@ -115,9 +115,9 @@ def parse_args(args):
                              "step (custom-VJP backward recomputes scores "
                              "in VMEM — fits 2x the batch; in-kernel PRNG "
                              "dropout so it composes with --dropout).  "
-                             "Default: ON (auto-off under "
-                             "--sequence_parallel; --no-flash_attention to "
-                             "force the XLA path)")
+                             "Default: ON; composes with "
+                             "--sequence_parallel via ring attention "
+                             "(--no-flash_attention forces the XLA path)")
     parser.add_argument("--stall_timeout", default=0.0, type=float,
                         help="failure detection: exit 98 if no train-loop "
                              "heartbeat for this many seconds (restart "
