@@ -82,6 +82,41 @@ def _orbax():
     return ocp
 
 
+def _is_optional_path(parts) -> bool:
+    p = "/".join(parts)
+    return any(s in p for s in _OPTIONAL_LEAF_SUBSTRINGS)
+
+
+def _drop_optional_leaves(tree, _parts=()):
+    """Copy of a nested-dict pytree without the optional leaves (for
+    restoring archives that predate them)."""
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            parts = _parts + (str(k),)
+            if not isinstance(v, dict) and _is_optional_path(parts):
+                import warnings
+                warnings.warn(f"checkpoint predates parameter "
+                              f"{'/'.join(parts)}; keeping the initialized "
+                              f"value")
+                continue
+            out[k] = _drop_optional_leaves(v, parts)
+        return out
+    return tree
+
+
+def _merge_optional_leaves(state, like, _parts=()):
+    """Fill leaves missing from `state` (dropped optional ones) with the
+    initialized values from `like`."""
+    if isinstance(like, dict):
+        return {k: (_merge_optional_leaves(state.get(k), v,
+                                           _parts + (str(k),))
+                    if isinstance(state, dict) and k in state
+                    else v)
+                for k, v in like.items()}
+    return state if state is not None else like
+
+
 class CheckpointManager:
     """Step-indexed checkpoints with save_total_limit pruning (the best-
     eval_loss step is never pruned) and latest/best tracking.
@@ -181,8 +216,19 @@ class CheckpointManager:
         else:
             ocp = _orbax()
             with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
-                state = ckptr.restore(os.path.abspath(path),
-                                      args=ocp.args.StandardRestore(like))
+                try:
+                    state = ckptr.restore(os.path.abspath(path),
+                                          args=ocp.args.StandardRestore(like))
+                except Exception:
+                    # archives saved before an optional parameter existed
+                    # (same back-compat contract as load_pytree_npz):
+                    # retry without the optional leaves, keep their
+                    # initialized values
+                    pruned = _drop_optional_leaves(like)
+                    state = ckptr.restore(
+                        os.path.abspath(path),
+                        args=ocp.args.StandardRestore(pruned))
+                    state = _merge_optional_leaves(state, like)
         meta = {}
         if os.path.exists(path + ".meta.json"):
             with open(path + ".meta.json") as f:

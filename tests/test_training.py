@@ -356,3 +356,32 @@ def test_config_from_hf_rejects_asymmetric_bart():
         convert.config_from_hf({**sym, "decoder_attention_heads": 4})
     with pytest.raises(ValueError, match="asymmetric"):
         convert.config_from_hf({**sym, "decoder_ffn_dim": 128})
+
+
+def test_checkpoint_orbax_backward_compat_masked_spec_embed(tmp_path):
+    """Orbax archives saved before masked_spec_embed existed restore with
+    the initialized value kept (same contract as the npz backend)."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from speechmix_tpu.training.checkpoint import CheckpointManager
+
+    old_state = {"params": {"enc": {"w": np.ones((2, 2), np.float32)}},
+                 "step": np.int32(5)}
+    mgr = CheckpointManager(str(tmp_path), backend="orbax")
+    mgr.save(5, old_state, metrics={"eval_loss": 1.0})
+
+    new_like = {"params": {"enc": {"w": jnp.zeros((2, 2)),
+                                   "masked_spec_embed": jnp.full((4,), 3.0)}},
+                "step": jnp.int32(0)}
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        state, meta = mgr.restore(new_like)
+    assert any("masked_spec_embed" in str(w.message) for w in rec)
+    np.testing.assert_array_equal(state["params"]["enc"]["w"],
+                                  np.ones((2, 2)))
+    np.testing.assert_array_equal(
+        state["params"]["enc"]["masked_spec_embed"], np.full((4,), 3.0))
+    assert int(state["step"]) == 5
+    assert meta["metrics"]["eval_loss"] == 1.0
