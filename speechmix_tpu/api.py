@@ -37,6 +37,7 @@ from .config import (Seq2SeqConfig, SpeechEncoderConfig, SpeechMixConfig,
 from .data.tokenizer import load_tokenizer
 from .models import speechmix as smx
 from .training import freezing
+from .utils.platform import jnp_dtype, resolve_use_flash
 
 _DEFAULT_FIXED_EXCEPT = ("layer_norm", "encoder_attn", "enc_to_dec_proj",
                          "length_adapter", "layernorm_embedding", "attention",
@@ -129,15 +130,13 @@ class _SpeechMixBase:
     # -- forward ------------------------------------------------------------
     @property
     def _dtype(self):
-        return (jnp.bfloat16 if self.config.dtype == "bfloat16"
-                else jnp.float32)
+        return jnp_dtype(self.config.dtype)
 
     def forward(self, input_values, labels=None, decoder_input_ids=None,
                 text_input_ids=None, input_text_prompt=None,
                 decoder_text_prompt=None, return_model_detail=False,
                 use_flash=None):
-        if use_flash is None:  # auto: single-pass kernel wins on TPU, PERF.md
-            use_flash = jax.default_backend() == "tpu"
+        use_flash = resolve_use_flash(use_flash)
         batch, lengths = _prepare_audio(input_values,
                                         encoder_cfg=self.config.encoder)
         prompt = input_text_prompt or decoder_text_prompt
@@ -182,9 +181,9 @@ class _SpeechMixBase:
     # -- generation ---------------------------------------------------------
     def generate(self, input_values, decoder_text_prompt=None,
                  max_length=None, num_beams=1, length_penalty=1.0,
-                 use_flash=None, kv_int8=False, do_sample=False,
-                 temperature=1.0, top_k=0, top_p=1.0, seed=0,
-                 min_length=0, repetition_penalty=1.0,
+                 early_stopping=False, use_flash=None, kv_int8=False,
+                 do_sample=False, temperature=1.0, top_k=0, top_p=1.0,
+                 seed=0, min_length=0, repetition_penalty=1.0,
                  no_repeat_ngram_size=0, forced_bos_token_id=None,
                  forced_eos_token_id=None):
         """use_flash=None auto-enables the single-pass Pallas attention
@@ -193,8 +192,7 @@ class _SpeechMixBase:
         cross-attention K/V to int8 (per-token/head scales) — halves the
         dominant decode-loop HBM read; accuracy pinned by
         tests/test_generation.py::test_kv_int8_decode_matches."""
-        if use_flash is None:
-            use_flash = jax.default_backend() == "tpu"
+        use_flash = resolve_use_flash(use_flash)
 
         batch, lengths = _prepare_audio(input_values,
                                         encoder_cfg=self.config.encoder)
@@ -207,7 +205,8 @@ class _SpeechMixBase:
         # drawing many sampled transcripts compiles once
         key = ("gen", batch.shape,
                None if prompt_ids is None else prompt_ids.shape,
-               max_length, num_beams, length_penalty, use_flash, kv_int8,
+               max_length, num_beams, length_penalty, early_stopping,
+               use_flash, kv_int8,
                do_sample, temperature, top_k, top_p, min_length,
                repetition_penalty, no_repeat_ngram_size,
                forced_bos_token_id, forced_eos_token_id)
@@ -218,6 +217,7 @@ class _SpeechMixBase:
                     params, self.config, batch, lengths,
                     prompt_ids=prompt_ids, max_length=max_length,
                     num_beams=num_beams, length_penalty=length_penalty,
+                    early_stopping=early_stopping,
                     use_flash=use_flash, dtype=self._dtype,
                     kv_int8=kv_int8, do_sample=do_sample,
                     temperature=temperature, top_k=top_k, top_p=top_p,
@@ -242,28 +242,44 @@ class _SpeechMixBase:
         self.params = load_pytree_npz(path, self.params)
 
     def save_pretrained(self, directory: str):
-        """Write config.json + weights.npz (the PreTrainedModel
-        save_pretrained analogue for round-tripping full models)."""
+        """Write config.json + weights.npz (+ model_kwargs.json when the
+        variant was constructed with extra kwargs, e.g. fixed_speech /
+        fixed_nlp — they shape the trainable mask and must round-trip)."""
+        import json
         import os
         os.makedirs(directory, exist_ok=True)
         with open(os.path.join(directory, "config.json"), "w") as f:
             f.write(self.config.to_json())
+        if self._variant_kwargs:
+            with open(os.path.join(directory, "model_kwargs.json"),
+                      "w") as f:
+                json.dump(self._variant_kwargs, f)
         self.save_weights(os.path.join(directory, "weights.npz"))
 
     @classmethod
     def from_pretrained(cls, directory: str):
-        """Rebuild a model saved with save_pretrained."""
+        """Rebuild a model saved with save_pretrained (incl. the variant
+        kwargs, so e.g. a SpeechMixFixed(fixed_speech=True, fixed_nlp=False)
+        round-trips with the SAME trainable mask, not the defaults)."""
+        import json
         import os
         from .config import SpeechMixConfig
         with open(os.path.join(directory, "config.json")) as f:
             cfg = SpeechMixConfig.from_json(f.read())
+        kwargs = {}
+        kw_path = os.path.join(directory, "model_kwargs.json")
+        if os.path.exists(kw_path):
+            with open(kw_path) as f:
+                kwargs = json.load(f)
         self = cls.__new__(cls)
         self.config = cfg
         self.tokenizer = load_tokenizer(cfg.decoder.name,
                                         decoder_config=cfg.decoder)
         self.params = smx.init_speechmix(jax.random.PRNGKey(0), cfg)
-        self._variant_kwargs = {}
-        self._refresh_grad_lists()
+        self._variant_kwargs = kwargs
+        self._refresh_grad_lists(**{
+            k: v for k, v in kwargs.items()
+            if k in ("fixed_speech", "fixed_nlp")})
         self._jit_forward_cache = {}
         self._jit_generate_cache = {}
         self.load_weights(os.path.join(directory, "weights.npz"))

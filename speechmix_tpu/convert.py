@@ -571,6 +571,14 @@ def _encoder_config_from_dict(d: dict) -> SpeechEncoderConfig:
     )
 
 
+def _id_or(d: dict, key: str, default):
+    """Null-safe token-id read: HF serializes unset ids as explicit JSON
+    null (d[key] is None even though the key exists), and 0 is a VALID id,
+    so neither dict.get's default nor `or` alone is safe."""
+    v = d.get(key)
+    return int(default if v is None else v)
+
+
 def _seq2seq_config_from_dict(d: dict) -> Seq2SeqConfig:
     """HF BartConfig / T5Config dict -> Seq2SeqConfig."""
     mt = d.get("model_type", "bart")
@@ -598,11 +606,11 @@ def _seq2seq_config_from_dict(d: dict) -> Seq2SeqConfig:
             activation_dropout=float(d.get("dropout_rate", 0.1)),
             scale_embedding=False,
             tie_word_embeddings=bool(d.get("tie_word_embeddings", True)),
-            pad_token_id=int(d.get("pad_token_id", 0)),
-            bos_token_id=int(d.get("bos_token_id") or 0),
-            eos_token_id=int(d.get("eos_token_id", 1)),
-            decoder_start_token_id=int(d.get("decoder_start_token_id",
-                                             d.get("pad_token_id", 0))),
+            pad_token_id=_id_or(d, "pad_token_id", 0),
+            bos_token_id=_id_or(d, "bos_token_id", 0),
+            eos_token_id=_id_or(d, "eos_token_id", 1),
+            decoder_start_token_id=_id_or(
+                d, "decoder_start_token_id", _id_or(d, "pad_token_id", 0)),
             relative_attention_num_buckets=int(
                 d.get("relative_attention_num_buckets", 32)),
             relative_attention_max_distance=int(
@@ -636,10 +644,10 @@ def _seq2seq_config_from_dict(d: dict) -> Seq2SeqConfig:
         activation_dropout=float(d.get("activation_dropout", 0.1)),
         scale_embedding=bool(d.get("scale_embedding", False)),
         tie_word_embeddings=bool(d.get("tie_word_embeddings", True)),
-        pad_token_id=int(d.get("pad_token_id", 1)),
-        bos_token_id=int(d.get("bos_token_id", 0)),
-        eos_token_id=int(d.get("eos_token_id", 2)),
-        decoder_start_token_id=int(d.get("decoder_start_token_id", 2)),
+        pad_token_id=_id_or(d, "pad_token_id", 1),
+        bos_token_id=_id_or(d, "bos_token_id", 0),
+        eos_token_id=_id_or(d, "eos_token_id", 2),
+        decoder_start_token_id=_id_or(d, "decoder_start_token_id", 2),
         max_length=int(d.get("max_length") or 128),
     )
 
@@ -680,20 +688,24 @@ def config_from_hf(path_or_dict):
         with open(p) as f:
             d = json.load(f)
 
+    def _gen_max_length(cfg):
+        # modern transformers moves generation defaults out of config.json
+        # into a sibling generation_config.json — honor it on every branch
+        if gen_cfg and gen_cfg.get("max_length"):
+            import dataclasses as _dc
+            return _dc.replace(cfg, max_length=int(gen_cfg["max_length"]))
+        return cfg
+
     mt = d.get("model_type", "")
     if mt == "speechmix" or ("encoder" in d and "decoder" in d and
                              isinstance(d.get("encoder"), dict)):
         enc = _encoder_config_from_dict(d["encoder"])
-        dec = _seq2seq_config_from_dict(d["decoder"])
+        dec = _gen_max_length(_seq2seq_config_from_dict(d["decoder"]))
         return enc, dec
     if mt in _SPEECH_MODEL_TYPES or "conv_dim" in d:
         return _encoder_config_from_dict(d)
     if mt in _SEQ2SEQ_MODEL_TYPES or "d_model" in d:
-        cfg = _seq2seq_config_from_dict(d)
-        if gen_cfg and gen_cfg.get("max_length"):
-            import dataclasses as _dc
-            cfg = _dc.replace(cfg, max_length=int(gen_cfg["max_length"]))
-        return cfg
+        return _gen_max_length(_seq2seq_config_from_dict(d))
     raise ValueError(f"unrecognized HF config (model_type={mt!r})")
 
 

@@ -117,13 +117,17 @@ def sample_filter_logits(logits, top_k=0, top_p=1.0):
     in degenerate distributions."""
     neg = jnp.float32(-jnp.inf)
     if top_k and top_k > 0:
-        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        # HF TopKLogitsWarper clamps: top_k = min(top_k, vocab)
+        k = min(int(top_k), logits.shape[-1])
+        kth = jnp.sort(logits, axis=-1)[:, -k][:, None]
         logits = jnp.where(logits < kth, neg, logits)
     if top_p < 1.0:
         sorted_desc = jnp.sort(logits, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(sorted_desc, axis=-1)
         cum_excl = jnp.cumsum(probs, axis=-1) - probs
-        keep = cum_excl < top_p          # always keeps the first token
+        keep = cum_excl < top_p
+        # HF min_tokens_to_keep=1: the best token survives even top_p=0.0
+        keep = keep.at[:, 0].set(True)
         kth = jnp.min(jnp.where(keep, sorted_desc, jnp.inf), axis=-1,
                       keepdims=True)
         logits = jnp.where(logits < kth, neg, logits)

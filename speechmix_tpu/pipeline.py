@@ -24,6 +24,7 @@ import numpy as np
 from . import generation as gen_lib
 from .data import audio as audio_lib
 from .parallel import mesh as mesh_lib
+from .utils.platform import jnp_dtype, resolve_use_flash
 
 
 class TranscriptionPipeline:
@@ -77,13 +78,18 @@ class TranscriptionPipeline:
         self.max_length = max_length or model.config.decoder.max_length
         self.num_beams = num_beams
         self.min_length = min_length
-        if use_flash is None:
-            use_flash = jax.default_backend() == "tpu"
+        use_flash = resolve_use_flash(use_flash)
         self.use_flash = use_flash
         self.early_stop = early_stop
         self.kv_int8 = kv_int8
         self.transfer_dtype = transfer_dtype
-        self.buckets_sec = buckets_sec
+        # bucket assignment picks the first bucket that fits and long-audio
+        # chunking caps at the LAST bucket — both assume ascending order, so
+        # normalize (sort + dedupe) rather than silently mis-bucketing
+        if not buckets_sec or any(b <= 0 for b in buckets_sec):
+            raise ValueError(f"buckets_sec must be positive and non-empty, "
+                             f"got {buckets_sec!r}")
+        self.buckets_sec = tuple(sorted(set(float(b) for b in buckets_sec)))
         self.sample_rate = sample_rate
         self.mesh = mesh
         # smallest sample count that yields >= 1 conv frame: shorter (or
@@ -135,8 +141,7 @@ class TranscriptionPipeline:
                     params, cfg, batch, lengths, max_length=max_length,
                     num_beams=num_beams, use_flash=use_flash,
                     early_stop=early_stop, kv_int8=kv_int8,
-                    min_length=min_length, dtype=jnp.bfloat16
-                    if cfg.dtype == "bfloat16" else jnp.float32)
+                    min_length=min_length, dtype=jnp_dtype(cfg.dtype))
 
             fn = jax.jit(raw)
             self._fns[t_samples] = fn
@@ -186,8 +191,11 @@ class TranscriptionPipeline:
             batch, lengths = self._place_batch(
                 np.zeros((self.batch_size, cap), host_dtype),
                 np.full((self.batch_size,), cap, np.int32))
+            # scale must match the runtime call's (B,) float32 signature
+            # (line below `drain`), or this compile is wasted and the first
+            # real request per bucket re-traces anyway
             fn.lower(self._run_params(), batch, lengths,
-                     jnp.float32(1.0)).compile()
+                     jnp.ones((self.batch_size,), jnp.float32)).compile()
         return self
 
     def split_long(self, wav: np.ndarray) -> List[np.ndarray]:

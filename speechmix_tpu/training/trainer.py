@@ -37,6 +37,7 @@ import optax
 from ..config import SpeechMixConfig
 from ..models import speechmix as smx
 from ..parallel import mesh as mesh_lib
+from ..utils.platform import resolve_use_flash
 from . import freezing
 from .checkpoint import CheckpointManager
 
@@ -464,7 +465,7 @@ class Trainer:
                         # inference-only: the single-pass flash kernel wins
                         # on TPU (PERF.md); training keeps XLA attention
                         # (no custom VJP needed)
-                        use_flash=jax.default_backend() == "tpu",
+                        use_flash=resolve_use_flash(None),
                         kv_int8=kv_int8,
                         dtype=jnp.bfloat16 if self.tc.bf16 else jnp.float32)
                 fn = jax.jit(raw)

@@ -122,3 +122,37 @@ def test_generate_min_length_reachable_from_api():
     toks = np.asarray(spm.generate([wav], max_length=10, min_length=8))
     eos = spm.config.decoder.eos_token_id
     assert (toks[0, :7] != eos).all()
+
+
+def test_generate_early_stopping_kwarg():
+    """early_stopping reaches beam search through the api surface (the HF
+    generate(num_beams=..., early_stopping=True) idiom)."""
+    spm = make("SpeechMixEED", down_scale=8)
+    rng = np.random.RandomState(17)
+    wav = (rng.randn(8000) * 0.1).astype(np.float32)
+    a = np.asarray(spm.generate([wav], max_length=8, num_beams=2,
+                                early_stopping=True))
+    b = np.asarray(spm.generate([wav], max_length=8, num_beams=2,
+                                early_stopping="never"))
+    assert a.shape == b.shape  # both modes compile and run
+
+
+def test_from_pretrained_roundtrips_freezing_kwargs(tmp_path):
+    """SpeechMixFixed(fixed_speech=True, fixed_nlp=False) must round-trip
+    through save_pretrained/from_pretrained with the SAME trainable mask
+    (the kwargs were silently reset to defaults before)."""
+    spm = make("SpeechMixFixed", fixed_speech=True, fixed_nlp=False)
+    d = str(tmp_path / "fixed")
+    spm.save_pretrained(d)
+    spm2 = speechmix_tpu.SpeechMixFixed.from_pretrained(d)
+    assert spm2._variant_kwargs == spm._variant_kwargs
+    assert sorted(spm2.list_grad) == sorted(spm.list_grad)
+    assert sorted(spm2.list_no_grad) == sorted(spm.list_no_grad)
+    # and a default-kwargs model still round-trips without the sidecar
+    base = make("SpeechMixEED", down_scale=8)
+    d2 = str(tmp_path / "eed")
+    base.save_pretrained(d2)
+    import os
+    assert not os.path.exists(os.path.join(d2, "model_kwargs.json"))
+    base2 = speechmix_tpu.SpeechMixEED.from_pretrained(d2)
+    assert sorted(base2.list_grad) == sorted(base.list_grad)

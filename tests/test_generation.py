@@ -202,3 +202,19 @@ def test_min_length_beam_and_beam_sample(params):
                             do_sample=True, temperature=3.0,
                             rng=jax.random.PRNGKey(6))
     assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_sample_filter_clamps_degenerate_knobs():
+    """HF warper edge semantics: top_k > vocab clamps to vocab
+    (TopKLogitsWarper); top_p=0.0 still keeps the best token
+    (min_tokens_to_keep=1) instead of producing an all--inf row."""
+    logits = jnp.asarray(np.random.RandomState(0).randn(3, 7), jnp.float32)
+    out = gen_lib.sample_filter_logits(logits, top_k=100000)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(logits))
+
+    out = gen_lib.sample_filter_logits(logits, top_p=0.0)
+    out = np.asarray(out)
+    best = np.asarray(logits).argmax(-1)
+    for row in range(3):
+        kept = np.isfinite(out[row])
+        assert kept.sum() == 1 and kept[best[row]]

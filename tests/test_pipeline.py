@@ -197,3 +197,37 @@ def test_fused_qkv_pipeline_token_exact(model):
                                       for k in path)
                for path, _ in leaves)
     assert texts == unfused(waveforms)
+
+
+def test_warmup_int16_and_no_retrace(model):
+    """warmup() must compile the SAME signature the runtime uses — scale is
+    a (B,) float32 vector (a scalar crashed int16 warmup on scale[:, None]
+    and silently precompiled a never-hit signature for float32)."""
+    for dt in ("float32", "int16"):
+        pipe = TranscriptionPipeline(model, batch_size=2, max_length=6,
+                                     buckets_sec=(0.5,), transfer_dtype=dt)
+        pipe.warmup()   # int16 crashed here before the fix
+        rng = np.random.RandomState(11)
+        out = pipe([(rng.randn(7000) * 0.1).astype(np.float32)])
+        assert len(out) == 1
+        fn = next(iter(pipe._fns.values()))
+        if hasattr(fn, "_cache_size"):
+            # the real call hit the warmed entry, no second trace
+            assert fn._cache_size() == 1, dt
+
+
+def test_buckets_sec_normalized(model):
+    """Unsorted/duplicated buckets_sec is normalized (bucket assignment and
+    the long-audio cap assume ascending order); invalid values raise."""
+    pipe = TranscriptionPipeline(model, batch_size=1, max_length=4,
+                                 buckets_sec=(2.0, 0.5, 2.0, 1.0))
+    assert pipe.buckets_sec == (0.5, 1.0, 2.0)
+    rng = np.random.RandomState(13)
+    wav = (rng.randn(12000) * 0.1).astype(np.float32)   # 0.75 s -> 1 s bucket
+    ref = TranscriptionPipeline(model, batch_size=1, max_length=4,
+                                buckets_sec=(0.5, 1.0, 2.0))
+    assert pipe([wav]) == ref([wav])
+    with pytest.raises(ValueError):
+        TranscriptionPipeline(model, buckets_sec=())
+    with pytest.raises(ValueError):
+        TranscriptionPipeline(model, buckets_sec=(1.0, -2.0))

@@ -385,3 +385,46 @@ def test_checkpoint_orbax_backward_compat_masked_spec_embed(tmp_path):
         state["params"]["enc"]["masked_spec_embed"], np.full((4,), 3.0))
     assert int(state["step"]) == 5
     assert meta["metrics"]["eval_loss"] == 1.0
+
+
+def test_config_from_hf_null_token_ids_and_gen_config(tmp_path):
+    """HF serializes unset ids as explicit JSON null (int(None) crashed the
+    turnkey load), and modern transformers moves max_length into
+    generation_config.json — honored on BOTH the plain and the composite
+    (speechmix) branches."""
+    import json
+
+    from speechmix_tpu import convert
+
+    bart = {"model_type": "bart", "d_model": 32, "encoder_layers": 2,
+            "decoder_layers": 2, "encoder_attention_heads": 2,
+            "decoder_attention_heads": 2, "encoder_ffn_dim": 64,
+            "decoder_ffn_dim": 64, "vocab_size": 100,
+            "decoder_start_token_id": None, "bos_token_id": None,
+            "eos_token_id": None, "pad_token_id": None}
+    cfg = convert.config_from_hf(bart)
+    assert cfg.pad_token_id == 1 and cfg.decoder_start_token_id == 2
+
+    t5 = {"model_type": "t5", "d_model": 32, "num_layers": 2,
+          "num_heads": 2, "d_kv": 16, "d_ff": 64, "vocab_size": 100,
+          "decoder_start_token_id": None, "eos_token_id": None,
+          "pad_token_id": None, "bos_token_id": 0}
+    cfg = convert.config_from_hf(t5)
+    assert cfg.pad_token_id == 0 and cfg.eos_token_id == 1
+    assert cfg.decoder_start_token_id == 0  # falls back to pad
+
+    # composite checkpoint dir + generation_config.json max_length override
+    d = tmp_path / "fused"
+    d.mkdir()
+    w2v = {"model_type": "wav2vec2", "conv_dim": [16, 16],
+           "conv_kernel": [10, 3], "conv_stride": [5, 2],
+           "hidden_size": 32, "num_hidden_layers": 2,
+           "num_attention_heads": 2, "intermediate_size": 64}
+    (d / "config.json").write_text(json.dumps(
+        {"model_type": "speechmix", "encoder": w2v,
+         "decoder": {**bart, "max_length": 128}}))
+    (d / "generation_config.json").write_text(json.dumps(
+        {"max_length": 200}))
+    enc, dec = convert.config_from_hf(str(d))
+    assert enc.hidden_size == 32
+    assert dec.max_length == 200  # generation_config wins on the composite
