@@ -444,6 +444,7 @@ def encode(params, cfg: Seq2SeqConfig, input_ids=None, inputs_embeds=None,
         x = layers.layer_norm(enc["layernorm_embedding"], x,
                               cfg.layer_norm_eps)
     x = layers.dropout(x, cfg.dropout, k_emb)
+    embed_state = x  # HF hidden_states[0] (post pos+LN+dropout)
     bias = None
     if cfg.arch == "t5":
         bias = t5_position_bias(enc["rel_bias"], t, t, True, cfg,
@@ -479,8 +480,13 @@ def encode(params, cfg: Seq2SeqConfig, input_ids=None, inputs_embeds=None,
 
     out = {"last_hidden_state": x, "mask": attention_mask}
     if output_hidden_states:
-        out["hidden_states"] = jnp.concatenate(
-            [inputs_embeds[None], per_layer], axis=0)
+        # HF hidden_states conventions (BartEncoder / T5Stack): entry 0 is
+        # the POST pos+LN+dropout embedding state, and for T5 the last
+        # entry is the POST final_layer_norm+dropout state
+        stacked = jnp.concatenate([embed_state[None], per_layer], axis=0)
+        if cfg.arch == "t5":
+            stacked = stacked.at[-1].set(x.astype(stacked.dtype))
+        out["hidden_states"] = stacked
     return out
 
 
@@ -715,8 +721,13 @@ def decode(params, cfg: Seq2SeqConfig, decoder_input_ids, enc_hidden=None,
 
     out = {"logits": logits, "cache": new_cache}
     if output_hidden_states:
-        out["hidden_states"] = jnp.concatenate([inputs_embeds[None],
-                                                per_layer], axis=0)
+        # HF T5Stack's last hidden_states entry is POST
+        # final_layer_norm+dropout (the BART path has no final norm, so
+        # the last scan output already matches)
+        stacked = jnp.concatenate([inputs_embeds[None], per_layer], axis=0)
+        if cfg.arch == "t5":
+            stacked = stacked.at[-1].set(x.astype(stacked.dtype))
+        out["hidden_states"] = stacked
     return out
 
 

@@ -410,6 +410,13 @@ def speech_encoder_apply(params, cfg: SpeechEncoderConfig, waveform,
         "frame_mask": frame_mask,
     }
     if output_hidden_states:
-        out["hidden_states"] = jnp.concatenate(
+        stacked = jnp.concatenate(
             [embed_output[None], per_layer], axis=0)  # (L+1, B, T, H)
+        if cfg.do_stable_layer_norm:
+            # HF Wav2Vec2EncoderStableLayerNorm appends the POST-final-LN
+            # state as the last hidden_states entry (modeling_wav2vec2,
+            # `hidden_states = self.layer_norm(...)` before the append) —
+            # the weighted-sum path must see the same convention
+            stacked = stacked.at[-1].set(h.astype(stacked.dtype))
+        out["hidden_states"] = stacked
     return out

@@ -146,6 +146,14 @@ def encode_speech(params, cfg: SpeechMixConfig, input_values, lengths=None,
 # variant losses
 # ----------------------------------------------------------------------------
 
+def gan_decoder_mask(decoder_input_ids, pad_token_id):
+    """Valid-position mask for the GAN Gram features.  Position 0 holds
+    decoder_start_token_id, which EQUALS pad_token_id for T5/ByT5 (both 0)
+    — it is a real position and must stay in the Gram (the reference
+    builds its Gram over all positions, model.py:316-319)."""
+    return (decoder_input_ids != pad_token_id).at[:, 0].set(True)
+
+
 def _masked_gram(h, mask, hidden):
     """(B, T, H) -> flattened Gram matrix (B, H*H) over valid positions —
     the static-shape discriminator feature the reference builds via
@@ -159,8 +167,7 @@ def speechmix_forward(params, cfg: SpeechMixConfig, input_values,
                       lengths=None, labels=None, decoder_input_ids=None,
                       text_input_ids=None, text_mask=None, prompt_ids=None,
                       return_model_detail=False, use_flash=False,
-                      dtype=jnp.float32, gan_step_is_discriminator=None,
-                      dropout_rng=None):
+                      dtype=jnp.float32, dropout_rng=None):
     """Training/eval forward for all embed-fusion variants.
 
     labels: (B, L) with -100 padding; decoder inputs derived by
@@ -277,7 +284,7 @@ def speechmix_forward(params, cfg: SpeechMixConfig, input_values,
             dropout_rng=k_text)
 
         h = dcfg.hidden_size
-        dec_mask = decoder_input_ids != dcfg.pad_token_id
+        dec_mask = gan_decoder_mask(decoder_input_ids, dcfg.pad_token_id)
         feats = {
             # speech path: fused embeds + decoder hidden -> label 1
             "voice_enc": (_masked_gram(inputs_embeds, enc_mask, h), 1.0),

@@ -157,7 +157,12 @@ def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
         qp = params["q_proj"]
         inner = (qp["kernel"] if "kernel" in qp
                  else qp["kernel_q"]).shape[-1]
-    num_heads = num_heads or (inner // (head_dim or inner))
+    if num_heads is None and head_dim is None:
+        # the projection width alone cannot recover the head split — a
+        # silent 1-head fallback would run numerically wrong attention
+        raise ValueError("attention() needs num_heads or head_dim; the "
+                         "inner projection width alone is ambiguous")
+    num_heads = num_heads or inner // head_dim
     head_dim = head_dim or inner // num_heads
     scale = scale if scale is not None else 1.0 / math.sqrt(head_dim)
 
@@ -247,9 +252,8 @@ def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
 
 def cache_position_bias(cache_capacity, index, q_len, dtype=jnp.float32):
     """Additive bias for cached causal decoding: query i (absolute position
-    index+i) may attend cache slots <= index+i; unfilled slots are masked."""
-    k_pos = jnp.arange(cache_capacity)[None, :]
-    q_pos = index + jnp.arange(q_len)[:, None]
-    allowed = k_pos <= q_pos
-    from .masking import NEG_INF
-    return jnp.where(allowed, 0.0, NEG_INF).astype(dtype)[None, None, :, :]
+    index+i) may attend cache slots <= index+i; unfilled slots are masked.
+    (Causal bias over the cache capacity with the query offset — one shared
+    implementation in ops/masking.py.)"""
+    from .masking import causal_attention_bias
+    return causal_attention_bias(q_len, cache_capacity, dtype, offset=index)

@@ -26,19 +26,6 @@ def normal_init(key, shape, stddev=0.02, dtype=jnp.float32):
     return (jax.random.normal(key, shape) * stddev).astype(dtype)
 
 
-def kaiming_init(key, shape, dtype=jnp.float32):
-    """He-normal over fan_in (last-but-one axis for 2D weights)."""
-    fan_in = shape[0] if len(shape) >= 2 else shape[0]
-    std = math.sqrt(2.0 / fan_in)
-    return (jax.random.normal(key, shape) * std).astype(dtype)
-
-
-def lecun_init(key, shape, dtype=jnp.float32):
-    fan_in = shape[0]
-    std = math.sqrt(1.0 / fan_in)
-    return (jax.random.normal(key, shape) * std).astype(dtype)
-
-
 # ----------------------------------------------------------------------------
 # dense / embedding
 # ----------------------------------------------------------------------------

@@ -57,14 +57,15 @@ def combine_masks_to_bias(q_mask=None, kv_mask=None, causal=False,
             bias = bias + causal_attention_bias(
                 q_mask.shape[-1] if q_mask is not None else kv_mask.shape[-1],
                 kv_mask.shape[-1], dtype)
-    elif causal and q_mask is not None:
+    elif causal:
+        if q_mask is None:
+            # no mask carries a length, so the requested causal constraint
+            # cannot be built — dropping it silently would run the caller's
+            # attention fully bidirectional
+            raise ValueError("combine_masks_to_bias(causal=True) needs "
+                             "q_mask or kv_mask to size the causal bias")
         bias = causal_attention_bias(q_mask.shape[-1], dtype=dtype)
     return bias
-
-
-def masked_mean(x, mask, axis=None, eps=1e-9):
-    mask = mask.astype(x.dtype)
-    return (x * mask).sum(axis) / jnp.maximum(mask.sum(axis), eps)
 
 
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = -1,

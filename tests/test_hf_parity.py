@@ -188,11 +188,20 @@ def test_wav2vec2_large_variant_parity():
 
     wav = np.random.RandomState(2).randn(2, 4000).astype(np.float32) * 0.1
     with torch.no_grad():
-        ref = hf(torch.tensor(wav)).last_hidden_state.numpy()
-    out = se.speech_encoder_apply(params, cfg, jnp.asarray(wav))
+        ref_out = hf(torch.tensor(wav), output_hidden_states=True)
+    ref = ref_out.last_hidden_state.numpy()
+    out = se.speech_encoder_apply(params, cfg, jnp.asarray(wav),
+                                  output_hidden_states=True)
     got = np.asarray(out["last_hidden_state"])
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+    # every hidden_states entry pins the HF convention — in particular the
+    # LAST entry is the POST-final-LN state for the stable-LN family (the
+    # weighted-sum path consumes these)
+    ref_hs = np.stack([h.numpy() for h in ref_out.hidden_states])
+    got_hs = np.asarray(out["hidden_states"])
+    assert got_hs.shape == ref_hs.shape
+    np.testing.assert_allclose(got_hs, ref_hs, rtol=2e-3, atol=2e-3)
 
 
 def test_byt5_gated_gelu_parity():
@@ -308,3 +317,67 @@ def test_wav2vec2_spec_augment_parity(monkeypatch):
                                   dropout_rng=jax.random.PRNGKey(0))
     got = np.asarray(out["last_hidden_state"])
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def _assert_hidden_states_parity(hf, params, cfg, ids, dec_ids):
+    """Pin the FULL encoder/decoder hidden_states stacks against HF
+    execution — catches convention drift (entry 0 must be the post
+    pos+LN+dropout embedding state; T5's last entry must be POST
+    final_layer_norm) that logits-only parity cannot see."""
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 decoder_input_ids=torch.tensor(dec_ids),
+                 output_hidden_states=True)
+    out = s2s.seq2seq_apply(params, cfg, input_ids=jnp.asarray(ids),
+                            decoder_input_ids=jnp.asarray(dec_ids),
+                            output_hidden_states=True)
+    for key, ref_hs in (("encoder_hidden_states", ref.encoder_hidden_states),
+                        ("decoder_hidden_states", ref.decoder_hidden_states)):
+        ref_stack = np.stack([h.numpy() for h in ref_hs])
+        got = np.asarray(out[key])
+        assert got.shape == ref_stack.shape, key
+        np.testing.assert_allclose(got, ref_stack, rtol=2e-3, atol=2e-3,
+                                   err_msg=key)
+
+
+def test_bart_hidden_states_convention():
+    hf_cfg = transformers.BartConfig(
+        vocab_size=128, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, max_position_embeddings=64,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        pad_token_id=1, bos_token_id=0, eos_token_id=2,
+        decoder_start_token_id=2, scale_embedding=False,
+        activation_function="gelu")
+    hf = transformers.BartForConditionalGeneration(hf_cfg).eval()
+    cfg = Seq2SeqConfig(
+        name="parity-bart", arch="bart", vocab_size=128, hidden_size=32,
+        encoder_layers=2, decoder_layers=2, num_heads=2, ffn_dim=64,
+        max_positions=64, pad_token_id=1, bos_token_id=0, eos_token_id=2,
+        decoder_start_token_id=2)
+    sd_path = _save_sd(hf)
+    params = convert.load_seq2seq(sd_path, cfg)
+    os.remove(sd_path)
+    _assert_hidden_states_parity(hf, params, cfg,
+                                 np.array([[5, 6, 7, 8, 2]]),
+                                 np.array([[2, 5, 6, 7]]))
+
+
+def test_t5_hidden_states_convention():
+    hf_cfg = transformers.T5Config(
+        vocab_size=128, d_model=32, num_layers=2, num_decoder_layers=2,
+        num_heads=2, d_kv=16, d_ff=64, dropout_rate=0.0,
+        feed_forward_proj="relu", pad_token_id=0, eos_token_id=1,
+        decoder_start_token_id=0, tie_word_embeddings=True)
+    hf = transformers.T5ForConditionalGeneration(hf_cfg).eval()
+    cfg = Seq2SeqConfig(
+        name="parity-t5", arch="t5", vocab_size=128, hidden_size=32,
+        encoder_layers=2, decoder_layers=2, num_heads=2, head_dim=16,
+        ffn_dim=64, activation="relu", layer_norm_eps=1e-6, pad_token_id=0,
+        bos_token_id=0, eos_token_id=1, decoder_start_token_id=0)
+    sd_path = _save_sd(hf)
+    params = convert.load_seq2seq(sd_path, cfg)
+    os.remove(sd_path)
+    _assert_hidden_states_parity(hf, params, cfg,
+                                 np.array([[5, 6, 7, 8, 1]]),
+                                 np.array([[0, 5, 6, 7]]))

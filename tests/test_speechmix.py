@@ -110,3 +110,13 @@ def test_t5_decoder_family():
     labels = jnp.array([[130, 140, cfg.decoder.eos_token_id]])
     out = smx.speechmix_forward(params, cfg, wav, labels=labels)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_gan_decoder_mask_keeps_position_zero():
+    """Position 0 holds decoder_start_token_id — for T5/ByT5 it EQUALS
+    pad_token_id (0), and the GAN Gram must keep it (the reference Grams
+    over all positions)."""
+    ids = jnp.asarray([[0, 5, 6, 0], [0, 7, 0, 0]])  # t5: start == pad == 0
+    mask = np.asarray(smx.gan_decoder_mask(ids, pad_token_id=0))
+    np.testing.assert_array_equal(
+        mask, [[True, True, True, False], [True, True, False, False]])
