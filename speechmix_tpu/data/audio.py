@@ -28,7 +28,7 @@ TARGET_SR = 16000
 DEFAULT_BUCKETS = (4.0, 8.0, 12.0, 16.0, 20.0)
 
 
-def _sinc_kernel(cutoff: float, half_width: int, stride: int) -> np.ndarray:
+def _sinc_kernel(cutoff: float, half_width: int) -> np.ndarray:
     """Windowed-sinc low-pass for polyphase resampling."""
     n = np.arange(-half_width, half_width + 1, dtype=np.float64)
     taps = np.sinc(2 * cutoff * n)
@@ -53,15 +53,32 @@ def resample(waveform: np.ndarray, orig_sr: int,
     frac = Fraction(target_sr, orig_sr).limit_denominator(1000)
     up, down = frac.numerator, frac.denominator
     x = np.asarray(waveform, np.float64)
-    # upsample by zero-stuffing, filter, downsample
-    n_up = len(x) * up
-    up_sig = np.zeros(n_up, np.float64)
-    up_sig[::up] = x * up
     cutoff = 0.5 / max(up, down)
     half = 10 * max(up, down)
-    taps = _sinc_kernel(cutoff, half, 1).astype(np.float64)
-    filtered = np.convolve(up_sig, taps, mode="same")
-    out = filtered[::down]
+    taps = _sinc_kernel(cutoff, half).astype(np.float64)
+    # Direct polyphase form (the same math as zero-stuff -> convolve
+    # "same" -> decimate, and the same loop native.cpp runs): output m sits
+    # at up-sampled position p = m*down and draws only on the ~2*half/up
+    # REAL input samples under the kernel — never materializing the
+    # up-sampled buffer or the `down`-fold discarded outputs (a full
+    # convolve is up*down times more work; 44.1k->16k made minutes of
+    # audio effectively hang here).
+    n_in = len(x)
+    n_out = (n_in * up + down - 1) // down
+    n_terms = 2 * half // up + 2
+    t = np.arange(n_terms)
+    out = np.empty(n_out, np.float64)
+    for lo in range(0, n_out, 65536):           # bound the (m, terms) block
+        m = np.arange(lo, min(lo + 65536, n_out))
+        p = m * down
+        s0 = -((half - p) // up)                 # ceil((p - half) / up)
+        src = s0[:, None] + t[None, :]           # input sample indices
+        tap_idx = src * up - p[:, None] + half   # position under the kernel
+        valid = (src >= 0) & (src < n_in) & \
+            (tap_idx >= 0) & (tap_idx <= 2 * half)
+        xg = np.where(valid, x[np.clip(src, 0, n_in - 1)], 0.0)
+        tg = np.where(valid, taps[np.clip(tap_idx, 0, 2 * half)], 0.0)
+        out[m] = (xg * tg).sum(axis=1) * up
     return out.astype(np.float32)
 
 
@@ -73,8 +90,15 @@ def to_mono(waveform: np.ndarray) -> np.ndarray:
 
 
 def normalize(waveform: np.ndarray, eps: float = 1e-7) -> np.ndarray:
-    """Zero-mean unit-variance (wav2vec2's do_normalize preprocessing)."""
-    w = waveform.astype(np.float32)
+    """Zero-mean unit-variance (wav2vec2's do_normalize preprocessing).
+    Uses the C++ kernel (runtime/native.cpp smx_normalize) when built."""
+    w = np.ascontiguousarray(waveform, np.float32)
+    try:
+        from ..runtime import native
+        if native.available():
+            return native.normalize(w, eps)
+    except Exception:
+        pass
     return (w - w.mean()) / math.sqrt(float(w.var()) + eps)
 
 

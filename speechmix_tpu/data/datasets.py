@@ -210,7 +210,11 @@ def build_datasets(input_args, model) -> Tuple[Callable, Callable]:
                               or "synthetic",
                               model.config.encoder.name,
                               model.config.decoder.name,
-                              input_args.field, split, prompt])
+                              input_args.field, split, prompt,
+                              # everything that changes the example set must
+                              # key the cache (stale reuse is silent)
+                              input_args.seed,
+                              input_args.max_input_length_in_sec])
             cache_path = f"./.data_cache/{key}.npz"
             if os.path.exists(cache_path):
                 return load_examples(cache_path)
@@ -224,20 +228,43 @@ def build_datasets(input_args, model) -> Tuple[Callable, Callable]:
 
     train_ex = prep(train_raw, input_args.train_split or "train")
     eval_ex = prep(eval_raw, input_args.test_split or "eval")
-    if getattr(input_args, "multihost", False):
-        # per-host dataset sharding (SURVEY.md §2.4): each host feeds only
-        # its round-robin shard; mesh.shard_batch assembles the global batch
-        from ..parallel.mesh import shard_examples_per_host
-        train_ex = shard_examples_per_host(train_ex)
-        eval_ex = shard_examples_per_host(eval_ex)
     gbl = bool(getattr(input_args, "group_by_length", True))
+    n_proc = 1
+    if getattr(input_args, "multihost", False):
+        import jax
+        n_proc = max(int(jax.process_count()), 1)
+    # Multi-host (SURVEY.md §2.4): every host batches the FULL example list
+    # with the SAME seed — identical shuffle, bucket schedule, and batch
+    # count on every process (independent per-host batcher streams would
+    # emit mismatched bucket shapes/counts and desync the lockstep SPMD
+    # program) — and then keeps only its per_host_batch_slice rows of each
+    # GLOBAL batch; mesh.shard_batch reassembles the global array.
     # train: per-epoch seeded shuffle (reference Trainer sampler semantics);
     # eval: deterministic order
-    return (_batch_iter_factory(train_ex, model, batch_size,
-                                shuffle_seed=int(input_args.seed),
-                                group_by_length=gbl),
-            _batch_iter_factory(eval_ex, model, batch_size,
-                                group_by_length=gbl))
+    train_fac = _batch_iter_factory(train_ex, model, batch_size * n_proc,
+                                    shuffle_seed=int(input_args.seed),
+                                    group_by_length=gbl)
+    eval_fac = _batch_iter_factory(eval_ex, model, batch_size * n_proc,
+                                   group_by_length=gbl)
+    if n_proc > 1:
+        train_fac = _per_host_slice_factory(train_fac)
+        eval_fac = _per_host_slice_factory(eval_fac)
+    return train_fac, eval_fac
+
+
+def _per_host_slice_factory(factory):
+    """Wrap a global-batch iterator factory so each host yields only its
+    rows (mesh.per_host_batch_slice) of every batch — the process-local
+    slices make_array_from_process_local_data assembles."""
+    from ..parallel.mesh import per_host_batch_slice
+
+    def wrapped():
+        for batch in factory():
+            rows = len(next(iter(batch.values())))
+            sl = per_host_batch_slice(rows)
+            yield {k: v[sl] for k, v in batch.items()}
+
+    return wrapped
 
 
 def _load_custom_csv(path: str, seed: int = 0, test_size: float = 0.1,
@@ -285,9 +312,22 @@ def _read_audio(path: str):
             n = w.getnframes()
             raw = w.readframes(n)
             width = w.getsampwidth()
-            dtype = {1: np.int8, 2: np.int16, 4: np.int32}[width]
-            data = np.frombuffer(raw, dtype=dtype).astype(np.float32)
-            data /= float(np.iinfo(dtype).max)
+            if width == 1:
+                # WAV 8-bit PCM is UNSIGNED, biased at 128 (int8 would turn
+                # silence 0x80 into full-scale DC)
+                data = (np.frombuffer(raw, np.uint8).astype(np.float32)
+                        - 128.0) / 128.0
+            elif width == 3:
+                # 24-bit little-endian: widen to int32 via a zero byte
+                b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+                b = np.concatenate(
+                    [np.zeros((len(b), 1), np.uint8), b], axis=1)
+                data = (b.view(np.int32).reshape(-1) >> 8).astype(
+                    np.float32) / float(2 ** 23 - 1)
+            else:
+                dtype = {2: np.int16, 4: np.int32}[width]
+                data = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+                data /= float(np.iinfo(dtype).max)
             if w.getnchannels() > 1:
                 data = data.reshape(-1, w.getnchannels()).mean(axis=1)
         return data, sr

@@ -35,9 +35,13 @@ def _text_bucket(n: int, floor: int = 16) -> int:
     return b
 
 
+@lru_cache(maxsize=None)
 def make_teacher_fn(dcfg: Seq2SeqConfig, max_length: int):
     """Returns jitted fn(params, text_ids, text_mask) -> (tokens, lengths):
-    greedy decode of the teacher conditioned on the text input."""
+    greedy decode of the teacher conditioned on the text input.  Memoized
+    (configs are frozen dataclasses) so the train and eval prep passes —
+    and repeated build_datasets calls — share one jit cache instead of
+    re-tracing the full teacher decode per invocation."""
 
     @jax.jit
     def fn(params, text_ids, text_mask):

@@ -58,10 +58,12 @@ class ByteTokenizer:
         by = bytearray()
         for i in ids:
             i = int(i)
-            if i in self._special or i < self.BYTE_OFFSET:
-                if skip_special_tokens:
-                    continue
-                continue  # non-byte ids have no text form either way
+            # ids outside [BYTE_OFFSET, BYTE_OFFSET+256) have no text form
+            # (specials, sentinels, and the large-vocab fallback's padding
+            # range — a raw argmax can emit any id < vocab_size)
+            if not self.BYTE_OFFSET <= i < self.BYTE_OFFSET + 256 \
+                    or i in self._special:
+                continue
             by.append(i - self.BYTE_OFFSET)
         return by.decode("utf-8", errors="ignore")
 

@@ -31,6 +31,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..utils.pytree import keypath_str
+
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
@@ -103,9 +105,7 @@ def param_sharding(mesh: Mesh, params):
     out = []
     model_size = mesh.shape[MODEL_AXIS]
     for keypath, leaf in flat:
-        parts = [str(k.key) if hasattr(k, "key") else
-                 str(getattr(k, "idx", k)) for k in keypath]
-        path = "/".join(parts)
+        path = keypath_str(keypath)
         spec = _param_spec_for(path, leaf) if model_size > 1 else P()
         # verify divisibility; fall back to replication
         ok = True
@@ -219,10 +219,46 @@ def per_host_batch_slice(global_batch: int) -> slice:
 def shard_examples_per_host(examples, process_index=None, process_count=None):
     """Per-host DATASET sharding: host i keeps examples[i::n] (round-robin,
     so length buckets stay balanced across hosts).  Identity on a single
-    host.  Called from data/datasets.build_datasets when --multihost."""
+    host.  NOTE: the training pipeline does NOT shard examples — every host
+    batches the full list identically and slices each global batch
+    (datasets._per_host_slice_factory), which keeps the bucket schedule in
+    lockstep across processes; this helper serves offline/preprocessing
+    work-splitting."""
     import jax
     n = process_count if process_count is not None else jax.process_count()
     i = process_index if process_index is not None else jax.process_index()
     if n <= 1:
         return list(examples)
     return list(examples)[i::n]
+
+def local_rows(arr):
+    """Host-local rows (leading batch axis) of a global data-sharded array
+    — the inverse of shard_batch's per-process assembly.  np.asarray on a
+    multi-process global array raises (not fully addressable); this
+    concatenates the addressable shards in row order instead, deduping
+    replicas from model/seq axes.  Single process: the whole array."""
+    import jax
+    import numpy as np
+    if jax.process_count() <= 1:
+        return np.asarray(arr)
+    seen = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in seen:
+            seen[start] = np.asarray(s.data)
+    return np.concatenate([seen[k] for k in sorted(seen)], axis=0)
+
+
+def allgather_rows(x):
+    """Gather per-host (rows, ...) numpy arrays into the global row set,
+    identical on every host — metrics (WER/CER, early stopping) must agree
+    across processes.  Requires equal shapes across hosts, which the
+    lockstep batch schedule guarantees.  Identity on one process."""
+    import jax
+    import numpy as np
+    x = np.asarray(x)
+    if jax.process_count() <= 1:
+        return x
+    from jax.experimental import multihost_utils
+    g = np.asarray(multihost_utils.process_allgather(x))
+    return g.reshape((-1,) + g.shape[2:])

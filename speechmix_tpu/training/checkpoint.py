@@ -29,16 +29,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.pytree import keypath_str
+
 
 def _paths_and_leaves(tree):
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
-    paths, leaves = [], []
-    for keypath, leaf in flat:
-        parts = [str(k.key) if hasattr(k, "key") else
-                 str(getattr(k, "idx", k)) for k in keypath]
-        paths.append("/".join(parts))
-        leaves.append(leaf)
-    return paths, leaves, treedef
+    paths = [keypath_str(kp) for kp, _ in flat]
+    return paths, [leaf for _, leaf in flat], treedef
 
 
 def save_pytree_npz(path: str, tree):

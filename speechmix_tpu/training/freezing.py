@@ -32,35 +32,16 @@ from ..config import SpeechMixConfig
 SEP = "/"
 
 
-def tree_paths(params):
-    """Flatten to a list of (path_string, leaf) with '/'-joined dict keys."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    out = []
-    for keypath, leaf in flat:
-        parts = []
-        for k in keypath:
-            if hasattr(k, "key"):
-                parts.append(str(k.key))
-            elif hasattr(k, "idx"):
-                parts.append(str(k.idx))
-            else:
-                parts.append(str(k))
-        out.append((SEP.join(parts), leaf))
-    return out
+from ..utils.pytree import keypath_str, tree_paths  # noqa: F401
+# (tree_paths re-exported: freezing masks, checkpoint keys, and sharding
+# rules must derive parameter paths identically — utils/pytree.py)
 
 
 def mask_from_predicate(params, predicate: Callable[[str], bool]):
     """Build a {0.0, 1.0} float mask pytree from a path predicate."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    leaves = []
-    for keypath, leaf in flat:
-        parts = []
-        for k in keypath:
-            parts.append(str(k.key) if hasattr(k, "key") else
-                         str(getattr(k, "idx", k)))
-        path = SEP.join(parts)
-        leaves.append(jnp.asarray(1.0 if predicate(path) else 0.0,
-                                  jnp.float32))
+    leaves = [jnp.asarray(1.0 if predicate(keypath_str(kp)) else 0.0,
+                          jnp.float32) for kp, _ in flat]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
@@ -142,11 +123,7 @@ def gan_alternating_masks(params, step, des_update: int):
                          jnp.float32(0.0 if is_disc else 1.0))
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    leaves = []
-    for keypath, _ in flat:
-        parts = [str(k.key) if hasattr(k, "key") else
-                 str(getattr(k, "idx", k)) for k in keypath]
-        leaves.append(leaf_mask(SEP.join(parts)))
+    leaves = [leaf_mask(keypath_str(kp)) for kp, _ in flat]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
@@ -169,18 +146,14 @@ def gradual_unfreeze_scale(params, progress):
     # number of stacked layers, from any layers leaf
     num_layers = 0
     for keypath, leaf in flat:
-        parts = [str(k.key) if hasattr(k, "key") else
-                 str(getattr(k, "idx", k)) for k in keypath]
-        path = SEP.join(parts)
+        path = keypath_str(keypath)
         if path.startswith(f"speech_encoder{SEP}layers") and hasattr(leaf, "shape"):
             num_layers = leaf.shape[0]
             break
 
     leaves = []
     for keypath, leaf in flat:
-        parts = [str(k.key) if hasattr(k, "key") else
-                 str(getattr(k, "idx", k)) for k in keypath]
-        path = SEP.join(parts)
+        path = keypath_str(keypath)
         if not path.startswith("speech_encoder"):
             leaves.append(jnp.float32(1.0))
         elif path.startswith(f"speech_encoder{SEP}layers") and num_layers > 0:

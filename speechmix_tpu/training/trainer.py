@@ -234,6 +234,17 @@ def make_train_step(cfg: SpeechMixConfig, tc: TrainConfig, params_example,
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+
+def _placed_like(restored, like):
+    """Re-place a restored state tree with the live tree's shardings (the
+    npz backend loads host arrays with no NamedSharding; a resumed
+    model-parallel run must put params back on the mesh layout the step
+    was compiled against)."""
+    def place(r, l):
+        sh = getattr(l, "sharding", None)
+        return jax.device_put(r, sh) if sh is not None else r
+    return jax.tree_util.tree_map(place, restored, like)
+
 def make_eval_step(cfg: SpeechMixConfig, tc: TrainConfig):
     dtype = jnp.bfloat16 if tc.bf16 else jnp.float32
 
@@ -334,10 +345,12 @@ class Trainer:
         + step) from output_dir if one exists."""
         if resume and self.ckpt is not None and \
                 self.ckpt.latest_step() is not None:
-            restored, meta = self.ckpt.restore(
-                {"params": state.params, "opt_state": state.opt_state,
-                 "step": state.step})
+            like = {"params": state.params, "opt_state": state.opt_state,
+                    "step": state.step}
+            restored, meta = self.ckpt.restore(like)
             if restored is not None:
+                if self.mesh is not None:
+                    restored = _placed_like(restored, like)
                 state = TrainState(params=restored["params"],
                                    opt_state=restored["opt_state"],
                                    step=restored["step"])
@@ -370,10 +383,12 @@ class Trainer:
         if self.tc.load_best_model_at_end and self.ckpt is not None:
             best = self.ckpt.best_step()
             if best is not None and best != int(state.step):
-                restored, _ = self.ckpt.restore(
-                    {"params": state.params, "opt_state": state.opt_state,
-                     "step": state.step}, step=best)
+                like = {"params": state.params,
+                        "opt_state": state.opt_state, "step": state.step}
+                restored, _ = self.ckpt.restore(like, step=best)
                 if restored is not None:
+                    if self.mesh is not None:
+                        restored = _placed_like(restored, like)
                     state = TrainState(params=restored["params"],
                                        opt_state=restored["opt_state"],
                                        step=restored["step"])
@@ -470,12 +485,24 @@ class Trainer:
                         dtype=jnp.bfloat16 if self.tc.bf16 else jnp.float32)
                 fn = jax.jit(raw)
                 fns[shape] = fn
-            tokens, _ = fn(params, jnp.asarray(batch["input_values"]),
-                           jnp.asarray(batch["lengths"]))
-            tokens = np.asarray(tokens)
-            labels = np.asarray(batch["labels"])
-            real = batch.get("example_mask",
-                             np.ones(len(tokens), bool))
+            audio_in = {"input_values": np.asarray(batch["input_values"]),
+                        "lengths": np.asarray(batch["lengths"])}
+            rows = len(audio_in["lengths"])
+            if jax.process_count() > 1 or \
+                    rows % self.mesh.shape[mesh_lib.DATA_AXIS] == 0:
+                # multihost REQUIRES global assembly (host-local arrays
+                # can't mix with mesh-sharded params); single-host shards
+                # over `data` when the batch divides evenly
+                placed = mesh_lib.shard_batch(self.mesh, audio_in)
+            else:
+                placed = {k: jnp.asarray(v) for k, v in audio_in.items()}
+            tokens, _ = fn(params, placed["input_values"],
+                           placed["lengths"])
+            tokens = mesh_lib.allgather_rows(mesh_lib.local_rows(tokens))
+            labels = mesh_lib.allgather_rows(np.asarray(batch["labels"]))
+            real = batch.get("example_mask")
+            real = (np.ones(len(tokens), bool) if real is None
+                    else mesh_lib.allgather_rows(np.asarray(real)))
             for i in range(len(tokens)):
                 if not real[i]:
                     continue
@@ -496,11 +523,15 @@ class Trainer:
             batch_dev = mesh_lib.shard_batch(self.mesh, batch)
             out = eval_fn(params, batch_dev)
             losses.append(float(out["loss"]))
+            # this host's rows of the (global) predictions, then the global
+            # row set on every host — metrics must agree across processes
+            preds = mesh_lib.allgather_rows(
+                mesh_lib.local_rows(out["predictions"]))
+            labels = mesh_lib.allgather_rows(np.asarray(batch["labels"]))
             real = batch.get("example_mask")
-            preds = np.asarray(out["predictions"])
-            labels = np.asarray(batch["labels"])
-            if real is not None:
-                preds, labels = preds[real], labels[real]
+            real = (np.ones(len(labels), bool) if real is None
+                    else mesh_lib.allgather_rows(np.asarray(real)))
+            preds, labels = preds[real], labels[real]
             all_preds.append(preds)
             all_labels.append(labels)
         metrics = {"eval_loss": float(np.mean(losses))}

@@ -76,6 +76,46 @@ def main():
 
     with open(os.path.join(out_dir, f"loss_{pid}.txt"), "w") as f:
         f.write(" ".join(f"{x:.8f}" for x in losses))
+
+    # --- the REAL data pipeline in lockstep: every host batches the FULL
+    # synthetic corpus (mixed lengths -> multiple buckets) with the same
+    # seed and keeps its per-host rows; the bucket schedule (shapes AND
+    # count) must be identical across processes, or the SPMD program
+    # desyncs at the first collective.
+    from types import SimpleNamespace
+
+    from speechmix_tpu import api as api_lib
+    from speechmix_tpu.data import datasets as ds_lib
+
+    model = api_lib.HFSpeechMixEED("tiny-speech", "tiny-bart-bytes",
+                                   down_scale=4)
+    args = SimpleNamespace(batch=2, grad_accum=1, seed=0, prompt=None,
+                           synthetic=True, dataset=None, custom_set=None,
+                           field=None, train_split=None, test_split=None,
+                           multihost=True, cache=False,
+                           max_input_length_in_sec=30, worker=1,
+                           group_by_length=True)
+    train_fac, eval_fac = ds_lib.build_datasets(args, model)
+    sched = [";".join(f"{k}:{np.asarray(v).shape}"
+                      for k, v in sorted(b.items()))
+             for b in train_fac()]
+    with open(os.path.join(out_dir, f"sched_{pid}.txt"), "w") as f:
+        f.write("\n".join(sched))
+
+    # --- multihost evaluate plumbing: global predictions -> this host's
+    # rows (local_rows) -> the identical global row set on every host
+    # (allgather_rows)
+    eval_fn = trainer_lib.make_eval_step(model.config, tc)
+    batch0 = next(iter(eval_fac()))
+    sharded_params = mesh_lib.shard_params(mesh, model.params)
+    placed = mesh_lib.shard_batch(
+        mesh, {k: np.asarray(v) for k, v in batch0.items()})
+    out = eval_fn(sharded_params, placed)
+    preds = mesh_lib.allgather_rows(
+        mesh_lib.local_rows(out["predictions"]))
+    with open(os.path.join(out_dir, f"eval_{pid}.txt"), "w") as f:
+        f.write(f"{preds.shape} {int(np.asarray(preds).sum())} "
+                f"{float(out['loss']):.8f}")
     jax.distributed.shutdown()
 
 

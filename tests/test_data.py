@@ -271,3 +271,77 @@ def test_collator_truncation_reappends_eos():
     batch = next(iter(batcher(examples)))
     assert batch["labels"][0].tolist() == [130, 140, 150, 1]
     assert batch["labels"][1].tolist() == [130, 140, 1, -100]
+
+
+def test_resample_numpy_matches_native(monkeypatch):
+    """The decimated-polyphase numpy fallback computes the same samples as
+    the C++ kernel (and no longer materializes the up*down-times-larger
+    convolution — 44.1k->16k used to be ~500x slower)."""
+    from speechmix_tpu.runtime import native
+    if not native.available():
+        pytest.skip("native runtime not built")
+    rng = np.random.RandomState(5)
+    for sr in (44100, 22050, 8000):
+        x = (rng.randn(sr // 2) * 0.1).astype(np.float32)  # 0.5 s
+        ref = native.resample(x, sr, 16000)
+        monkeypatch.setattr(native, "available", lambda: False)
+        got = audio_lib.resample(x, sr, 16000)
+        monkeypatch.undo()
+        n = min(len(ref), len(got))
+        assert n > 0
+        np.testing.assert_allclose(got[:n], ref[:n], rtol=0, atol=1e-6)
+
+
+def test_byte_tokenizer_decode_out_of_range_ids():
+    """Raw argmax output can contain any id < vocab_size; ids outside the
+    byte range (large-vocab fallback padding, sentinels) must be skipped,
+    not crash bytearray.append."""
+    from speechmix_tpu.data.tokenizer import ByteTokenizer
+    tok = ByteTokenizer(vocab_size=50265)
+    ids = tok.encode("hi", add_special_tokens=False)
+    assert tok.decode(ids + [50000, 40000, tok.eos_token_id]) == "hi"
+
+
+def test_wave_fallback_8bit_and_24bit(tmp_path, monkeypatch):
+    """Stdlib-wave fallback: 8-bit PCM is UNSIGNED (biased at 128) and
+    24-bit is supported — both decode to the int16 waveform's values."""
+    import sys
+    import wave
+
+    from speechmix_tpu.data import datasets as ds_lib
+
+    rng = np.random.RandomState(7)
+    f = (rng.randn(400) * 0.3).clip(-0.99, 0.99)
+
+    paths = {}
+    for width, name in ((1, "w8"), (2, "w16"), (3, "w24")):
+        p = str(tmp_path / f"{name}.wav")
+        with wave.open(p, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(16000)
+            if width == 1:
+                w.writeframes((np.round(f * 127) + 128).astype(
+                    np.uint8).tobytes())
+            elif width == 2:
+                w.writeframes(np.round(f * 32767).astype(
+                    np.int16).tobytes())
+            else:
+                v = np.round(f * (2 ** 23 - 1)).astype(np.int32)
+                b = np.zeros((len(v), 3), np.uint8)
+                b[:, 0] = v & 0xFF
+                b[:, 1] = (v >> 8) & 0xFF
+                b[:, 2] = (v >> 16) & 0xFF
+                w.writeframes(b.tobytes())
+        paths[width] = p
+
+    # force the stdlib fallback even when soundfile exists
+    monkeypatch.setitem(sys.modules, "soundfile", None)
+    decoded = {}
+    for width, p in paths.items():
+        wav, sr = ds_lib._read_audio(p)
+        assert sr == 16000
+        decoded[width] = wav
+    np.testing.assert_allclose(decoded[1], f, atol=2 / 127)
+    np.testing.assert_allclose(decoded[2], f, atol=2 / 32767)
+    np.testing.assert_allclose(decoded[3], f, atol=2 / (2 ** 23 - 1))

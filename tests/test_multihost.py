@@ -72,7 +72,7 @@ def test_two_process_multihost_matches_single(tmp_path):
         for i in range(2)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=240)
+        out, _ = p.communicate(timeout=480)
         outs.append(out.decode(errors="replace"))
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}"
@@ -84,3 +84,13 @@ def test_two_process_multihost_matches_single(tmp_path):
     # per-host round-robin sharding permutes batch rows; the mean loss is
     # permutation-invariant, so the runs must agree numerically
     np.testing.assert_allclose(multi[0], single, rtol=1e-5)
+
+    # the REAL data pipeline emits an IDENTICAL bucket schedule on every
+    # host (mixed-length corpus; shapes and batch count in lockstep)
+    scheds = [(tmp_path / f"sched_{i}.txt").read_text() for i in range(2)]
+    assert scheds[0] == scheds[1]
+    assert len(scheds[0].splitlines()) > 1
+    # evaluate plumbing: local_rows + allgather_rows give every host the
+    # same global prediction set and (replicated) loss
+    evals = [(tmp_path / f"eval_{i}.txt").read_text() for i in range(2)]
+    assert evals[0] == evals[1], evals
