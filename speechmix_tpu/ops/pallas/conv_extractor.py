@@ -59,6 +59,32 @@ def set_fused_conv_defaults(**kw):
         _DEFAULTS[k] = v
 
 
+def _erf_f32(x):
+    """erf for f32, as XLA's own rational approximation (clamped |x| <= 4).
+
+    ``jax.lax.erf`` has no Mosaic/Pallas-TPU lowering (NotImplementedError:
+    "Unimplemented primitive ... erf", measured on-device 2026-08-19), so the
+    kernel evaluates the same degree-(6,4) polynomial pair XLA lowers erf.f32
+    to outside Pallas — agreement with lax.erf is ~1e-7 relative, far inside
+    the bf16 output rounding."""
+    x = jnp.clip(x, -4.0, 4.0)
+    x2 = x * x
+    alpha = (-2.72614225801306e-10, 2.77068142495902e-08,
+             -2.10102402082508e-06, -5.69250639462346e-05,
+             -7.34990630326855e-04, -2.95459980854025e-03,
+             -1.60960333262415e-02)
+    beta = (-1.45660718464996e-05, -2.13374055278905e-04,
+            -1.68282697438203e-03, -7.37332916720468e-03,
+            -1.42647390514189e-02)
+    p = jnp.float32(alpha[0])
+    for c in alpha[1:]:
+        p = p * x2 + jnp.float32(c)
+    q = jnp.float32(beta[0])
+    for c in beta[1:]:
+        q = q * x2 + jnp.float32(c)
+    return x * p / q
+
+
 def _kernel(xa_ref, xb_ref, wa_ref, w2_ref, b_ref, g_ref, be_ref, o_ref, *,
             k, bt, cin, ln, ln_eps, deinterleave):
     """One (batch-row, time-block) program.
@@ -108,7 +134,7 @@ def _kernel(xa_ref, xb_ref, wa_ref, w2_ref, b_ref, g_ref, be_ref, o_ref, *,
             acc = acc * g_ref[...].astype(jnp.float32) \
                 + be_ref[...].astype(jnp.float32)
         # exact-erf GELU (HF feat_extract_activation="gelu")
-        y = acc * 0.5 * (1.0 + jax.lax.erf(acc * (1.0 / math.sqrt(2.0))))
+        y = acc * 0.5 * (1.0 + _erf_f32(acc * (1.0 / math.sqrt(2.0))))
         o_ref[b] = y.astype(o_ref.dtype)
 
 
