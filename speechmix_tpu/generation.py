@@ -18,7 +18,6 @@ eval.py:12-14) with a TPU-native design:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -485,14 +484,3 @@ def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
                        forced_eos_token_id=forced_eos_token_id,
                        do_sample=do_sample, temperature=temperature,
                        top_k=top_k, top_p=top_p, rng=rng)
-
-
-def jit_generate(cfg: SpeechMixConfig, max_length=None, num_beams=1,
-                 use_flash=False, dtype=jnp.float32):
-    """Compile-once wrapper keyed on static decode settings."""
-    @partial(jax.jit, static_argnames=())
-    def fn(params, input_values, lengths):
-        return generate(params, cfg, input_values, lengths,
-                        max_length=max_length, num_beams=num_beams,
-                        use_flash=use_flash, dtype=dtype)
-    return fn

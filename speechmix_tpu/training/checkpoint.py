@@ -216,15 +216,20 @@ class CheckpointManager:
                 try:
                     state = ckptr.restore(os.path.abspath(path),
                                           args=ocp.args.StandardRestore(like))
-                except Exception:
+                except Exception as first_err:
                     # archives saved before an optional parameter existed
                     # (same back-compat contract as load_pytree_npz):
                     # retry without the optional leaves, keep their
-                    # initialized values
+                    # initialized values.  If the pruned restore ALSO
+                    # fails the archive is genuinely bad — surface the
+                    # ORIGINAL error, not the confusing second one.
                     pruned = _drop_optional_leaves(like)
-                    state = ckptr.restore(
-                        os.path.abspath(path),
-                        args=ocp.args.StandardRestore(pruned))
+                    try:
+                        state = ckptr.restore(
+                            os.path.abspath(path),
+                            args=ocp.args.StandardRestore(pruned))
+                    except Exception:
+                        raise first_err
                     state = _merge_optional_leaves(state, like)
         meta = {}
         if os.path.exists(path + ".meta.json"):

@@ -258,7 +258,12 @@ def make_eval_step(cfg: SpeechMixConfig, tc: TrainConfig):
             text_input_ids=batch.get("text_input_ids"),
             prompt_ids=batch.get("prompt_ids"), dtype=dtype)
         preds = jnp.argmax(out["logits"], axis=-1)
-        return {"loss": out["loss"], "predictions": preds}
+        # valid-token count so evaluate() can weight per-batch mean losses
+        # the way HF Trainer does (a near-empty trailing batch must not
+        # count as much as a full one — eval_loss drives early stopping
+        # and best-checkpoint selection)
+        return {"loss": out["loss"], "predictions": preds,
+                "n_tokens": jnp.sum(labels != -100)}
 
     return jax.jit(eval_fn)
 
@@ -516,13 +521,14 @@ class Trainer:
                 "n_examples": len(refs)}
 
     def evaluate(self, params, eval_fn, eval_batches, heartbeat=None):
-        losses, all_preds, all_labels = [], [], []
+        losses, weights, all_preds, all_labels = [], [], [], []
         for batch in eval_batches():
             if heartbeat is not None:
                 heartbeat()
             batch_dev = mesh_lib.shard_batch(self.mesh, batch)
             out = eval_fn(params, batch_dev)
             losses.append(float(out["loss"]))
+            weights.append(float(out.get("n_tokens", 1.0)))
             # this host's rows of the (global) predictions, then the global
             # row set on every host — metrics must agree across processes
             preds = mesh_lib.allgather_rows(
@@ -534,7 +540,12 @@ class Trainer:
             preds, labels = preds[real], labels[real]
             all_preds.append(preds)
             all_labels.append(labels)
-        metrics = {"eval_loss": float(np.mean(losses))}
+        # token-weighted mean of per-batch mean losses == corpus-level
+        # mean CE per valid token (HF Trainer semantics)
+        total_w = sum(weights)
+        metrics = {"eval_loss": (
+            float(np.dot(losses, weights) / total_w) if total_w > 0
+            else float(np.mean(losses)))}
         if self.tokenizer is not None:
             from ..metrics import compute_metrics
             preds = [p for arr in all_preds for p in arr]
