@@ -185,13 +185,23 @@ class _SpeechMixBase:
                  do_sample=False, temperature=1.0, top_k=0, top_p=1.0,
                  seed=0, min_length=0, repetition_penalty=1.0,
                  no_repeat_ngram_size=0, forced_bos_token_id=None,
-                 forced_eos_token_id=None):
+                 forced_eos_token_id=None, bad_words_ids=None,
+                 suppress_tokens=None, begin_suppress_tokens=None,
+                 num_return_sequences=1, output_scores=False,
+                 return_dict_in_generate=False):
         """use_flash=None auto-enables the single-pass Pallas attention
         kernel on TPU (measured faster in situ at speech shapes — PERF.md);
         pass False/True to override.  kv_int8 quantizes the precomputed
         cross-attention K/V to int8 (per-token/head scales) — halves the
         dominant decode-loop HBM read; accuracy pinned by
-        tests/test_generation.py::test_kv_int8_decode_matches."""
+        tests/test_generation.py::test_kv_int8_decode_matches.
+
+        bad_words_ids / suppress_tokens / begin_suppress_tokens /
+        num_return_sequences / output_scores follow HF generate()
+        (hf_model.py:304-338 inherits them from PreTrainedModel).  With
+        output_scores or return_dict_in_generate the return is a dict:
+        {"sequences", "scores"} (greedy/sample per-step scores) or
+        {"sequences", "sequences_scores"} (beam)."""
         use_flash = resolve_use_flash(use_flash)
 
         batch, lengths = _prepare_audio(input_values,
@@ -201,6 +211,13 @@ class _SpeechMixBase:
             prompt_ids = jnp.asarray(
                 self.tokenizer.encode(decoder_text_prompt,
                                       add_special_tokens=False), jnp.int32)
+        # static word/token lists must be hashable for the jit cache key
+        bad_words_ids = None if not bad_words_ids else tuple(
+            tuple(int(t) for t in w) for w in bad_words_ids)
+        suppress_tokens = None if not suppress_tokens else tuple(
+            int(t) for t in suppress_tokens)
+        begin_suppress_tokens = None if not begin_suppress_tokens else tuple(
+            int(t) for t in begin_suppress_tokens)
         # seed is NOT part of the key: the rng is a runtime argument, so
         # drawing many sampled transcripts compiles once
         key = ("gen", batch.shape,
@@ -209,7 +226,9 @@ class _SpeechMixBase:
                use_flash, kv_int8,
                do_sample, temperature, top_k, top_p, min_length,
                repetition_penalty, no_repeat_ngram_size,
-               forced_bos_token_id, forced_eos_token_id)
+               forced_bos_token_id, forced_eos_token_id, bad_words_ids,
+               suppress_tokens, begin_suppress_tokens,
+               num_return_sequences, output_scores)
         fn = self._jit_generate_cache.get(key)
         if fn is None:
             def raw(params, batch, lengths, prompt_ids, rng):
@@ -225,12 +244,23 @@ class _SpeechMixBase:
                     repetition_penalty=repetition_penalty,
                     no_repeat_ngram_size=no_repeat_ngram_size,
                     forced_bos_token_id=forced_bos_token_id,
-                    forced_eos_token_id=forced_eos_token_id)
+                    forced_eos_token_id=forced_eos_token_id,
+                    bad_words_ids=bad_words_ids,
+                    suppress_tokens=suppress_tokens,
+                    begin_suppress_tokens=begin_suppress_tokens,
+                    num_return_sequences=num_return_sequences,
+                    output_scores=output_scores)
             fn = jax.jit(raw)
             self._jit_generate_cache[key] = fn
         rng = jax.random.PRNGKey(seed) if do_sample else None
-        tokens, _ = fn(self.params, batch, lengths, prompt_ids, rng)
-        return tokens
+        out = fn(self.params, batch, lengths, prompt_ids, rng)
+        if output_scores or return_dict_in_generate:
+            tokens = out[0]
+            d = {"sequences": tokens}
+            if output_scores and len(out) > 2:
+                d["sequences_scores" if num_beams > 1 else "scores"] = out[2]
+            return d
+        return out[0]
 
     # -- persistence --------------------------------------------------------
     def save_weights(self, path: str):

@@ -32,13 +32,22 @@ from .models import speechmix as smx
 # HF LogitsProcessor stack
 # ----------------------------------------------------------------------------
 
+def _needs_history(repetition_penalty=1.0, no_repeat_ngram_size=0,
+                   bad_words_ids=None, **_):
+    """Whether the processor stack needs the sequence-so-far in the carry."""
+    multi = any(len(w) > 1 for w in (bad_words_ids or ()))
+    return repetition_penalty != 1.0 or no_repeat_ngram_size > 0 or multi
+
+
 def _process_logits_hf(logits, dcfg, step_idx, max_length, fullbuf=None,
                        repetition_penalty=1.0, no_repeat_ngram_size=0,
                        min_length=0, forced_bos_token_id=None,
-                       forced_eos_token_id=None):
+                       forced_eos_token_id=None, bad_words_ids=None,
+                       suppress_tokens=None, begin_suppress_tokens=None):
     """The HF `generate()` LogitsProcessor stack on (N, V) scores, applied in
-    transformers' order: RepetitionPenalty -> NoRepeatNGram -> MinLength ->
-    ForcedBOS -> ForcedEOS (the reference inherits all of these through
+    transformers' order: RepetitionPenalty -> NoRepeatNGram -> NoBadWords ->
+    MinLength -> ForcedBOS -> ForcedEOS -> SuppressTokens ->
+    SuppressTokensAtBegin (the reference inherits all of these through
     PreTrainedModel.generate, hf_model.py:304-338).
 
     step_idx: number of tokens generated so far (the token being chosen is
@@ -78,6 +87,30 @@ def _process_logits_hf(logits, dcfg, step_idx, max_length, fullbuf=None,
             (match & valid_j).astype(jnp.int32)) > 0
         logits = jnp.where(banned, neg, logits)
 
+    if bad_words_ids:
+        # HF NoBadWordsLogitsProcessor: ban word[-1] whenever the last
+        # len(word)-1 tokens of the current sequence equal word[:-1];
+        # single-token words are banned at every step.  The word list is
+        # static, so this unrolls to a handful of compares.  HF drops a
+        # bad word equal to [eos_token_id] (generate passes eos to the
+        # processor, which filters it) — mirrored.
+        ban = jnp.zeros((n, v), bool)
+        for word in bad_words_ids:
+            word = [int(t) for t in word]
+            if word == [dcfg.eos_token_id]:
+                continue
+            if len(word) == 1:
+                ban = ban.at[:, word[0]].set(True)
+                continue
+            m = len(word) - 1
+            start = jnp.clip(seq_len - m, 0, fullbuf.shape[1] - m)
+            prev = jax.lax.dynamic_slice_in_dim(fullbuf, start, m, axis=1)
+            match = jnp.all(
+                prev == jnp.asarray(word[:-1], jnp.int32)[None, :], axis=1)
+            match = match & (seq_len >= m)
+            ban = ban.at[:, word[-1]].set(ban[:, word[-1]] | match)
+        logits = jnp.where(ban, neg, logits)
+
     if min_length > 0:
         # EOS unreachable until the sequence can reach min_length GENERATED
         # tokens (EOS included) = HF's min_length - 1 (HF counts the start)
@@ -94,6 +127,16 @@ def _process_logits_hf(logits, dcfg, step_idx, max_length, fullbuf=None,
         forced = jnp.full_like(logits, neg) \
             .at[:, forced_eos_token_id].set(0.0)
         logits = jnp.where(step_idx == max_length - 1, forced, logits)
+
+    if suppress_tokens:
+        logits = logits.at[:, list(suppress_tokens)].set(neg)
+
+    if begin_suppress_tokens:
+        # HF SuppressTokensAtBeginLogitsProcessor fires at cur_len ==
+        # begin_index (= the 1-token decoder start here) -> first generated
+        # token only
+        sup = logits.at[:, list(begin_suppress_tokens)].set(neg)
+        logits = jnp.where(step_idx == 0, sup, logits)
 
     return logits
 
@@ -139,7 +182,9 @@ def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
                   temperature=1.0, top_k=0, top_p=1.0, rng=None,
                   min_length=0, repetition_penalty=1.0,
                   no_repeat_ngram_size=0, forced_bos_token_id=None,
-                  forced_eos_token_id=None):
+                  forced_eos_token_id=None, bad_words_ids=None,
+                  suppress_tokens=None, begin_suppress_tokens=None,
+                  output_scores=False):
     """Greedy (or, with do_sample=True, ancestral-sampling) decode against a
     computed text-encoder output — the HF generate() surface: the
     LogitsProcessor stack (_process_logits_hf) then, when sampling, the
@@ -152,6 +197,11 @@ def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
     emitted EOS (output identical; saves up to ~half the decode time on real
     speech where transcripts end well before max_length).  The default scan
     always runs max_length steps — predictable cost, donation-friendly.
+
+    output_scores=True additionally returns the per-step processed scores
+    (max_length, B, V) f32 — HF generate(output_scores=True)'s `scores`
+    tuple stacked (post-processors; post-warp when sampling).  Forces the
+    scan path (the early-exit loop has no score buffer).
     """
     b = enc_hidden.shape[0]
     cache = seq2seq.init_decoder_cache(params, dcfg, enc_hidden, b,
@@ -160,7 +210,10 @@ def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
     if do_sample and rng is None:
         rng = jax.random.PRNGKey(0)
     # the history-dependent processors need the sequence so far in the carry
-    needs_history = repetition_penalty != 1.0 or no_repeat_ngram_size > 0
+    needs_history = _needs_history(repetition_penalty, no_repeat_ngram_size,
+                                   bad_words_ids)
+    if output_scores:
+        early_stop = False
 
     def one_step(tok, cache, finished, fullbuf, t):
         out = seq2seq.decode(params, dcfg, tok, encoder_mask=enc_mask,
@@ -172,7 +225,9 @@ def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
             repetition_penalty=repetition_penalty,
             no_repeat_ngram_size=no_repeat_ngram_size, min_length=min_length,
             forced_bos_token_id=forced_bos_token_id,
-            forced_eos_token_id=forced_eos_token_id)
+            forced_eos_token_id=forced_eos_token_id,
+            bad_words_ids=bad_words_ids, suppress_tokens=suppress_tokens,
+            begin_suppress_tokens=begin_suppress_tokens)
         if do_sample:
             logits = sample_filter_logits(
                 logits / jnp.maximum(jnp.float32(temperature), 1e-6),
@@ -187,7 +242,7 @@ def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
         if fullbuf is not None:
             fullbuf = jax.lax.dynamic_update_slice(
                 fullbuf, next_tok[:, None], (0, t + 1))
-        return next_tok, out["cache"], new_finished, fullbuf
+        return next_tok, out["cache"], new_finished, fullbuf, logits
 
     fullbuf0 = None
     if needs_history:
@@ -204,7 +259,7 @@ def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
 
         def body(carry):
             tok, cache, finished, buf, fullbuf, t = carry
-            next_tok, cache, finished, fullbuf = one_step(
+            next_tok, cache, finished, fullbuf, _ = one_step(
                 tok, cache, finished, fullbuf, t)
             buf = jax.lax.dynamic_update_slice(buf, next_tok[:, None],
                                                (0, t))
@@ -214,20 +269,28 @@ def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
             cond, body,
             (start, cache, jnp.zeros((b,), bool), tokens_buf, fullbuf0,
              jnp.int32(0)))
+        scores = None
     else:
         def step(carry, _):
             tok, cache, finished, fullbuf, t = carry
-            next_tok, cache, finished, fullbuf = one_step(
+            next_tok, cache, finished, fullbuf, logits = one_step(
                 tok, cache, finished, fullbuf, t)
+            y = (next_tok, logits.astype(jnp.float32)) if output_scores \
+                else next_tok
             return (next_tok[:, None], cache, finished, fullbuf,
-                    t + 1), next_tok
+                    t + 1), y
 
-        (_, _, finished, _, _), tokens = jax.lax.scan(
+        (_, _, finished, _, _), ys = jax.lax.scan(
             step, (start, cache, jnp.zeros((b,), bool), fullbuf0,
                    jnp.int32(0)), None,
             length=max_length)
-        tokens = tokens.T  # (B, max_length)
+        if output_scores:
+            tokens, scores = ys[0].T, ys[1]
+        else:
+            tokens, scores = ys.T, None  # (B, max_length)
     lengths = jnp.sum((tokens != dcfg.pad_token_id).astype(jnp.int32), axis=1)
+    if output_scores:
+        return tokens, lengths, scores
     return tokens, lengths
 
 
@@ -261,7 +324,9 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
                 min_length=0, repetition_penalty=1.0,
                 no_repeat_ngram_size=0, forced_bos_token_id=None,
                 forced_eos_token_id=None, do_sample=False, temperature=1.0,
-                top_k=0, top_p=1.0, rng=None):
+                top_k=0, top_p=1.0, rng=None, num_return_sequences=1,
+                output_scores=False, bad_words_ids=None,
+                suppress_tokens=None, begin_suppress_tokens=None):
     """Batched beam search with HuggingFace `generate()` semantics — the
     surface the reference exposes (hf_model.py:304-338 delegates to HF
     PreTrainedModel.generate).  Re-derived for a lax.while_loop from the
@@ -286,8 +351,12 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
         top-k trick (jax RNG, so token-level HF parity is by construction
         impossible; semantics and score bookkeeping match HF beam_sample)
 
-    Returns (tokens (B, max_length) — best finished beam, pad after EOS —
-    and lengths (B,)).  Token-exact vs HF generate: tests/test_beam_hf.py.
+    Returns (tokens (B*num_return_sequences, max_length) — the top finished
+    beams per row in score order, pad after EOS — and lengths).  With
+    output_scores=True additionally returns `sequences_scores`
+    (B*num_return_sequences,) — the length-penalized final beam scores, HF
+    generate(output_scores=True, return_dict_in_generate=True)
+    .sequences_scores.  Token-exact vs HF generate: tests/test_beam_hf.py.
     """
     b = enc_hidden.shape[0]
     k = num_beams
@@ -295,9 +364,14 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
     s_max = max_length
     neg = jnp.float32(-1e9)
     pad, eos = dcfg.pad_token_id, dcfg.eos_token_id
+    nret = num_return_sequences
+    if nret > k:
+        raise ValueError(
+            f"num_return_sequences ({nret}) must be <= num_beams ({k})")
     if do_sample and rng is None:
         rng = jax.random.PRNGKey(0)
-    needs_history = repetition_penalty != 1.0 or no_repeat_ngram_size > 0
+    needs_history = _needs_history(repetition_penalty, no_repeat_ngram_size,
+                                   bad_words_ids)
 
     rep = lambda x: jnp.repeat(x, k, axis=0)
     enc_hidden_t, enc_mask_t = rep(enc_hidden), rep(enc_mask)
@@ -350,7 +424,9 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
             repetition_penalty=repetition_penalty,
             no_repeat_ngram_size=no_repeat_ngram_size, min_length=min_length,
             forced_bos_token_id=forced_bos_token_id,
-            forced_eos_token_id=forced_eos_token_id)
+            forced_eos_token_id=forced_eos_token_id,
+            bad_words_ids=bad_words_ids, suppress_tokens=suppress_tokens,
+            begin_suppress_tokens=begin_suppress_tokens)
         vocab = logp.shape[-1]
         acc = logp.reshape(b, k, vocab) + c["running_scores"][:, :, None]
         if do_sample:
@@ -427,8 +503,13 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
                     valid_cont=~jnp.all(hits))
 
     final = jax.lax.while_loop(cond, body, init)
-    best_seqs = final["finished_seqs"][:, 0, :]  # top_k output is sorted
+    # top_k output is score-sorted: rows 0..nret-1 are the return set
+    # (HF: num_return_sequences flattened into the batch axis)
+    best_seqs = final["finished_seqs"][:, :nret, :].reshape(b * nret, s_max)
     lengths = jnp.sum((best_seqs != pad).astype(jnp.int32), axis=1)
+    if output_scores:
+        seq_scores = final["finished_scores"][:, :nret].reshape(b * nret)
+        return best_seqs, lengths, seq_scores
     return best_seqs, lengths
 
 
@@ -443,11 +524,20 @@ def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
              do_sample=False, temperature=1.0, top_k=0, top_p=1.0,
              rng=None, min_length=0, repetition_penalty=1.0,
              no_repeat_ngram_size=0, forced_bos_token_id=None,
-             forced_eos_token_id=None):
+             forced_eos_token_id=None, bad_words_ids=None,
+             suppress_tokens=None, begin_suppress_tokens=None,
+             num_return_sequences=1, output_scores=False):
     """Full pipeline: waveform -> fused embeds -> text encoder (once) ->
     cached decode loop.  Equivalent of HFSpeechMixEED.generate
     (hf_model.py:304-338 + eval.py:12-14), including decoder_text_prompt via
-    `prompt_ids`.  do_sample with num_beams > 1 is HF beam-sample."""
+    `prompt_ids`.  do_sample with num_beams > 1 is HF beam-sample.
+
+    num_return_sequences > 1 follows HF: beam search returns the top-n beams
+    per input; sampling tiles each input n times (independent draws); plain
+    greedy raises (HF ValueError).  Outputs are flattened to
+    (B*num_return_sequences, max_length) in HF's row order.
+    output_scores=True returns a third value: per-step processed scores for
+    greedy/sample, length-penalized sequences_scores for beam."""
     max_length = max_length or cfg.decoder.max_length
     inputs_embeds, enc_mask, _ = smx.encode_speech(
         params, cfg, input_values, lengths, prompt_ids,
@@ -464,6 +554,15 @@ def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
             dtype=dtype)
         enc_hidden = enc_out["last_hidden_state"]
     if num_beams <= 1:
+        if num_return_sequences > 1:
+            if not do_sample:
+                raise ValueError(
+                    "num_return_sequences > 1 requires do_sample=True or "
+                    "num_beams > 1 (HF greedy contract)")
+            # HF expands each input num_return_sequences times; each tiled
+            # row draws independently (jax categorical noise is per-row)
+            enc_hidden = jnp.repeat(enc_hidden, num_return_sequences, axis=0)
+            enc_mask = jnp.repeat(enc_mask, num_return_sequences, axis=0)
         return greedy_decode(params["nlp"], cfg.decoder, enc_hidden,
                              enc_mask, max_length, dtype, adapters,
                              early_stop=early_stop, use_flash=use_flash,
@@ -473,7 +572,11 @@ def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
                              repetition_penalty=repetition_penalty,
                              no_repeat_ngram_size=no_repeat_ngram_size,
                              forced_bos_token_id=forced_bos_token_id,
-                             forced_eos_token_id=forced_eos_token_id)
+                             forced_eos_token_id=forced_eos_token_id,
+                             bad_words_ids=bad_words_ids,
+                             suppress_tokens=suppress_tokens,
+                             begin_suppress_tokens=begin_suppress_tokens,
+                             output_scores=output_scores)
     return beam_search(params["nlp"], cfg.decoder, enc_hidden, enc_mask,
                        max_length, num_beams, length_penalty, dtype, adapters,
                        use_flash=use_flash, early_stopping=early_stopping,
@@ -483,4 +586,9 @@ def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
                        forced_bos_token_id=forced_bos_token_id,
                        forced_eos_token_id=forced_eos_token_id,
                        do_sample=do_sample, temperature=temperature,
-                       top_k=top_k, top_p=top_p, rng=rng)
+                       top_k=top_k, top_p=top_p, rng=rng,
+                       bad_words_ids=bad_words_ids,
+                       suppress_tokens=suppress_tokens,
+                       begin_suppress_tokens=begin_suppress_tokens,
+                       num_return_sequences=num_return_sequences,
+                       output_scores=output_scores)

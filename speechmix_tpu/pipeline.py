@@ -35,7 +35,7 @@ class TranscriptionPipeline:
                  kv_int8: bool = False, long_audio: str = "chunk",
                  long_audio_search_sec: float = 2.0, mesh=None,
                  transfer_dtype: str = "float32", min_length: int = 0,
-                 fuse_qkv: bool = False):
+                 fuse_qkv: bool = False, generate_kwargs: dict = None):
         # use_flash=None: auto — the single-pass Pallas attention kernel on
         # TPU (measured faster in situ, PERF.md); False/True to override.
         # early_stop: exit the decode loop once every row has emitted EOS
@@ -71,6 +71,33 @@ class TranscriptionPipeline:
                 raise ValueError(
                     f"batch_size {batch_size} must be a multiple of the "
                     f"mesh data-axis size {n_data}")
+        # generate_kwargs: extra HF LogitsProcessor knobs forwarded to every
+        # decode (bad_words_ids, suppress_tokens, begin_suppress_tokens,
+        # repetition_penalty, no_repeat_ngram_size, forced_bos/eos_token_id,
+        # length_penalty, early_stopping) — the tail of the generate()
+        # surface the reference inherits (hf_model.py:304-338).  Sequence-
+        # multiplying / score-returning kwargs are rejected: a transcription
+        # pipeline returns exactly one transcript per input.
+        allowed = {"bad_words_ids", "suppress_tokens",
+                   "begin_suppress_tokens", "repetition_penalty",
+                   "no_repeat_ngram_size", "forced_bos_token_id",
+                   "forced_eos_token_id", "length_penalty", "early_stopping"}
+        generate_kwargs = dict(generate_kwargs or {})
+        bad = set(generate_kwargs) - allowed
+        if bad:
+            raise ValueError(
+                f"generate_kwargs {sorted(bad)} not supported by the "
+                f"pipeline; allowed: {sorted(allowed)}")
+        if "bad_words_ids" in generate_kwargs and \
+                generate_kwargs["bad_words_ids"]:
+            generate_kwargs["bad_words_ids"] = tuple(
+                tuple(int(t) for t in w)
+                for w in generate_kwargs["bad_words_ids"])
+        for k in ("suppress_tokens", "begin_suppress_tokens"):
+            if generate_kwargs.get(k):
+                generate_kwargs[k] = tuple(int(t)
+                                           for t in generate_kwargs[k])
+        self.generate_kwargs = generate_kwargs
         self.long_audio = long_audio
         self.long_audio_search_sec = long_audio_search_sec
         self.model = model
@@ -127,6 +154,7 @@ class TranscriptionPipeline:
             use_flash, early_stop = self.use_flash, self.early_stop
             kv_int8, min_length = self.kv_int8, self.min_length
             int16_in = self.transfer_dtype == "int16"
+            gen_kwargs = self.generate_kwargs
 
             def raw(params, batch, lengths, scale):
                 if int16_in:
@@ -141,7 +169,8 @@ class TranscriptionPipeline:
                     params, cfg, batch, lengths, max_length=max_length,
                     num_beams=num_beams, use_flash=use_flash,
                     early_stop=early_stop, kv_int8=kv_int8,
-                    min_length=min_length, dtype=jnp_dtype(cfg.dtype))
+                    min_length=min_length, dtype=jnp_dtype(cfg.dtype),
+                    **gen_kwargs)
 
             fn = jax.jit(raw)
             self._fns[t_samples] = fn

