@@ -77,7 +77,7 @@ class SpeechEncoderConfig:
     # conv extractor lowering: "auto" resolves to "conv" (XLA lax.conv — the
     # measured optimum on TPU; patch-matmul was 3.6x slower and reverted,
     # see PERF.md and speech_encoder.extract_features)
-    extractor_impl: str = "auto"  # "auto"|"conv"|"patches"|"pairs"|"fused"
+    extractor_impl: str = "auto"  # "auto"|"conv"|"patches"|"pairs"|"taps"|"fused"
 
     @property
     def feature_dim(self) -> int:

@@ -45,7 +45,21 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
         from safetensors.numpy import load_file
         return {k: np.asarray(v) for k, v in load_file(path).items()}
     import torch
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # fairseq/s3prl checkpoints pickle an args Namespace beside the
+        # weights, which weights_only rejects — retry unrestricted (these
+        # are local files the user chose to load, same trust model as the
+        # reference's torch.load at eval.py:10)
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and not any(
+            hasattr(v, "detach") for v in sd.values()):
+        # fairseq layout: {"args"/"cfg": ..., "model": OrderedDict}
+        for key in ("model", "state_dict"):
+            if key in sd and isinstance(sd[key], dict):
+                sd = sd[key]
+                break
     return {k: v.detach().numpy() for k, v in sd.items()
             if hasattr(v, "detach")}
 
@@ -115,9 +129,84 @@ def _materialize_weight_norm(sd, base):
 def load_speech_encoder(path: str, cfg: SpeechEncoderConfig,
                         num_layers: Optional[int] = None):
     """Convert a wav2vec2-family checkpoint; `num_layers` truncates to the
-    bottom N transformer layers (share_layer_ratio semantics)."""
-    return speech_encoder_from_state_dict(
-        _strip_prefix(load_state_dict(path)), cfg, num_layers)
+    bottom N transformer layers (share_layer_ratio semantics).  Handles both
+    the HF `transformers` key layout and the fairseq/s3prl hub layout the
+    reference's s3prl family loads (model.py:65) — auto-detected."""
+    sd = _strip_prefix(load_state_dict(path))
+    if _is_fairseq_layout(sd):
+        return speech_encoder_from_fairseq_state_dict(sd, cfg, num_layers)
+    return speech_encoder_from_state_dict(sd, cfg, num_layers)
+
+
+def _is_fairseq_layout(sd) -> bool:
+    """fairseq Wav2Vec2Model fingerprints: Sequential-index conv keys,
+    post_extract_proj, self_attn block names."""
+    return ("post_extract_proj.weight" in sd
+            or "feature_extractor.conv_layers.0.0.weight" in sd
+            or any(k.startswith("encoder.layers.0.self_attn.")
+                   for k in sd))
+
+
+def speech_encoder_from_fairseq_state_dict(sd, cfg: SpeechEncoderConfig,
+                                           num_layers: Optional[int] = None):
+    """Convert a fairseq-layout wav2vec2 state dict (the s3prl hub format —
+    the one reference loading path with no HF equivalent, model.py:65) to
+    the same params pytree as speech_encoder_from_state_dict.
+
+    fairseq ConvFeatureExtractionModel packs each conv block as a
+    Sequential: conv at index 0; group-norm (base family, block 0) at index
+    2; per-layer LN (large family) nested at index 2.1.  The projection is
+    `post_extract_proj`, its LN is the top-level `layer_norm`, the
+    positional conv is the weight-normed `encoder.pos_conv.0`, transformer
+    blocks use self_attn/fc1/fc2 names, and SpecAugment's embedding is
+    `mask_emb`."""
+    # fine-tuned fairseq CTC models nest the encoder under w2v prefixes
+    sd = _strip_prefix(sd, prefixes=("w2v_encoder.w2v_model.",
+                                     "w2v_model.", "w2v_encoder."))
+    n_layers = num_layers if num_layers is not None else cfg.num_layers
+
+    conv_layers = []
+    for i in range(len(cfg.conv_dims)):
+        base = f"feature_extractor.conv_layers.{i}"
+        layer = {"conv": _conv(sd, f"{base}.0")}
+        if f"{base}.2.weight" in sd:        # Fp32GroupNorm (base, block 0)
+            layer["norm"] = _ln(sd, f"{base}.2")
+        elif f"{base}.2.1.weight" in sd:    # Fp32LayerNorm (large family)
+            layer["norm"] = _ln(sd, f"{base}.2.1")
+        conv_layers.append(layer)
+
+    pos_w = _materialize_weight_norm(sd, "encoder.pos_conv.0")
+    pos_conv = {"kernel": jnp.asarray(pos_w.transpose(2, 1, 0)),
+                "bias": jnp.asarray(sd["encoder.pos_conv.0.bias"])}
+
+    def block(i):
+        b = f"encoder.layers.{i}"
+        return {
+            "attention": {
+                "q_proj": _lin(sd, f"{b}.self_attn.q_proj"),
+                "k_proj": _lin(sd, f"{b}.self_attn.k_proj"),
+                "v_proj": _lin(sd, f"{b}.self_attn.v_proj"),
+                "out_proj": _lin(sd, f"{b}.self_attn.out_proj"),
+            },
+            "attention_layer_norm": _ln(sd, f"{b}.self_attn_layer_norm"),
+            "ffn_in": _lin(sd, f"{b}.fc1"),
+            "ffn_out": _lin(sd, f"{b}.fc2"),
+            "final_layer_norm": _ln(sd, f"{b}.final_layer_norm"),
+        }
+
+    params = {
+        "feature_extractor": {"layers": conv_layers},
+        "feature_projection": {
+            "layer_norm": _ln(sd, "layer_norm"),
+            "projection": _lin(sd, "post_extract_proj"),
+        },
+        "pos_conv": pos_conv,
+        "encoder_layer_norm": _ln(sd, "encoder.layer_norm"),
+        "layers": _stack([block(i) for i in range(n_layers)]),
+    }
+    if "mask_emb" in sd:
+        params["masked_spec_embed"] = jnp.asarray(sd["mask_emb"])
+    return params
 
 
 def speech_encoder_from_state_dict(sd, cfg: SpeechEncoderConfig,

@@ -255,6 +255,8 @@ def conv1d(params, x, stride, dtype=None, impl="conv"):
         y = _conv1d_patches(kernel, x.astype(dtype), stride, dtype)
     elif impl == "pairs":
         y = _conv1d_pairs(kernel, x.astype(dtype), stride, dtype)
+    elif impl == "taps":
+        y = _conv1d_taps(kernel, x.astype(dtype), stride, dtype)
     else:
         y = jax.lax.conv_general_dilated(
             x.astype(dtype), kernel,
@@ -264,6 +266,27 @@ def conv1d(params, x, stride, dtype=None, impl="conv"):
         )
     if "bias" in params:
         y = y + params["bias"].astype(dtype)
+    return y
+
+
+def _conv1d_taps(kernel, x, stride, dtype):
+    """VALID strided conv as k accumulated gemms over per-tap strided-slice
+    views: y = sum_j x[:, j::stride, :][:t] @ W[j].
+
+    Unlike "patches" there is NO concat (the k unfold copies were the HBM
+    killer) and unlike "pairs" there is NO row-merge reshape (the relayout
+    copies were its loss) — each tap is one (B*t, Cin)x(Cin, Cout) gemm at
+    the MXU's preferred contraction width, and XLA fuses the adds into the
+    gemm epilogues.  Exact conv FLOP count."""
+    k, cin, cout = kernel.shape
+    b, t_in, _ = x.shape
+    t = (t_in - k) // stride + 1
+    y = None
+    for j in range(k):
+        xs = jax.lax.slice(x, (0, j, 0), (b, j + (t - 1) * stride + 1, cin),
+                           (1, stride, 1))
+        yj = jnp.dot(xs, kernel[j], preferred_element_type=dtype)
+        y = yj if y is None else y + yj
     return y
 
 

@@ -588,7 +588,13 @@ def _attn_dropout_fused_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref,
     the backward twin regenerates the identical stream because both use the
     SAME hb (shared chooser _bwd_fused_hb / _lane_slab_prep)."""
     kv_valid = mask_ref[0, 0].astype(jnp.float32)
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
+    pltpu.prng_seed(
+        seed_ref[0],
+        # fold (batch, head-group) into ONE stream index: libtpu
+        # rejects prng_set_seed_32 with >2 values (observed on the
+        # round-4 v5e; round-3's chip accepted 3).  fwd and bwd use
+        # this same fold, so mask regeneration is unaffected.
+        pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
     qa = q_ref[0]
     ka = k_ref[0]
     va = v_ref[0]
@@ -612,7 +618,13 @@ def _attn_bwd_dropout_fused_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref,
                                    g_ref, dq_ref, dk_ref, dv_ref, *, scale,
                                    causal, rate, hb, d):
     kv_valid = mask_ref[0, 0].astype(jnp.float32)
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
+    pltpu.prng_seed(
+        seed_ref[0],
+        # fold (batch, head-group) into ONE stream index: libtpu
+        # rejects prng_set_seed_32 with >2 values (observed on the
+        # round-4 v5e; round-3's chip accepted 3).  fwd and bwd use
+        # this same fold, so mask regeneration is unaffected.
+        pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
     qa = q_ref[0]
     ka = k_ref[0]
     va = v_ref[0]

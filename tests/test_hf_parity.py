@@ -381,3 +381,88 @@ def test_t5_hidden_states_convention():
     _assert_hidden_states_parity(hf, params, cfg,
                                  np.array([[5, 6, 7, 8, 1]]),
                                  np.array([[0, 5, 6, 7]]))
+
+
+def test_fairseq_layout_speech_encoder_matches_hf_load():
+    """The s3prl/fairseq checkpoint layout (the reference's s3prl hub
+    loading path, model.py:65) converts to the identical params pytree as
+    the HF layout of the same weights — pinned by renaming a real HF state
+    dict into fairseq key conventions (Sequential conv indices,
+    post_extract_proj, encoder.pos_conv.0 weight-norm pair, self_attn/fc1/
+    fc2 blocks, mask_emb) and loading both."""
+    hf_cfg = transformers.Wav2Vec2Config(
+        vocab_size=32, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        conv_dim=(16, 16, 16), conv_kernel=(10, 3, 3), conv_stride=(5, 2, 2),
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=2,
+        do_stable_layer_norm=False, feat_extract_norm="group",
+        hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        feat_proj_dropout=0.0, layerdrop=0.0)
+    hf = transformers.Wav2Vec2Model(hf_cfg).eval()
+    cfg = SpeechEncoderConfig(
+        name="fairseq-parity", conv_dims=(16, 16, 16),
+        conv_kernels=(10, 3, 3), conv_strides=(5, 2, 2), conv_bias=False,
+        feat_extract_norm="group", hidden_size=32, num_layers=2, num_heads=2,
+        ffn_dim=64, pos_conv_kernel=16, pos_conv_groups=2)
+
+    sd = hf.state_dict()
+
+    def fairseq_name(k):
+        import re
+        k = re.sub(r"feature_extractor\.conv_layers\.(\d+)\.conv\.",
+                   r"feature_extractor.conv_layers.\1.0.", k)
+        k = re.sub(r"feature_extractor\.conv_layers\.0\.layer_norm\.",
+                   r"feature_extractor.conv_layers.0.2.", k)
+        k = k.replace("feature_projection.layer_norm.", "layer_norm.")
+        k = k.replace("feature_projection.projection.",
+                      "post_extract_proj.")
+        k = k.replace(
+            "encoder.pos_conv_embed.conv.parametrizations.weight.original0",
+            "encoder.pos_conv.0.weight_g")
+        k = k.replace(
+            "encoder.pos_conv_embed.conv.parametrizations.weight.original1",
+            "encoder.pos_conv.0.weight_v")
+        k = k.replace("encoder.pos_conv_embed.conv.weight_g",
+                      "encoder.pos_conv.0.weight_g")
+        k = k.replace("encoder.pos_conv_embed.conv.weight_v",
+                      "encoder.pos_conv.0.weight_v")
+        k = k.replace("encoder.pos_conv_embed.conv.bias",
+                      "encoder.pos_conv.0.bias")
+        k = re.sub(r"encoder\.layers\.(\d+)\.attention\.",
+                   r"encoder.layers.\1.self_attn.", k)
+        k = re.sub(r"encoder\.layers\.(\d+)\.layer_norm\.",
+                   r"encoder.layers.\1.self_attn_layer_norm.", k)
+        k = k.replace(".feed_forward.intermediate_dense.", ".fc1.")
+        k = k.replace(".feed_forward.output_dense.", ".fc2.")
+        k = k.replace("masked_spec_embed", "mask_emb")
+        return k
+
+    fsd = {fairseq_name(k): v for k, v in sd.items()}
+    assert "post_extract_proj.weight" in fsd
+    assert "encoder.layers.0.self_attn.q_proj.weight" in fsd
+
+    # fairseq checkpoints ship as {"args": Namespace, "model": state_dict}
+    import argparse
+    ckpt = {"args": argparse.Namespace(arch="wav2vec2"), "model": fsd}
+    fs_path = tempfile.mktemp(suffix=".pt")
+    torch.save(ckpt, fs_path)
+    hf_path = _save_sd(hf)
+    try:
+        p_hf = convert.load_speech_encoder(hf_path, cfg)
+        p_fs = convert.load_speech_encoder(fs_path, cfg)
+    finally:
+        os.remove(fs_path)
+        os.remove(hf_path)
+
+    import jax
+    leaves_hf, td_hf = jax.tree_util.tree_flatten(p_hf)
+    leaves_fs, td_fs = jax.tree_util.tree_flatten(p_fs)
+    assert td_hf == td_fs
+    for a, b in zip(leaves_hf, leaves_fs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    # and the converted encoder actually runs
+    wav = np.random.RandomState(0).randn(1, 4000).astype(np.float32) * 0.1
+    out = se.speech_encoder_apply(p_fs, cfg, jnp.asarray(wav))
+    assert np.all(np.isfinite(np.asarray(out["last_hidden_state"])))

@@ -238,3 +238,29 @@ def test_layerdrop_semantics():
     )["last_hidden_state"]
     np.testing.assert_allclose(np.asarray(infer_hi), np.asarray(infer_off),
                                rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("preset", ["tiny-speech", "wav2vec2-base"])
+@pytest.mark.parametrize("t_samples", [16000, 12345])
+def test_extractor_taps_matches_conv(preset, t_samples):
+    """The per-tap strided-slice gemm lowering (layers._conv1d_taps) is
+    numerically the conv it replaces (no concat, no row-merge reshape —
+    the round-4 candidate for the extractor's MFU gap, PERF.md)."""
+    import dataclasses
+    cfg = SPEECH_ENCODER_PRESETS[preset]
+    params = se.init_speech_encoder(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(0)
+    b = 2
+    wav = jnp.asarray(rng.randn(b, t_samples).astype(np.float32) * 0.1)
+    lengths = jnp.asarray([t_samples, t_samples - 2111], jnp.int32)
+
+    cfg_conv = dataclasses.replace(cfg, extractor_impl="conv")
+    cfg_taps = dataclasses.replace(cfg, extractor_impl="taps")
+    ref = se.extract_features(params, cfg_conv, wav, lengths)
+    got = se.extract_features(params, cfg_taps, wav, lengths)
+    assert got.shape == ref.shape
+    valid = np.asarray(cfg.feature_lengths(np.asarray(lengths)))
+    for i in range(b):
+        np.testing.assert_allclose(np.asarray(got[i, :valid[i]]),
+                                   np.asarray(ref[i, :valid[i]]),
+                                   atol=2e-5, rtol=2e-5)
