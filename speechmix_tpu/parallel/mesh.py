@@ -121,6 +121,48 @@ def shard_params(mesh: Mesh, params):
     return jax.device_put(params, param_sharding(mesh, params))
 
 
+def opt_state_sharding(mesh: Mesh, opt_state):
+    """ZeRO-1: optimizer-state sharding over the `data` axis.
+
+    The reference scaled via HF Trainer's DDP, which replicates optimizer
+    state per device (SURVEY.md §2.4); here each array leaf of the optax
+    state shards its first data-divisible dimension over `data` so per-chip
+    state memory drops ~linearly with the DP degree.  XLA's SPMD partitioner
+    then reduce-scatters the gradient consumption inside optimizer.update
+    and all-gathers the (small) updates at apply_updates — the classic
+    ZeRO-1 comm pattern, derived automatically from the output sharding.
+
+    Rule: shard the FIRST dimension divisible by the data-axis size (scalar
+    counts and indivisible leaves stay replicated).  Applies to any optax
+    state (AdamW moments, Adafactor factored rows/cols)."""
+    n_data = mesh.shape[DATA_AXIS]
+
+    def sh(leaf):
+        ndim = getattr(leaf, "ndim", 0)
+        shape = getattr(leaf, "shape", ())
+        for i in range(ndim):
+            if shape[i] >= n_data and shape[i] % n_data == 0:
+                spec = [None] * ndim
+                spec[i] = DATA_AXIS
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(sh, opt_state)
+
+
+def shard_opt_state(mesh: Mesh, opt_state):
+    return jax.device_put(opt_state, opt_state_sharding(mesh, opt_state))
+
+
+def constrain_opt_state(opt_state, shardings):
+    """Trace-time sharding constraint tying a freshly-updated optimizer
+    state to its ZeRO-1 layout (shardings from opt_state_sharding on an
+    eval_shape of the state)."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.lax.with_sharding_constraint(x, s),
+        opt_state, shardings)
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch onto the mesh, sharded over `data`.
 

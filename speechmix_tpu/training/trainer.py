@@ -64,6 +64,11 @@ class TrainConfig:
     # FreezingCallback window in epochs (train.py:327 passes 500 *steps* to a
     # parameter the callback treats as epochs; we keep epochs semantics)
     freeze_epochs: int = 0
+    # "tensor" replicates the reference FreezingCallback exactly (individual
+    # tensors released in reverse registration order, epoch-0 fully
+    # trainable — freezing.reference_unfreeze_scale); "layer" is the coarser
+    # stacked-layer schedule (freezing.gradual_unfreeze_scale)
+    unfreeze_granularity: str = "tensor"
     max_steps: int = 0  # 0 = no cap
     # also run free-running generate() + WER/CER at each eval (the real ASR
     # metric; teacher-forced eval alone mirrors the reference Trainer)
@@ -97,6 +102,16 @@ class TrainConfig:
         return True if self.use_flash is None else self.use_flash
     model_parallel: int = 1
     sequence_parallel: int = 1  # mesh `seq` axis size (long-audio scaling)
+    # optimizer family: "adafactor" is the reference recipe (HF Trainer
+    # adafactor=True, train.py:298); "adamw" is HF's default when that flag
+    # is off — exposed because its 2x-f32-moment state is where ZeRO-1
+    # sharding pays (725M-param large pair: 5.8 GB of moments per chip
+    # replicated vs /n_data sharded)
+    optimizer: str = "adafactor"
+    # ZeRO-1: shard optimizer state over the mesh `data` axis
+    # (parallel.mesh.opt_state_sharding).  Step math is unchanged — pinned
+    # equal to the replicated step by tests/test_training.py
+    zero1: bool = False
     wandb: bool = False  # mirror metrics to wandb when installed
     fixed_speech: bool = False
     fixed_nlp: bool = True
@@ -131,9 +146,32 @@ def make_lr_schedule(tc: TrainConfig):
 
 def make_optimizer(tc: TrainConfig):
     schedule = make_lr_schedule(tc)
+    if tc.optimizer == "adamw":
+        # HF Trainer AdamW kwargs: betas (0.9, 0.999), eps 1e-8,
+        # weight_decay = TrainingArguments default 0.0 (optax's own default
+        # is 1e-4 — a recipe divergence the reference never opted into)
+        inner = optax.adamw(learning_rate=schedule, weight_decay=0.0)
+    elif tc.optimizer == "adafactor":
+        # HF Trainer builds Adafactor(scale_parameter=False,
+        # relative_step=False) for the reference's adafactor=True recipe
+        # (train.py:298); optax's multiply_by_parameter_scale=True default
+        # is the Adafactor-paper variant HF turns OFF.  Matching it keeps
+        # the update rule identical: lr * clip_rms(ĝ / sqrt(v̂)).
+        # Curve agreement vs the reference's executed HF Trainer loop is
+        # pinned by experiments/recipe_parity.py / tests/test_recipe_parity.
+        # min_dim_size_to_factor=0: HF's Adafactor factors the second moment
+        # for EVERY >=2-D param; optax's 128 cutoff silently switches small
+        # matrices to unfactored stats (measured 300-step drift on the tiny
+        # parity model; identical behavior at real model dims >=128).
+        inner = optax.adafactor(learning_rate=schedule,
+                                multiply_by_parameter_scale=False,
+                                min_dim_size_to_factor=0)
+    else:
+        raise ValueError(f"unknown optimizer {tc.optimizer!r} "
+                         f"(expected 'adafactor' or 'adamw')")
     return optax.chain(
         optax.clip_by_global_norm(tc.max_grad_norm),
-        optax.adafactor(learning_rate=schedule),
+        inner,
     )
 
 
@@ -166,6 +204,10 @@ def make_train_step(cfg: SpeechMixConfig, tc: TrainConfig, params_example,
     use_flash = tc.resolved_use_flash()
     seq_mesh = mesh if (mesh is not None and tc.sequence_parallel > 1) \
         else None
+    opt_shardings = None
+    if tc.zero1 and mesh is not None:
+        opt_shardings = mesh_lib.opt_state_sharding(
+            mesh, jax.eval_shape(optimizer.init, params_example))
 
     # dropout rng: deterministic chain keyed on (seed, step, microbatch) —
     # resumable runs replay identical masks
@@ -216,8 +258,13 @@ def make_train_step(cfg: SpeechMixConfig, tc: TrainConfig, params_example,
         # freezing stack: static variant mask * gradual unfreeze * GAN parity
         masks = [static_mask]
         if tc.freeze_epochs > 0:
-            masks.append(freezing.gradual_unfreeze_scale(state.params,
-                                                         unfreeze_progress))
+            if tc.unfreeze_granularity == "tensor":
+                masks.append(freezing.reference_unfreeze_scale(
+                    state.params, unfreeze_progress * tc.freeze_epochs,
+                    tc.freeze_epochs))
+            else:
+                masks.append(freezing.gradual_unfreeze_scale(
+                    state.params, unfreeze_progress))
         if cfg.variant == "gan":
             masks.append(freezing.gan_alternating_masks(
                 state.params, state.step, cfg.gan_discriminator_update_every))
@@ -225,6 +272,11 @@ def make_train_step(cfg: SpeechMixConfig, tc: TrainConfig, params_example,
 
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
+        if opt_shardings is not None:
+            # ZeRO-1: pin the fresh state to its data-sharded layout so the
+            # whole update computation partitions over `data`
+            opt_state = mesh_lib.constrain_opt_state(opt_state,
+                                                     opt_shardings)
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss,
                    "grad_norm": optax.global_norm(grads)}
@@ -336,9 +388,12 @@ class Trainer:
     def init_state(self, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(self.tc.seed)
         state = create_train_state(rng, self.cfg, self.tc)
+        opt_state = state.opt_state
+        if self.tc.zero1:
+            opt_state = mesh_lib.shard_opt_state(self.mesh, opt_state)
         state = TrainState(
             params=mesh_lib.shard_params(self.mesh, state.params),
-            opt_state=state.opt_state, step=state.step)
+            opt_state=opt_state, step=state.step)
         return state
 
     def fit(self, state: TrainState, train_batches: Callable[[], Iterable],

