@@ -169,6 +169,113 @@ def gradual_unfreeze_scale(params, progress):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+# HF Wav2Vec2EncoderLayer parameter registration order (torch
+# named_parameters, verified by enumeration on transformers 4.57): the
+# in-layer tensor sequence the reference FreezingCallback's name_list walks.
+_INLAYER_ORDER = (
+    "attention/k_proj/kernel", "attention/k_proj/bias",
+    "attention/v_proj/kernel", "attention/v_proj/bias",
+    "attention/q_proj/kernel", "attention/q_proj/bias",
+    "attention/out_proj/kernel", "attention/out_proj/bias",
+    "attention_layer_norm/scale", "attention_layer_norm/bias",
+    "ffn_in/kernel", "ffn_in/bias",
+    "ffn_out/kernel", "ffn_out/bias",
+    "final_layer_norm/scale", "final_layer_norm/bias",
+)
+
+# Pre-transformer groups in Wav2Vec2Model registration order.  pos_conv is
+# a single merged kernel here vs torch's weight-norm (g, v) pair, so the
+# release boundary inside the pos-conv group lands one tensor earlier — the
+# only divergence from the reference's tensor sequence.
+_PRE_GROUPS = (
+    ("masked_spec_embed",),
+    # feature_extractor conv layers, ascending (conv kernel, bias, norm)
+    None,  # placeholder expanded at runtime
+    ("feature_projection/layer_norm/scale", "feature_projection/layer_norm/bias",
+     "feature_projection/projection/kernel", "feature_projection/projection/bias"),
+    ("pos_conv/bias", "pos_conv/kernel"),
+    ("encoder_layer_norm/scale", "encoder_layer_norm/bias"),
+)
+
+
+def _encoder_tensor_ranks(enc_params):
+    """Registration rank of every speech-encoder leaf, replicating torch's
+    named_parameters order (module/utility.py name_list).  Returns
+    ({path: scalar-rank or (L,) rank vector}, n_total) where stacked
+    transformer-layer leaves get one rank per layer slice."""
+    paths = dict(tree_paths(enc_params))
+    order = []
+    if "masked_spec_embed" in paths:
+        order.append("masked_spec_embed")
+    i = 0
+    while f"feature_extractor/layers/{i}/conv/kernel" in paths:
+        for t in (f"feature_extractor/layers/{i}/conv/kernel",
+                  f"feature_extractor/layers/{i}/conv/bias",
+                  f"feature_extractor/layers/{i}/norm/scale",
+                  f"feature_extractor/layers/{i}/norm/bias"):
+            if t in paths:
+                order.append(t)
+        i += 1
+    for group in _PRE_GROUPS[2:]:
+        for t in group:
+            if t in paths:
+                order.append(t)
+    base = len(order)
+    ranks = {p: float(r) for r, p in enumerate(order)}
+    num_layers = 0
+    for p, leaf in paths.items():
+        if p.startswith(f"layers{SEP}") and hasattr(leaf, "shape"):
+            num_layers = leaf.shape[0]
+            break
+    for t_idx, name in enumerate(_INLAYER_ORDER):
+        p = f"layers{SEP}{name}"
+        if p in paths:
+            ranks[p] = base + jnp.arange(num_layers, dtype=jnp.float32) \
+                * len(_INLAYER_ORDER) + t_idx
+    n_total = base + num_layers * len(_INLAYER_ORDER)
+    return ranks, n_total
+
+
+def reference_unfreeze_scale(params, epoch, freeze_epoch: int):
+    """Tensor-granularity FreezingCallback replica (module/utility.py:19-30).
+
+    The reference releases the LAST ``int(n/freeze_epoch) * epoch`` tensors
+    of the speech encoder's named_parameters list at each epoch begin —
+    i.e. individual tensors, top layer first, in reverse registration
+    order.  Quirk preserved: at epoch 0 the slice ``name_list[-0:]`` is the
+    WHOLE list, so epoch 0 trains fully; freezing starts at epoch 1.
+
+    epoch: traced scalar (fractional epochs floor to the callback's
+    integer-epoch behavior via the released-count formula).  Returns a
+    float multiplier pytree (1.0 outside the speech encoder).  The coarser
+    layer-granularity alternative is gradual_unfreeze_scale."""
+    epoch = jnp.asarray(epoch, jnp.float32)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    enc = params.get("speech_encoder") if isinstance(params, dict) else None
+    if enc is None:
+        return jax.tree_util.tree_unflatten(
+            treedef, [jnp.float32(1.0)] * len(flat))
+    ranks, n_total = _encoder_tensor_ranks(enc)
+    freeze_layers = int(n_total / freeze_epoch) if freeze_epoch > 0 else 0
+    k = jnp.floor(freeze_layers * epoch)
+    release_all = (epoch >= freeze_epoch) | (k < 1)
+
+    leaves = []
+    prefix = f"speech_encoder{SEP}"
+    for keypath, leaf in flat:
+        path = keypath_str(keypath)
+        if not path.startswith(prefix) or path[len(prefix):] not in ranks:
+            leaves.append(jnp.float32(1.0))
+            continue
+        rank = ranks[path[len(prefix):]]
+        trainable = release_all | (rank >= n_total - k)
+        m = trainable.astype(jnp.float32)
+        if hasattr(rank, "shape") and rank.ndim == 1:
+            m = m.reshape((rank.shape[0],) + (1,) * (leaf.ndim - 1))
+        leaves.append(m)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def apply_grad_mask(grads, *masks):
     """Multiply one or more float mask pytrees into a gradient pytree."""
     out = grads
