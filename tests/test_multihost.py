@@ -94,3 +94,41 @@ def test_two_process_multihost_matches_single(tmp_path):
     # same global prediction set and (replicated) loss
     evals = [(tmp_path / f"eval_{i}.txt").read_text() for i in range(2)]
     assert evals[0] == evals[1], evals
+
+
+def _spawn_workers(tmp_path, mode):
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), str(port), str(tmp_path), mode],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    for p in procs:
+        out, _ = p.communicate(timeout=480)
+        assert p.returncode == 0, \
+            f"worker({mode}) failed:\n{out.decode(errors='replace')}"
+
+
+def test_two_process_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """Multi-host checkpoint/resume (VERDICT r3 #7): 2 processes save an
+    orbax checkpoint after step 2 and exit; a FRESH pair of processes
+    restores (params + opt state + step, every process participating) and
+    runs steps 2-3 — the post-resume losses must equal an uninterrupted
+    4-step run exactly.  Reference semantics: HF Trainer
+    resume_from_checkpoint (train.py:300-308)."""
+    pytest.importorskip("orbax.checkpoint")
+    _spawn_workers(tmp_path, "ckpt_full")
+    _spawn_workers(tmp_path, "ckpt_a")
+    _spawn_workers(tmp_path, "ckpt_b")
+
+    full = [np.loadtxt(tmp_path / f"full_{i}.txt") for i in range(2)]
+    resumed = [np.loadtxt(tmp_path / f"resumed_{i}.txt") for i in range(2)]
+    np.testing.assert_allclose(full[0], full[1], rtol=0, atol=0)
+    np.testing.assert_allclose(resumed[0], resumed[1], rtol=0, atol=0)
+    # steps 2-3 after resume == steps 2-3 of the uninterrupted run
+    np.testing.assert_allclose(resumed[0], full[0][2:], rtol=1e-6)
