@@ -70,3 +70,45 @@ def tiny_cfg():
         decoder=SEQ2SEQ_PRESETS["tiny-bart-bytes"],
         down_scale=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Test tiering (VERDICT r3 #8): `-m quick` runs the fast tier for the
+# per-commit loop; the full suite stays the pre-push/pre-round gate.
+# Files are tiered centrally here (module durations from a --durations=0
+# full-suite run, 2026-08-19) instead of per-file pytestmark lines.
+# ---------------------------------------------------------------------------
+
+_SLOW_FILES = {
+    # multi-minute files: subprocess spawns, torch reference execution,
+    # HF Trainer loops, many-compile training paths
+    "test_training.py",
+    "test_multihost.py",
+    "test_reference_parity.py",
+    "test_hf_parity.py",
+    "test_beam_hf.py",
+    "test_recipe_parity.py",
+    "test_generation.py",
+    "test_pipeline.py",
+    "test_ring_attention.py",
+    "test_flash_dropout.py",
+    "test_trainer_predict.py",
+    "test_early_stop.py",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute test (subprocesses, reference torch "
+                   "execution, many-compile training paths)")
+    config.addinivalue_line(
+        "markers", "quick: fast tier alias — select with -m quick")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        if fname in _SLOW_FILES or item.get_closest_marker("slow"):
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)
