@@ -37,6 +37,12 @@ def main():
                         "generate's min_length - 1 (HF counts the "
                         "decoder-start token)")
     p.add_argument("--beam", default=1, type=int)
+    p.add_argument("--num_beam_groups", default=1, type=int,
+                   help="diverse (group) beam search: groups of "
+                        "beam/num_beam_groups beams, each penalized toward "
+                        "tokens earlier groups picked (HF generate "
+                        "num_beam_groups)")
+    p.add_argument("--diversity_penalty", default=0.0, type=float)
     p.add_argument("--kv_int8", action="store_true",
                    help="int8 cross-attention KV in the decode loop "
                    "(near-exact, faster at large batch)")
@@ -81,10 +87,14 @@ def main():
         from speechmix_tpu.metrics import cer, wer
         examples = load_librispeech_dir(args.librispeech_dir)
         print(f"{len(examples)} utterances from {args.librispeech_dir}")
+        gkw = {}
+        if args.num_beam_groups > 1:
+            gkw = {"num_beam_groups": args.num_beam_groups,
+                   "diversity_penalty": args.diversity_penalty}
         pipe = TranscriptionPipeline(
             spm, batch_size=args.batch, max_length=args.max_length,
             num_beams=args.beam, kv_int8=args.kv_int8,
-            min_length=args.min_length)
+            min_length=args.min_length, generate_kwargs=gkw)
         hyps = pipe([ex["audio"] for ex in examples])
         refs = [ex["text"].lower() for ex in examples]
         print(json.dumps({"wer": wer(refs, hyps), "cer": cer(refs, hyps),
@@ -128,7 +138,9 @@ def main():
 
     outputs = spm.generate([wav], decoder_text_prompt=args.prompt,
                            max_length=args.max_length, num_beams=args.beam,
-                           kv_int8=args.kv_int8, min_length=args.min_length)
+                           kv_int8=args.kv_int8, min_length=args.min_length,
+                           num_beam_groups=args.num_beam_groups,
+                           diversity_penalty=args.diversity_penalty)
     decoded = spm.tokenizer.decode(np.asarray(outputs[0]),
                                    skip_special_tokens=True)
     print("decoded:", decoded)

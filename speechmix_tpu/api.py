@@ -188,7 +188,8 @@ class _SpeechMixBase:
                  forced_eos_token_id=None, bad_words_ids=None,
                  suppress_tokens=None, begin_suppress_tokens=None,
                  num_return_sequences=1, output_scores=False,
-                 return_dict_in_generate=False):
+                 return_dict_in_generate=False, num_beam_groups=1,
+                 diversity_penalty=0.0):
         """use_flash=None auto-enables the single-pass Pallas attention
         kernel on TPU (measured faster in situ at speech shapes — PERF.md);
         pass False/True to override.  kv_int8 quantizes the precomputed
@@ -228,7 +229,8 @@ class _SpeechMixBase:
                repetition_penalty, no_repeat_ngram_size,
                forced_bos_token_id, forced_eos_token_id, bad_words_ids,
                suppress_tokens, begin_suppress_tokens,
-               num_return_sequences, output_scores)
+               num_return_sequences, output_scores,
+               num_beam_groups, diversity_penalty)
         fn = self._jit_generate_cache.get(key)
         if fn is None:
             def raw(params, batch, lengths, prompt_ids, rng):
@@ -249,7 +251,9 @@ class _SpeechMixBase:
                     suppress_tokens=suppress_tokens,
                     begin_suppress_tokens=begin_suppress_tokens,
                     num_return_sequences=num_return_sequences,
-                    output_scores=output_scores)
+                    output_scores=output_scores,
+                    num_beam_groups=num_beam_groups,
+                    diversity_penalty=diversity_penalty)
             fn = jax.jit(raw)
             self._jit_generate_cache[key] = fn
         rng = jax.random.PRNGKey(seed) if do_sample else None

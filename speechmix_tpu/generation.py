@@ -487,7 +487,9 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
             best_len = jnp.float32(s_max)
         else:
             best_len = s_new.astype(jnp.float32)
-        best_possible = new_running_scores[:, :1] / \
+        # HF is_done gets next_scores.max() — best of the FULL 2K candidate
+        # pool (EOS candidates included), not the best surviving running beam
+        best_possible = topk_scores[:, :1] / \
             (best_len ** length_penalty)                     # (B, 1)
         worst_fin = jnp.where(is_fin,
                               jnp.min(fin_scores, axis=1, keepdims=True),
@@ -513,6 +515,210 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
     return best_seqs, lengths
 
 
+def group_beam_search(params, dcfg, enc_hidden, enc_mask, max_length,
+                      num_beams=4, num_beam_groups=2, diversity_penalty=0.0,
+                      length_penalty=1.0, dtype=jnp.float32, adapters=None,
+                      use_flash=False, early_stopping=False, kv_int8=False,
+                      min_length=0, repetition_penalty=1.0,
+                      no_repeat_ngram_size=0, forced_bos_token_id=None,
+                      forced_eos_token_id=None, bad_words_ids=None,
+                      suppress_tokens=None, begin_suppress_tokens=None,
+                      num_return_sequences=1, output_scores=False):
+    """Diverse (group) beam search with HF `generate(num_beam_groups=G,
+    diversity_penalty=p)` semantics (transformers _group_beam_search;
+    Vijayakumar et al. 2016) — the last sliver of the generate surface the
+    reference inherits via PreTrainedModel.generate (hf_model.py:304-338).
+
+    One model step decodes ALL num_beams rows; groups of
+    group_size = num_beams // G are then processed SEQUENTIALLY within the
+    step: group g's log-probs are penalized by
+    ``diversity_penalty * count(token among groups < g's picks this step)``
+    (HammingDiversityLogitsProcessor — applied FIRST, before the standard
+    processor stack, matching HF's processor order), and each group runs
+    its own 2*group_size-candidate beam bookkeeping with beam 0 of EVERY
+    group live at step 0 (HF beam_scores[:, ::group_size] = 0).  Finalize
+    pools all groups' finished hypotheses and returns the
+    num_return_sequences best per batch row, HF row order.
+
+    Token-exact vs HF generate: tests/test_beam_hf.py::test_group_beam*.
+    """
+    b = enc_hidden.shape[0]
+    k, g_n = num_beams, num_beam_groups
+    if k % g_n:
+        raise ValueError(f"num_beams ({k}) must be divisible by "
+                         f"num_beam_groups ({g_n})")
+    kg = k // g_n
+    k2g = 2 * kg
+    s_max = max_length
+    neg = jnp.float32(-1e9)
+    pad, eos = dcfg.pad_token_id, dcfg.eos_token_id
+    nret = num_return_sequences
+    if nret > k:
+        raise ValueError(
+            f"num_return_sequences ({nret}) must be <= num_beams ({k})")
+    needs_history = _needs_history(repetition_penalty, no_repeat_ngram_size,
+                                   bad_words_ids)
+
+    rep = lambda x: jnp.repeat(x, k, axis=0)
+    enc_hidden_t, enc_mask_t = rep(enc_hidden), rep(enc_mask)
+    cache0 = seq2seq.init_decoder_cache(params, dcfg, enc_hidden_t, b * k,
+                                        s_max, dtype, kv_int8=kv_int8)
+
+    # beam 0 of each group live at step 0
+    scores0 = jnp.where(jnp.arange(kg) == 0, 0.0, float(-1e9))
+    init = dict(
+        s=jnp.int32(0),
+        last_tok=jnp.full((b * k, 1), dcfg.decoder_start_token_id,
+                          jnp.int32),
+        cache=cache0,
+        running_seqs=jnp.full((b, g_n, kg, s_max), pad, jnp.int32),
+        running_scores=jnp.broadcast_to(scores0.astype(jnp.float32),
+                                        (b, g_n, kg)),
+        finished_seqs=jnp.full((b, g_n, kg, s_max), pad, jnp.int32),
+        finished_scores=jnp.full((b, g_n, kg), float(-1e9), jnp.float32),
+        is_finished=jnp.zeros((b, g_n, kg), bool),
+        unsat=jnp.ones((b, g_n), bool),
+        valid_cont=jnp.ones((), bool),
+    )
+
+    def cond(c):
+        ok = (c["s"] < s_max) & jnp.any(c["unsat"]) & c["valid_cont"]
+        if early_stopping is True:
+            ok = ok & ~jnp.all(c["is_finished"])
+        return ok
+
+    def body(c):
+        out = seq2seq.decode(params, dcfg, c["last_tok"],
+                             encoder_mask=enc_mask_t, cache=c["cache"],
+                             adapters=adapters, dtype=dtype,
+                             use_flash=use_flash)
+        logp_all = jax.nn.log_softmax(
+            out["logits"][:, -1, :].astype(jnp.float32), axis=-1)
+        vocab = logp_all.shape[-1]
+        logp_all = logp_all.reshape(b, g_n, kg, vocab)
+
+        counts = jnp.zeros((b, vocab), jnp.float32)  # picks by prior groups
+        new = {key: [] for key in ("running_seqs", "running_scores",
+                                   "finished_seqs", "finished_scores",
+                                   "is_finished", "unsat", "last",
+                                   "src_global", "hits_all")}
+        for g in range(g_n):  # static unroll: groups are sequential by
+            # construction (each sees the previous groups' picks this step)
+            logp = logp_all[:, g].reshape(b * kg, vocab)
+            if diversity_penalty > 0.0 and g > 0:
+                logp = (logp.reshape(b, kg, vocab) -
+                        diversity_penalty * counts[:, None, :]) \
+                    .reshape(b * kg, vocab)
+            fullbuf = None
+            if needs_history:
+                fullbuf = jnp.concatenate(
+                    [jnp.full((b, kg, 1), dcfg.decoder_start_token_id,
+                              jnp.int32), c["running_seqs"][:, g]],
+                    axis=2).reshape(b * kg, s_max + 1)
+            logp = _process_logits_hf(
+                logp, dcfg, c["s"], s_max, fullbuf=fullbuf,
+                repetition_penalty=repetition_penalty,
+                no_repeat_ngram_size=no_repeat_ngram_size,
+                min_length=min_length,
+                forced_bos_token_id=forced_bos_token_id,
+                forced_eos_token_id=forced_eos_token_id,
+                bad_words_ids=bad_words_ids, suppress_tokens=suppress_tokens,
+                begin_suppress_tokens=begin_suppress_tokens)
+            acc = logp.reshape(b, kg, vocab) + \
+                c["running_scores"][:, g][:, :, None]
+            topk_scores, topk_idx = jax.lax.top_k(
+                acc.reshape(b, kg * vocab), k2g)             # (B, 2kg)
+            src_beam = topk_idx // vocab
+            tok = (topk_idx % vocab).astype(jnp.int32)
+            topk_seqs = jnp.take_along_axis(
+                c["running_seqs"][:, g],
+                src_beam[:, :, None], axis=1)                # (B, 2kg, S)
+            topk_seqs = jax.lax.dynamic_update_slice(
+                topk_seqs, tok[:, :, None], (0, 0, c["s"]))
+            hits = (tok == eos) | (c["s"] + 1 >= s_max)
+
+            run_masked = topk_scores + jnp.where(hits, neg, 0.0)
+            new_rs, run_sel = jax.lax.top_k(run_masked, kg)
+            new_seqs = jnp.take_along_axis(topk_seqs,
+                                           run_sel[:, :, None], axis=1)
+            run_src = jnp.take_along_axis(src_beam, run_sel, axis=1)
+            new_last = jnp.take_along_axis(tok, run_sel, axis=1)  # (B, kg)
+
+            did_finish = hits & (jnp.arange(k2g) < kg)[None, :]
+            pen = topk_scores / (jnp.float32(c["s"] + 1) ** length_penalty)
+            if early_stopping is True:
+                pen = pen + jnp.where(
+                    jnp.all(c["is_finished"][:, g], axis=1, keepdims=True),
+                    neg, 0.0)
+            pen = pen + jnp.where(c["unsat"][:, g][:, None], 0.0, neg)
+            pen = pen + jnp.where(did_finish, 0.0, neg)
+            m_scores = jnp.concatenate([c["finished_scores"][:, g], pen],
+                                       axis=1)
+            m_seqs = jnp.concatenate([c["finished_seqs"][:, g], topk_seqs],
+                                     axis=1)
+            m_fin = jnp.concatenate([c["is_finished"][:, g], did_finish],
+                                    axis=1)
+            fin_scores, fin_sel = jax.lax.top_k(m_scores, kg)
+            fin_seqs = jnp.take_along_axis(m_seqs, fin_sel[:, :, None],
+                                           axis=1)
+            is_fin = jnp.take_along_axis(m_fin, fin_sel, axis=1)
+
+            if early_stopping == "never" and length_penalty > 0.0:
+                best_len = jnp.float32(s_max)
+            else:
+                best_len = (c["s"] + 1).astype(jnp.float32)
+            # HF is_done uses next_scores.max() — the best of the FULL 2kg
+            # candidate pool (EOS candidates included), not the best
+            # surviving running beam (beam_search.py process():93-94)
+            best_possible = topk_scores[:, :1] / (best_len ** length_penalty)
+            worst_fin = jnp.where(
+                is_fin, jnp.min(fin_scores, axis=1, keepdims=True), neg)
+            unsat_g = c["unsat"][:, g] & jnp.any(
+                best_possible > worst_fin, axis=-1)
+
+            # done groups emit pad tokens in HF process(); those pads are
+            # what the Hamming diversity processor counts for later groups
+            picks = jnp.where(c["unsat"][:, g][:, None], new_last, pad)
+            counts = counts + jnp.sum(
+                jax.nn.one_hot(picks, vocab, dtype=jnp.float32), axis=1)
+            new["running_seqs"].append(new_seqs)
+            new["running_scores"].append(new_rs)
+            new["finished_seqs"].append(fin_seqs)
+            new["finished_scores"].append(fin_scores)
+            new["is_finished"].append(is_fin)
+            new["unsat"].append(unsat_g)
+            new["last"].append(new_last)
+            new["src_global"].append(g * kg + run_src)
+            new["hits_all"].append(hits)
+
+        stack = lambda key: jnp.stack(new[key], axis=1)
+        src_global = stack("src_global").reshape(b, k)
+        return dict(
+            s=c["s"] + 1,
+            last_tok=stack("last").reshape(b * k, 1),
+            cache=_gather_cache(out["cache"], src_global, b, k),
+            running_seqs=stack("running_seqs"),
+            running_scores=stack("running_scores"),
+            finished_seqs=stack("finished_seqs"),
+            finished_scores=stack("finished_scores"),
+            is_finished=stack("is_finished"),
+            unsat=stack("unsat"),
+            valid_cont=~jnp.all(stack("hits_all")),
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    # finalize: pool every group's hypotheses, best nret per batch row
+    pool_scores = final["finished_scores"].reshape(b, k)
+    pool_seqs = final["finished_seqs"].reshape(b, k, s_max)
+    best_scores, best_sel = jax.lax.top_k(pool_scores, nret)
+    best_seqs = jnp.take_along_axis(pool_seqs, best_sel[:, :, None],
+                                    axis=1).reshape(b * nret, s_max)
+    lengths = jnp.sum((best_seqs != pad).astype(jnp.int32), axis=1)
+    if output_scores:
+        return best_seqs, lengths, best_scores.reshape(b * nret)
+    return best_seqs, lengths
+
+
 # ----------------------------------------------------------------------------
 # top-level speechmix generate
 # ----------------------------------------------------------------------------
@@ -526,7 +732,8 @@ def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
              no_repeat_ngram_size=0, forced_bos_token_id=None,
              forced_eos_token_id=None, bad_words_ids=None,
              suppress_tokens=None, begin_suppress_tokens=None,
-             num_return_sequences=1, output_scores=False):
+             num_return_sequences=1, output_scores=False,
+             num_beam_groups=1, diversity_penalty=0.0):
     """Full pipeline: waveform -> fused embeds -> text encoder (once) ->
     cached decode loop.  Equivalent of HFSpeechMixEED.generate
     (hf_model.py:304-338 + eval.py:12-14), including decoder_text_prompt via
@@ -577,6 +784,25 @@ def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
                              suppress_tokens=suppress_tokens,
                              begin_suppress_tokens=begin_suppress_tokens,
                              output_scores=output_scores)
+    if num_beam_groups > 1:
+        if do_sample:
+            raise ValueError("diverse beam search (num_beam_groups > 1) "
+                             "does not support sampling (HF constraint)")
+        return group_beam_search(
+            params["nlp"], cfg.decoder, enc_hidden, enc_mask, max_length,
+            num_beams=num_beams, num_beam_groups=num_beam_groups,
+            diversity_penalty=diversity_penalty,
+            length_penalty=length_penalty, dtype=dtype, adapters=adapters,
+            use_flash=use_flash, early_stopping=early_stopping,
+            kv_int8=kv_int8, min_length=min_length,
+            repetition_penalty=repetition_penalty,
+            no_repeat_ngram_size=no_repeat_ngram_size,
+            forced_bos_token_id=forced_bos_token_id,
+            forced_eos_token_id=forced_eos_token_id,
+            bad_words_ids=bad_words_ids, suppress_tokens=suppress_tokens,
+            begin_suppress_tokens=begin_suppress_tokens,
+            num_return_sequences=num_return_sequences,
+            output_scores=output_scores)
     return beam_search(params["nlp"], cfg.decoder, enc_hidden, enc_mask,
                        max_length, num_beams, length_penalty, dtype, adapters,
                        use_flash=use_flash, early_stopping=early_stopping,

@@ -81,7 +81,8 @@ class TranscriptionPipeline:
         allowed = {"bad_words_ids", "suppress_tokens",
                    "begin_suppress_tokens", "repetition_penalty",
                    "no_repeat_ngram_size", "forced_bos_token_id",
-                   "forced_eos_token_id", "length_penalty", "early_stopping"}
+                   "forced_eos_token_id", "length_penalty", "early_stopping",
+                   "num_beam_groups", "diversity_penalty"}
         generate_kwargs = dict(generate_kwargs or {})
         bad = set(generate_kwargs) - allowed
         if bad:

@@ -106,3 +106,188 @@ def test_beam_matches_hf_early_stopping_modes(bart_pair, early_stopping):
     for b in range(ids.shape[0]):
         n = int(lengths[b])
         np.testing.assert_array_equal(toks[b, :n], ref[b, 1:1 + n])
+
+
+
+# ---------------------------------------------------------------------------
+# Diverse (group) beam search.  transformers 4.57 removed group beam from
+# core generate() (it now requires trust_remote_code + a hub download —
+# unreachable offline), so it cannot be executed-HF-pinned like the tests
+# above.  Verification strategy instead:
+#   1. G=1 degenerates to standard beam search — pinned token-exact against
+#      generation.beam_search, which IS executed-HF-pinned above;
+#   2. G>1 pinned against an independent per-candidate torch/python
+#      reference of the published algorithm (Vijayakumar et al. 2016 /
+#      the HF _group_beam_search semantics);
+#   3. a diversity property: with a large penalty, groups must not all
+#      open with the same token.
+# ---------------------------------------------------------------------------
+
+
+def _ref_group_beam(hf, ids, max_new, k, G, div, nret=1, length_penalty=1.0):
+    """Slow scalar reference of HF's _group_beam_search + BeamSearchScorer
+    semantics: sequential groups with Hamming diversity penalty, 2*group_size
+    candidate pool per group, BOUNDED per-group hypothesis heaps (kg best,
+    worst-pruned), the early_stopping=False is_done heuristic (worst kept
+    score >= pool max / cur_len**lp — beam_search.py process():93-94), pad
+    picks for done groups (what the Hamming processor counts), and
+    finalize-adds-running-beams for groups not done at max length.
+    Cache-free torch forward per step."""
+    kg = k // G
+    B = ids.shape[0]
+    V = hf.config.vocab_size
+    start = hf.config.decoder_start_token_id
+    eos = hf.config.eos_token_id
+    pad = hf.config.pad_token_id
+    enc_ids = torch.tensor(np.repeat(ids, k, axis=0))
+    seqs = [[[start] for _ in range(k)] for _ in range(B)]
+    scores = np.full((B, k), -1e9, np.float64)
+    scores[:, 0::kg] = 0.0
+    hyps = [[[] for _ in range(G)] for _ in range(B)]   # (score, seq), ≤kg
+    done = np.zeros((B, G), bool)
+
+    def add_hyp(b, g, score, seq):
+        h = hyps[b][g]
+        h.append((score, seq))
+        h.sort(key=lambda x: -x[0])
+        del h[kg:]
+
+    for s in range(max_new):
+        if done.all():
+            break
+        dec = torch.tensor([seqs[b][j] for b in range(B) for j in range(k)])
+        with torch.no_grad():
+            lp_all = hf(input_ids=enc_ids, decoder_input_ids=dec) \
+                .logits[:, -1].log_softmax(-1).double().numpy() \
+                .reshape(B, G, kg, V)
+        new_seqs = [[None] * k for _ in range(B)]
+        new_scores = np.full((B, k), -1e9, np.float64)
+        for b in range(B):
+            counts = np.zeros(V)
+            for g in range(G):
+                if done[b, g]:
+                    counts[pad] += kg  # HF process() emits pads when done
+                    for j in range(kg):
+                        new_seqs[b][g * kg + j] = seqs[b][g * kg + j]
+                    continue
+                lp = lp_all[b, g] - div * counts
+                acc = lp + scores[b, g * kg:(g + 1) * kg][:, None]
+                flat = acc.reshape(-1)
+                order = np.argsort(-flat, kind="stable")[:2 * kg]
+                pool_max = flat[order[0]]
+                running = []
+                for rank, idx in enumerate(order):
+                    src, tok = divmod(int(idx), V)
+                    seq = seqs[b][g * kg + src] + [tok]
+                    if tok == eos:
+                        if rank < kg:
+                            add_hyp(b, g,
+                                    flat[idx] / ((s + 1) ** length_penalty),
+                                    seq)
+                    elif len(running) < kg:
+                        running.append((flat[idx], seq, tok))
+                for j in range(kg):
+                    if j < len(running):
+                        sc, seq, tok = running[j]
+                        new_scores[b, g * kg + j] = sc
+                        new_seqs[b][g * kg + j] = seq
+                        counts[tok] += 1
+                    else:  # dead beam
+                        new_seqs[b][g * kg + j] = seqs[b][g * kg + j] + [eos]
+                # is_done (early_stopping=False heuristic): kg hyps kept AND
+                # worst >= best attainable from the full candidate pool
+                if len(hyps[b][g]) >= kg:
+                    worst = hyps[b][g][-1][0]
+                    if worst >= pool_max / ((s + 1) ** length_penalty):
+                        done[b, g] = True
+        seqs, scores = new_seqs, new_scores
+    # finalize: groups not done add their kg running beams (truncated)
+    for b in range(B):
+        for g in range(G):
+            if done[b, g]:
+                continue
+            for j in range(kg):
+                sc = scores[b, g * kg + j]
+                if sc <= -1e9:
+                    continue
+                seq = seqs[b][g * kg + j]
+                gen_len = len(seq) - 1
+                add_hyp(b, g, sc / (gen_len ** length_penalty), seq)
+    out_tok, out_len = [], []
+    for b in range(B):
+        pool = [h for g in range(G) for h in hyps[b][g]]
+        best = sorted(pool, key=lambda x: -x[0])[:nret]
+        for _, seq in best:
+            body = seq[1:]  # strip decoder start; keep EOS
+            out_tok.append(body)
+            out_len.append(len(body))
+    return out_tok, out_len
+
+
+def test_group_beam_g1_equals_standard_beam(bart_pair):
+    hf, params, cfg = bart_pair
+    for ids, lp in ((IDS[0], 1.0), (IDS[1], 0.6)):
+        enc = s2s.encode(params, cfg, input_ids=jnp.asarray(ids))
+        t1, l1 = generation.beam_search(
+            params, cfg, enc["last_hidden_state"], enc["mask"], 12,
+            num_beams=4, length_penalty=lp)
+        t2, l2 = generation.group_beam_search(
+            params, cfg, enc["last_hidden_state"], enc["mask"], 12,
+            num_beams=4, num_beam_groups=1, diversity_penalty=0.0,
+            length_penalty=lp)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+@pytest.mark.parametrize("groups,div", [(2, 0.0), (2, 0.7), (4, 1.5)])
+def test_group_beam_matches_scalar_reference(bart_pair, groups, div):
+    hf, params, cfg = bart_pair
+    ids = IDS[0]
+    max_new, num_beams = 12, 4
+    ref_tok, ref_len = _ref_group_beam(hf, ids, max_new, num_beams, groups,
+                                       div)
+    enc = s2s.encode(params, cfg, input_ids=jnp.asarray(ids))
+    toks, lengths = generation.group_beam_search(
+        params, cfg, enc["last_hidden_state"], enc["mask"], max_new,
+        num_beams=num_beams, num_beam_groups=groups, diversity_penalty=div)
+    toks, lengths = np.asarray(toks), np.asarray(lengths)
+    for b in range(ids.shape[0]):
+        assert int(lengths[b]) == ref_len[b], (b, lengths[b], ref_len[b])
+        np.testing.assert_array_equal(toks[b, :ref_len[b]],
+                                      np.asarray(ref_tok[b]))
+
+
+def test_group_beam_nret_matches_scalar_reference(bart_pair):
+    hf, params, cfg = bart_pair
+    ids, max_new, k, G, div, nret = IDS[1], 10, 4, 2, 0.9, 3
+    ref_tok, ref_len = _ref_group_beam(hf, ids, max_new, k, G, div,
+                                       nret=nret)
+    enc = s2s.encode(params, cfg, input_ids=jnp.asarray(ids))
+    toks, lengths = generation.group_beam_search(
+        params, cfg, enc["last_hidden_state"], enc["mask"], max_new,
+        num_beams=k, num_beam_groups=G, diversity_penalty=div,
+        num_return_sequences=nret)
+    toks, lengths = np.asarray(toks), np.asarray(lengths)
+    assert toks.shape[0] == ids.shape[0] * nret
+    for r in range(toks.shape[0]):
+        assert int(lengths[r]) == ref_len[r]
+        np.testing.assert_array_equal(toks[r, :ref_len[r]],
+                                      np.asarray(ref_tok[r]))
+
+
+def test_group_beam_diversity_property(bart_pair):
+    """With a large penalty the two groups must not open with the same
+    token (the whole point of diverse beam search)."""
+    hf, params, cfg = bart_pair
+    ids = IDS[2]
+    enc = s2s.encode(params, cfg, input_ids=jnp.asarray(ids))
+    toks0, _ = generation.group_beam_search(
+        params, cfg, enc["last_hidden_state"], enc["mask"], 8,
+        num_beams=4, num_beam_groups=2, diversity_penalty=0.0,
+        num_return_sequences=4)
+    toks, _ = generation.group_beam_search(
+        params, cfg, enc["last_hidden_state"], enc["mask"], 8,
+        num_beams=4, num_beam_groups=2, diversity_penalty=50.0,
+        num_return_sequences=4)
+    t0 = np.asarray(toks).reshape(ids.shape[0], 4, -1)[:, :, 0]
+    assert all(len(set(row.tolist())) >= 2 for row in t0)
