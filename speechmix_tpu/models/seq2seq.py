@@ -175,11 +175,12 @@ def _ffn(block, cfg, x, dtype, act_rng=None):
         g = jax.nn.gelu(layers.dense(block["fc_gate"], x, dtype),
                         approximate=True)
         h = g * layers.dense(block["fc1"], x, dtype)
-    else:
-        h = layers.activation(cfg.activation)(
-            layers.dense(block["fc1"], x, dtype))
-    h = layers.dropout(h, cfg.activation_dropout, act_rng)
-    return layers.dense(block["fc2"], h, dtype)
+        h = layers.dropout(h, cfg.activation_dropout, act_rng)
+        return layers.dense(block["fc2"], h, dtype)
+    # fc1 -> act -> fc2 fused into one Pallas VMEM pass when eligible
+    # (ops/layers.ffn_apply); cached decode steps (rows == B) stay on XLA
+    return layers.ffn_apply(block["fc1"], block["fc2"], x, cfg.activation,
+                            dtype, act_rng, cfg.activation_dropout)
 
 
 def _attn_scale(cfg):

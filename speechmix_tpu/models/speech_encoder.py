@@ -266,10 +266,12 @@ def _encoder_layer(layer_params, x, kv_mask, cfg, use_flash, dtype,
     ring_mesh = mesh_lib.active_seq_mesh()
 
     def ffn(h):
-        h = layers.dense(layer_params["ffn_in"], h, dtype)
-        h = layers.activation(cfg.activation)(h)
-        h = layers.dropout(h, cfg.activation_dropout, k_act)
-        h = layers.dense(layer_params["ffn_out"], h, dtype)
+        # fc1 -> act -> fc2, fused into one Pallas VMEM pass when eligible
+        # (ops/layers.ffn_apply; the (B, T, ffn_dim) intermediate never
+        # round-trips HBM)
+        h = layers.ffn_apply(layer_params["ffn_in"], layer_params["ffn_out"],
+                             h, cfg.activation, dtype, k_act,
+                             cfg.activation_dropout)
         h = layers.dropout(h, cfg.dropout, k_h2)
         return layers.ffn_ln_barrier(h)
 

@@ -219,6 +219,95 @@ def split_or_none(rng, n):
 
 
 # ----------------------------------------------------------------------------
+# fused FFN (fc1 -> activation -> fc2) dispatch
+# ----------------------------------------------------------------------------
+
+# None = auto (Pallas kernel on TPU when eligible), False = always XLA,
+# True = kernel wherever eligible (incl. CPU interpret in tests).
+_FFN_FUSED = None
+_FFN_FUSED_MIN_ROWS = 1024  # cached decode steps (rows == B) stay on XLA
+
+
+def set_ffn_fused(mode):
+    """TRACE-TIME switch for the fused FFN kernel (None/auto, True, False)."""
+    global _FFN_FUSED
+    _FFN_FUSED = mode
+
+
+def _ffn_fused_eligible(p1, p2, x, act_name, act_rng, act_dropout):
+    if _FFN_FUSED is False:
+        return False
+    if _FFN_FUSED is None and jax.default_backend() != "tpu":
+        return False
+    if act_rng is not None and act_dropout > 0.0:
+        return False  # in-kernel activation dropout unsupported; XLA path
+    if "kernel" not in p1 or "kernel" not in p2:
+        return False  # int8-quantized weights keep the XLA dequant fusion
+    if act_name not in ("gelu", "gelu_new", "relu", "silu"):
+        return False
+    h, f = p1["kernel"].shape
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    if rows < _FFN_FUSED_MIN_ROWS or h % 128 or f % 128:
+        return False
+    # XLA cannot partition a pallas_call over a sharded time axis; under
+    # sequence parallelism the XLA chain stays (same rule as flash
+    # attention -> ring attention, ops/attention.py)
+    from ..parallel import mesh as mesh_lib
+    if mesh_lib.active_seq_mesh() is not None:
+        return False
+    return True
+
+
+def _ffn_block_f(f):
+    """Largest 128-multiple divisor of f that is <= 1536 (VMEM budget for
+    the (H, bf) + (bf, H) weight chunks plus the (rows, bf) intermediate)."""
+    for bf in range(min(f, 1536), 0, -128):
+        if f % bf == 0:
+            return bf
+    return f
+
+
+def ffn_apply(p1, p2, x, act_name, dtype, act_rng=None, act_dropout=0.0):
+    """Transformer FFN block: act(x @ W1 + b1) @ W2 + b2 with dropout after
+    the activation.  Dispatches to the fused Pallas kernel
+    (ops/pallas/ffn_kernel.py: both gemms + activation in one VMEM pass, the
+    (rows, ffn_dim) intermediate never reaches HBM) when eligible; the XLA
+    chain is the fallback and the numerics reference."""
+    if _ffn_fused_eligible(p1, p2, x, act_name, act_rng, act_dropout):
+        from .pallas.ffn_kernel import ffn_fused_trainable
+        lead = x.shape[:-1]
+        h = x.shape[-1]
+        rows = 1
+        for d in lead:
+            rows *= d
+        block_rows = 256
+        pad = (-rows) % block_rows
+        x2 = x.astype(dtype).reshape(rows, h)
+        if pad:
+            x2 = jnp.concatenate(
+                [x2, jnp.zeros((pad, h), x2.dtype)], axis=0)
+        f_dim, h_out = p1["kernel"].shape[1], p2["kernel"].shape[1]
+        # zero biases when absent: the trainable VJP differentiates all five
+        # operands, and a grad w.r.t. an inline constant is simply dropped
+        b1 = p1.get("bias")
+        b1 = jnp.zeros((f_dim,), jnp.float32) if b1 is None else b1
+        b2 = p2.get("bias")
+        b2 = jnp.zeros((h_out,), jnp.float32) if b2 is None else b2
+        y = ffn_fused_trainable(
+            x2, p1["kernel"], b1, p2["kernel"], b2,
+            act_name, block_rows, _ffn_block_f(f_dim),
+            jax.default_backend() != "tpu")  # interpret off-TPU (tests)
+        if pad:
+            y = y[:rows]
+        return y.reshape(*lead, p2["kernel"].shape[1])
+    h = activation(act_name)(dense(p1, x, dtype))
+    h = dropout(h, act_dropout, act_rng)
+    return dense(p2, h, dtype)
+
+
+# ----------------------------------------------------------------------------
 # strided conv1d as patch-matmul (MXU-friendly)
 # ----------------------------------------------------------------------------
 
