@@ -118,8 +118,17 @@ def main():
     wav = jnp.asarray(wav)
     lengths = jnp.full((B,), t_samples, jnp.int32)
 
-    for fused in (False, None):  # None = auto (on, on TPU)
+    # --epi: A/B the residual+LN epilogue with the base kernel ON both arms
+    # (kernel vs XLA was measured 2026-08-19: 620.9 -> 606.9 ms generate)
+    epi_mode = "--epi" in sys.argv
+    if epi_mode:
+        arms = ((None, False), (None, True))   # (set_ffn_fused, epilogue)
+    else:
+        arms = ((False, True), (None, True))   # None = auto (on, on TPU)
+
+    for fused, epi in arms:
         layers.set_ffn_fused(fused)
+        layers.set_ffn_fused_epilogue(epi)
 
         @jax.jit
         def enc(wav, lengths):
@@ -128,11 +137,13 @@ def main():
                                         dtype=jnp.bfloat16)["last_hidden_state"]
 
         t_e, _ = bench(enc, wav, lengths)
-        print(f"encoder fused={fused}: {t_e*1e3:8.1f} ms", flush=True)
+        print(f"encoder fused={fused} epi={epi}: {t_e*1e3:8.1f} ms",
+              flush=True)
 
     ref_tokens = None
-    for fused in (False, None):
+    for fused, epi in arms:
         layers.set_ffn_fused(fused)
+        layers.set_ffn_fused_epilogue(epi)
         for kv in ((False,) if "--kv" not in sys.argv else (False, True)):
             @jax.jit
             def decode(params, wav, lengths, kv=kv):
@@ -145,10 +156,11 @@ def main():
             if ref_tokens is None:
                 ref_tokens = tokens
             agree = float((tokens == ref_tokens).all(axis=-1).mean())
-            print(f"generate fused={fused} kv_int8={int(kv)}: "
+            print(f"generate fused={fused} epi={epi} kv_int8={int(kv)}: "
                   f"{t_g*1e3:8.1f} ms  RTFx {B*seconds/t_g:7.1f}  "
                   f"rows_token_exact={agree:.3f}", flush=True)
     layers.set_ffn_fused(None)
+    layers.set_ffn_fused_epilogue(True)
 
 
 if __name__ == "__main__":

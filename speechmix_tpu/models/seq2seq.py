@@ -202,10 +202,18 @@ def _encoder_block(block, cfg, x, bias, kv_mask, use_flash, dtype,
                          dropout_rng=k_attn)
         a = layers.dropout(a, cfg.dropout, k_h1)
         x = _norm(cfg, block["self_attn_layer_norm"], x + a)
-        f = layers.dropout(_ffn(block, cfg, x, dtype, k_act), cfg.dropout,
-                           k_h2)
-        x = _norm(cfg, block["final_layer_norm"],
-                  x + layers.ffn_ln_barrier(f))
+        if cfg.activation == "gelu_gated":
+            f = layers.dropout(_ffn(block, cfg, x, dtype, k_act),
+                               cfg.dropout, k_h2)
+            x = _norm(cfg, block["final_layer_norm"],
+                      x + layers.ffn_ln_barrier(f))
+        else:
+            # residual + final LN fused into the FFN kernel flush when
+            # eligible (post-LN LayerNorm)
+            x = layers.ffn_residual_ln_apply(
+                block["fc1"], block["fc2"], block["final_layer_norm"], x,
+                cfg.activation, dtype, k_act, cfg.activation_dropout, k_h2,
+                cfg.dropout, cfg.layer_norm_eps)
     else:  # t5 pre-LN
         h = _norm(cfg, block["self_attn_layer_norm"], x)
         a, _ = attention(block["self_attn"], h, bias=bias, kv_mask=kv_mask,
@@ -293,9 +301,17 @@ def _decoder_block(block, cfg, x, self_bias, cross_bias, enc_hidden,
                              dropout_rng=k_cattn)
         a = layers.dropout(a, cfg.dropout, k_h2)
         x = _norm(cfg, block["encoder_attn_layer_norm"], x + a)
-        f = layers.dropout(_ffn(block, cfg, x, dtype, k_act), cfg.dropout,
-                           k_h3)
-        x = _norm(cfg, block["final_layer_norm"], x + f)
+        if cfg.activation == "gelu_gated":
+            f = layers.dropout(_ffn(block, cfg, x, dtype, k_act),
+                               cfg.dropout, k_h3)
+            x = _norm(cfg, block["final_layer_norm"], x + f)
+        else:
+            # eligible only at prefill widths; cached single-token decode
+            # steps (rows == B) stay on the XLA chain
+            x = layers.ffn_residual_ln_apply(
+                block["fc1"], block["fc2"], block["final_layer_norm"], x,
+                cfg.activation, dtype, k_act, cfg.activation_dropout, k_h3,
+                cfg.dropout, cfg.layer_norm_eps)
     else:
         h = _norm(cfg, block["self_attn_layer_norm"], x)
         a, new_cache = attention(block["self_attn"], h, bias=self_bias,

@@ -296,8 +296,12 @@ def _encoder_layer(layer_params, x, kv_mask, cfg, use_flash, dtype,
         attn = layers.dropout(attn, cfg.dropout, k_h1)
         x = layers.layer_norm(layer_params["attention_layer_norm"], x + attn,
                               cfg.layer_norm_eps)
-        x = layers.layer_norm(layer_params["final_layer_norm"], x + ffn(x),
-                              cfg.layer_norm_eps)
+        # residual + final LN fused into the FFN kernel flush when eligible
+        x = layers.ffn_residual_ln_apply(
+            layer_params["ffn_in"], layer_params["ffn_out"],
+            layer_params["final_layer_norm"], x, cfg.activation, dtype,
+            k_act, cfg.activation_dropout, k_h2, cfg.dropout,
+            cfg.layer_norm_eps)
     return x
 
 

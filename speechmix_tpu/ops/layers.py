@@ -307,6 +307,58 @@ def ffn_apply(p1, p2, x, act_name, dtype, act_rng=None, act_dropout=0.0):
     return dense(p2, h, dtype)
 
 
+# post-LN epilogue fusion toggle (independent of _FFN_FUSED so the two can
+# be A/B'd separately: experiments/ffn_fused_ab.py --epilogue)
+_FFN_FUSED_EPILOGUE = True
+
+
+def set_ffn_fused_epilogue(on: bool):
+    global _FFN_FUSED_EPILOGUE
+    _FFN_FUSED_EPILOGUE = bool(on)
+
+
+def ffn_residual_ln_apply(p1, p2, p_ln, x, act_name, dtype, act_rng=None,
+                          act_dropout=0.0, out_rng=None, out_dropout=0.0,
+                          eps=1e-5):
+    """Post-LN transformer FFN block:
+    ``LayerNorm(x + dropout(act(x @ W1 + b1) @ W2 + b2))`` — BART
+    encoder/decoder blocks and the wav2vec2-base encoder layer.  Fuses the
+    residual add + LayerNorm into the FFN kernel's flush (the measured
+    ~112 TFLOP/s fc2+LN seam; the optimization-barrier A/B proved
+    rescheduling XLA can't close it) when eligible; with a live post-FFN
+    dropout rng, or when the kernel is ineligible, falls back to
+    ffn_apply + the XLA residual+LN chain (the numerics reference)."""
+    if (_FFN_FUSED_EPILOGUE and (out_rng is None or out_dropout <= 0.0) and
+            _ffn_fused_eligible(p1, p2, x, act_name, act_rng, act_dropout)):
+        from .pallas.ffn_kernel import ffn_res_ln_trainable
+        lead = x.shape[:-1]
+        h = x.shape[-1]
+        rows = 1
+        for d in lead:
+            rows *= d
+        f_dim = p1["kernel"].shape[1]
+        b1 = p1.get("bias")
+        b1 = jnp.zeros((f_dim,), jnp.float32) if b1 is None else b1
+        b2 = p2.get("bias")
+        b2 = jnp.zeros((h,), jnp.float32) if b2 is None else b2
+        block_rows = 256
+        pad = (-rows) % block_rows
+        x2 = x.astype(dtype).reshape(rows, h)
+        if pad:
+            x2 = jnp.concatenate(
+                [x2, jnp.zeros((pad, h), x2.dtype)], axis=0)
+        y = ffn_res_ln_trainable(
+            x2, p1["kernel"], b1, p2["kernel"], b2, x2,
+            p_ln["scale"], p_ln["bias"], act_name, eps, block_rows,
+            _ffn_block_f(f_dim), jax.default_backend() != "tpu")
+        if pad:
+            y = y[:rows]
+        return y.reshape(*lead, h)
+    f = ffn_apply(p1, p2, x, act_name, dtype, act_rng, act_dropout)
+    f = dropout(f, out_dropout, out_rng)
+    return layer_norm(p_ln, x + ffn_ln_barrier(f), eps)
+
+
 # ----------------------------------------------------------------------------
 # strided conv1d as patch-matmul (MXU-friendly)
 # ----------------------------------------------------------------------------

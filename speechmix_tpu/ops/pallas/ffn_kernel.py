@@ -128,6 +128,127 @@ def ffn_fused(x, w1, b1, w2, b2, *, act="gelu", block_rows=256,
               w2.astype(dtype), b2.astype(jnp.float32))
 
 
+def _kernel_res_ln(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, res_ref, g_ref,
+                   beta_ref, o_ref, acc_ref, *, act, nj, eps):
+    """ffn kernel + post-LN epilogue: o = LN(res + ffn(x)).  The residual
+    add, mean/var, and affine all happen on the f32 accumulator while it is
+    still in VMEM — the (rows, H) FFN output never round-trips HBM before
+    the LayerNorm (the ~112 TFLOP/s fc2+LN seam, PERF.md round-3
+    roofline)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    h = jax.lax.dot_general(x, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = _act_f32(act, h + b1_ref[...].astype(jnp.float32))
+    acc_ref[...] += jax.lax.dot_general(
+        h.astype(x.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _flush():
+        y = (acc_ref[...] + b2_ref[...].astype(jnp.float32) +
+             res_ref[...].astype(jnp.float32))
+        mu = jnp.mean(y, axis=1, keepdims=True)
+        d = y - mu
+        var = jnp.mean(d * d, axis=1, keepdims=True)
+        o_ref[...] = (d * jax.lax.rsqrt(var + eps) *
+                      g_ref[...].astype(jnp.float32) +
+                      beta_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def ffn_fused_res_ln(x, w1, b1, w2, b2, res, g, beta, *, act="gelu",
+                     eps=1e-5, block_rows=256, block_f=1536,
+                     interpret=False):
+    """o = LayerNorm(res + act(x @ w1 + b1) @ w2 + b2; scale=g, bias=beta).
+
+    The post-LN transformer FFN epilogue (BART encoder/decoder blocks,
+    wav2vec2-base _encoder_layer) in one VMEM pass.  Same alignment
+    requirements as ffn_fused; res: (N, H) — the block's residual input
+    (which for post-LN IS the FFN input)."""
+    n, hdim = x.shape
+    fdim = w1.shape[1]
+    if w1.shape != (hdim, fdim) or w2.shape != (fdim, hdim) or \
+            res.shape != (n, hdim):
+        raise ValueError(f"shape mismatch: x {x.shape} w1 {w1.shape} "
+                         f"w2 {w2.shape} res {res.shape}")
+    block_f = min(block_f, fdim)
+    if hdim % 128 or fdim % block_f or block_f % 128 or n % block_rows:
+        raise ValueError(f"unsupported dims N={n} H={hdim} F={fdim} "
+                         f"block_f={block_f} block_rows={block_rows}")
+    nj = fdim // block_f
+    dtype = x.dtype
+    b1 = (b1 if b1 is not None else jnp.zeros((fdim,))).reshape(1, fdim)
+    b2 = (b2 if b2 is not None else jnp.zeros((hdim,))).reshape(1, hdim)
+    fn = pl.pallas_call(
+        functools.partial(_kernel_res_ln, act=act, nj=nj, eps=eps),
+        grid=(n // block_rows, nj),
+        in_specs=[
+            pl.BlockSpec((block_rows, hdim), lambda i, j: (i, 0)),
+            pl.BlockSpec((hdim, block_f), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_f), lambda i, j: (0, j)),
+            pl.BlockSpec((block_f, hdim), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, hdim), lambda i, j: (0, 0)),
+            pl.BlockSpec((block_rows, hdim), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, hdim), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, hdim), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_rows, hdim), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, hdim), dtype),
+        scratch_shapes=[pltpu.VMEM((block_rows, hdim), jnp.float32)],
+        interpret=interpret,
+    )
+    return fn(x, w1.astype(dtype), b1.astype(jnp.float32),
+              w2.astype(dtype), b2.astype(jnp.float32), res.astype(dtype),
+              g.reshape(1, hdim).astype(jnp.float32),
+              beta.reshape(1, hdim).astype(jnp.float32))
+
+
+def _xla_ffn_res_ln(x, w1, b1, w2, b2, res, g, beta, act, eps):
+    y = (res.astype(jnp.float32) +
+         _xla_ffn(x, w1, b1, w2, b2, act).astype(jnp.float32))
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    d = y - mu
+    var = jnp.mean(d * d, axis=-1, keepdims=True)
+    return (d * jax.lax.rsqrt(var + eps) * g.astype(jnp.float32) +
+            beta.astype(jnp.float32)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def ffn_res_ln_trainable(x, w1, b1, w2, b2, res, g, beta, act="gelu",
+                         eps=1e-5, block_rows=256, block_f=1536,
+                         interpret=False):
+    """ffn_fused_res_ln with a total VJP: backward recomputes the whole
+    chain (both gemms + LN) through XLA — no (N, F) or pre-LN (N, H)
+    residuals stored."""
+    return ffn_fused_res_ln(x, w1, b1, w2, b2, res, g, beta, act=act,
+                            eps=eps, block_rows=block_rows, block_f=block_f,
+                            interpret=interpret)
+
+
+def _frl_fwd(x, w1, b1, w2, b2, res, g, beta, act, eps, block_rows, block_f,
+             interpret):
+    out = ffn_fused_res_ln(x, w1, b1, w2, b2, res, g, beta, act=act,
+                           eps=eps, block_rows=block_rows, block_f=block_f,
+                           interpret=interpret)
+    return out, (x, w1, b1, w2, b2, res, g, beta)
+
+
+def _frl_bwd(act, eps, block_rows, block_f, interpret, resids, grad):
+    x, w1, b1, w2, b2, res, g, beta = resids
+    _, vjp = jax.vjp(
+        lambda *a: _xla_ffn_res_ln(*a, act, eps),
+        x, w1, b1, w2, b2, res, g, beta)
+    return vjp(grad.astype(x.dtype))
+
+
+ffn_res_ln_trainable.defvjp(_frl_fwd, _frl_bwd)
+
+
 def _xla_ffn(x, w1, b1, w2, b2, act):
     h = jnp.dot(x, w1.astype(x.dtype), preferred_element_type=x.dtype)
     if b1 is not None:

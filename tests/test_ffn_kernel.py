@@ -138,3 +138,124 @@ def test_ffn_apply_ineligible_paths_fall_back():
             p1_q, p2, x_big, "gelu", None, 0.0)
     finally:
         layers.set_ffn_fused(None)
+
+
+# ---------------------------------------------------------------------------
+# residual + LayerNorm epilogue (post-LN blocks: BART, wav2vec2-base)
+# ---------------------------------------------------------------------------
+
+
+def _ref_res_ln(x, w1, b1, w2, b2, g, beta, act, eps=1e-5):
+    y = x.astype(jnp.float32) + _ref(x, w1, b1, w2, b2, act)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    d = y - mu
+    var = jnp.mean(d * d, axis=-1, keepdims=True)
+    return d * jax.lax.rsqrt(var + eps) * g + beta
+
+
+def _ln_params(seed=7, h=H):
+    rng = np.random.RandomState(seed)
+    return (jnp.asarray(1.0 + 0.1 * rng.randn(h).astype(np.float32)),
+            jnp.asarray(0.1 * rng.randn(h).astype(np.float32)))
+
+
+@pytest.mark.parametrize("act", ["gelu", "relu"])
+def test_ffn_res_ln_matches_reference_f32(act):
+    x, w1, b1, w2, b2 = _mats()
+    g, beta = _ln_params()
+    y = fk.ffn_fused_res_ln(x, w1, b1, w2, b2, x, g, beta, act=act,
+                            block_rows=256, block_f=128, interpret=True)
+    ref = _ref_res_ln(x, w1, b1, w2, b2, g, beta, act)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_ffn_res_ln_bf16():
+    x, w1, b1, w2, b2 = _mats(seed=1)
+    g, beta = _ln_params()
+    y = fk.ffn_fused_res_ln(x.astype(jnp.bfloat16), w1, b1, w2, b2,
+                            x.astype(jnp.bfloat16), g, beta, act="gelu",
+                            block_rows=256, block_f=256, interpret=True)
+    assert y.dtype == jnp.bfloat16
+    ref = _ref_res_ln(x, w1, b1, w2, b2, g, beta, "gelu")
+    np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(ref),
+                               rtol=4e-2, atol=4e-2)
+
+
+def test_ffn_res_ln_trainable_grads_match_xla_chain():
+    x, w1, b1, w2, b2 = _mats(rows=256)
+    g, beta = _ln_params()
+
+    def loss_k(args):
+        x_, w1_, b1_, w2_, b2_, g_, beta_ = args
+        y = fk.ffn_res_ln_trainable(x_, w1_, b1_, w2_, b2_, x_, g_, beta_,
+                                    "gelu", 1e-5, 256, 128, True)
+        return jnp.sum(jnp.square(y))
+
+    def loss_r(args):
+        x_, w1_, b1_, w2_, b2_, g_, beta_ = args
+        return jnp.sum(jnp.square(
+            _ref_res_ln(x_, w1_, b1_, w2_, b2_, g_, beta_, "gelu")))
+
+    gk = jax.grad(loss_k)((x, w1, b1, w2, b2, g, beta))
+    gr = jax.grad(loss_r)((x, w1, b1, w2, b2, g, beta))
+    for a, b in zip(jax.tree_util.tree_leaves(gk),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-4)
+
+
+def test_ffn_residual_ln_apply_dispatch_and_padding():
+    """The full post-LN block helper: kernel forced on (CPU -> interpret)
+    equals the XLA fallback chain, including row padding, and the epilogue
+    toggle splits the fusion without changing numerics."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 700, H).astype(np.float32) * 0.5)
+    p1 = {"kernel": jnp.asarray(rng.randn(H, F).astype(np.float32) * 0.1),
+          "bias": jnp.asarray(rng.randn(F).astype(np.float32) * 0.1)}
+    p2 = {"kernel": jnp.asarray(rng.randn(F, H).astype(np.float32) * 0.1),
+          "bias": jnp.asarray(rng.randn(H).astype(np.float32) * 0.1)}
+    p_ln = dict(zip(("scale", "bias"), _ln_params()))
+    args = (p1, p2, p_ln, x, "gelu", jnp.float32)
+    layers.set_ffn_fused(True)
+    try:
+        y_k = layers.ffn_residual_ln_apply(*args)
+        layers.set_ffn_fused_epilogue(False)  # FFN fused, LN epilogue XLA
+        y_e = layers.ffn_residual_ln_apply(*args)
+    finally:
+        layers.set_ffn_fused(False)
+        layers.set_ffn_fused_epilogue(True)
+    y_x = layers.ffn_residual_ln_apply(*args)
+    layers.set_ffn_fused(None)
+    assert y_k.shape == y_x.shape == (2, 700, H)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_x), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y_e), np.asarray(y_x), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_ffn_residual_ln_apply_post_dropout_falls_back():
+    """A live post-FFN dropout rng must keep the XLA epilogue (dropout sits
+    between fc2 and the LN) while still applying dropout."""
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(4, 512, H).astype(np.float32) * 0.5)
+    p1 = {"kernel": jnp.asarray(rng.randn(H, F).astype(np.float32) * 0.1),
+          "bias": jnp.zeros((F,), jnp.float32)}
+    p2 = {"kernel": jnp.asarray(rng.randn(F, H).astype(np.float32) * 0.1),
+          "bias": jnp.zeros((H,), jnp.float32)}
+    p_ln = dict(zip(("scale", "bias"), _ln_params()))
+    key = jax.random.PRNGKey(0)
+    layers.set_ffn_fused(True)
+    try:
+        y_drop = layers.ffn_residual_ln_apply(
+            p1, p2, p_ln, x, "gelu", jnp.float32,
+            out_rng=key, out_dropout=0.5)
+    finally:
+        layers.set_ffn_fused(False)
+    # reference: explicit chain with the same key
+    f = layers.ffn_apply(p1, p2, x, "gelu", jnp.float32)
+    f = layers.dropout(f, 0.5, key)
+    ref = layers.layer_norm(p_ln, x + f, 1e-5)
+    layers.set_ffn_fused(None)
+    np.testing.assert_allclose(np.asarray(y_drop), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
