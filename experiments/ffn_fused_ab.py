@@ -81,27 +81,26 @@ def main():
         print(f"[{tag}] XLA chain : {t_x*1e3:8.2f} ms  "
               f"{flops/t_x/1e12:6.1f} TFLOP/s", flush=True)
         for br, bf in ((256, 1536), (256, 3072), (512, 1536), (128, 1536)):
-            if True:
-                if rows % br or f % bf:
-                    continue
+            if rows % br or f % bf:
+                continue
 
-                @jax.jit
-                def kern(x, br=br, bf=bf):
-                    return fk.ffn_fused(x, w1, b1, w2, b2, act="gelu",
-                                        block_rows=br, block_f=bf)
+            @jax.jit
+            def kern(x, br=br, bf=bf):
+                return fk.ffn_fused(x, w1, b1, w2, b2, act="gelu",
+                                    block_rows=br, block_f=bf)
 
-                try:
-                    t_k, y_k = bench(kern, x)
-                except Exception as e:
-                    print(f"[{tag}] kernel br={br:4d} bf={bf:5d}: FAILED "
-                          f"{type(e).__name__}: {str(e)[:120]}", flush=True)
-                    continue
-                rel = float(jnp.max(jnp.abs(
-                    y_k.astype(jnp.float32) - y_x.astype(jnp.float32))) /
-                    (jnp.max(jnp.abs(y_x.astype(jnp.float32))) + 1e-9))
-                print(f"[{tag}] kernel br={br:4d} bf={bf:5d}: "
-                      f"{t_k*1e3:8.2f} ms  {flops/t_k/1e12:6.1f} TFLOP/s  "
-                      f"({t_x/t_k:5.2f}x)  rel={rel:.1e}", flush=True)
+            try:
+                t_k, y_k = bench(kern, x)
+            except Exception as e:
+                print(f"[{tag}] kernel br={br:4d} bf={bf:5d}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                continue
+            rel = float(jnp.max(jnp.abs(
+                y_k.astype(jnp.float32) - y_x.astype(jnp.float32))) /
+                (jnp.max(jnp.abs(y_x.astype(jnp.float32))) + 1e-9))
+            print(f"[{tag}] kernel br={br:4d} bf={bf:5d}: "
+                  f"{t_k*1e3:8.2f} ms  {flops/t_k/1e12:6.1f} TFLOP/s  "
+                  f"({t_x/t_k:5.2f}x)  rel={rel:.1e}", flush=True)
 
     # ---- tiers 2+3: in-situ ----
     cfg = SpeechMixConfig(encoder=SPEECH_ENCODER_PRESETS["wav2vec2-base"],

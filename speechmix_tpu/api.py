@@ -261,7 +261,7 @@ class _SpeechMixBase:
         if output_scores or return_dict_in_generate:
             tokens = out[0]
             d = {"sequences": tokens}
-            if output_scores and len(out) > 2:
+            if output_scores:  # decoders return (tokens, lengths, scores)
                 d["sequences_scores" if num_beams > 1 else "scores"] = out[2]
             return d
         return out[0]

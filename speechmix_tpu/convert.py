@@ -140,11 +140,17 @@ def load_speech_encoder(path: str, cfg: SpeechEncoderConfig,
 
 def _is_fairseq_layout(sd) -> bool:
     """fairseq Wav2Vec2Model fingerprints: Sequential-index conv keys,
-    post_extract_proj, self_attn block names."""
-    return ("post_extract_proj.weight" in sd
-            or "feature_extractor.conv_layers.0.0.weight" in sd
-            or any(k.startswith("encoder.layers.0.self_attn.")
-                   for k in sd))
+    post_extract_proj, self_attn block names — checked under the bare
+    layout AND the w2v prefixes fine-tuned fairseq CTC checkpoints nest
+    the encoder under (which speech_encoder_from_fairseq_state_dict
+    strips)."""
+    for p in ("", "w2v_encoder.w2v_model.", "w2v_model.", "w2v_encoder."):
+        if (f"{p}post_extract_proj.weight" in sd
+                or f"{p}feature_extractor.conv_layers.0.0.weight" in sd
+                or any(k.startswith(f"{p}encoder.layers.0.self_attn.")
+                       for k in sd)):
+            return True
+    return False
 
 
 def speech_encoder_from_fairseq_state_dict(sd, cfg: SpeechEncoderConfig,

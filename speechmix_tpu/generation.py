@@ -746,6 +746,10 @@ def generate(params, cfg: SpeechMixConfig, input_values, lengths=None,
     output_scores=True returns a third value: per-step processed scores for
     greedy/sample, length-penalized sequences_scores for beam."""
     max_length = max_length or cfg.decoder.max_length
+    if num_beam_groups > 1 and num_beam_groups > num_beams:
+        raise ValueError(
+            f"num_beam_groups ({num_beam_groups}) has to be smaller or "
+            f"equal to num_beams ({num_beams}) (HF generate contract)")
     inputs_embeds, enc_mask, _ = smx.encode_speech(
         params, cfg, input_values, lengths, prompt_ids,
         use_flash=use_flash, dtype=dtype)

@@ -253,9 +253,13 @@ def _ffn_fused_eligible(p1, p2, x, act_name, act_rng, act_dropout):
         return False
     # XLA cannot partition a pallas_call over a sharded time axis; under
     # sequence parallelism the XLA chain stays (same rule as flash
-    # attention -> ring attention, ops/attention.py)
+    # attention -> ring attention, ops/attention.py).  Same for tensor
+    # parallelism: fc1/fc2 are sharded over the ffn (contracted) dim
+    # (mesh._param_spec_for), which GSPMD cannot partition through the
+    # custom call — the XLA chain keeps the TP split.
     from ..parallel import mesh as mesh_lib
-    if mesh_lib.active_seq_mesh() is not None:
+    if mesh_lib.active_seq_mesh() is not None or \
+            mesh_lib.active_tp_mesh() is not None:
         return False
     return True
 
@@ -269,6 +273,39 @@ def _ffn_block_f(f):
     return f
 
 
+_FFN_BLOCK_ROWS = 256  # measured optimum (PERF.md FFN kernel table)
+
+
+def _ffn_fused_call(kernel_fn, p1, p2, x, dtype, extra_args=()):
+    """Shared fused-FFN call plumbing: flatten lead dims, pad rows to the
+    block size, default absent biases to inline zeros (the trainable VJPs
+    differentiate every operand; a grad w.r.t. a constant is dropped), run
+    the kernel, un-pad and restore the lead dims.  `extra_args` is appended
+    after (x2, w1, b1, w2, b2) — the res/LN operands of the epilogue
+    kernel receive x2 via a callable."""
+    lead = x.shape[:-1]
+    h = x.shape[-1]
+    rows = 1
+    for d in lead:
+        rows *= d
+    f_dim, h_out = p1["kernel"].shape[1], p2["kernel"].shape[1]
+    b1 = p1.get("bias")
+    b1 = jnp.zeros((f_dim,), jnp.float32) if b1 is None else b1
+    b2 = p2.get("bias")
+    b2 = jnp.zeros((h_out,), jnp.float32) if b2 is None else b2
+    pad = (-rows) % _FFN_BLOCK_ROWS
+    x2 = x.astype(dtype).reshape(rows, h)
+    if pad:
+        x2 = jnp.concatenate([x2, jnp.zeros((pad, h), x2.dtype)], axis=0)
+    extras = tuple(a(x2) if callable(a) else a for a in extra_args)
+    y = kernel_fn(x2, p1["kernel"], b1, p2["kernel"], b2, *extras,
+                  _FFN_BLOCK_ROWS, _ffn_block_f(f_dim),
+                  jax.default_backend() != "tpu")  # interpret off-TPU
+    if pad:
+        y = y[:rows]
+    return y.reshape(*lead, h_out)
+
+
 def ffn_apply(p1, p2, x, act_name, dtype, act_rng=None, act_dropout=0.0):
     """Transformer FFN block: act(x @ W1 + b1) @ W2 + b2 with dropout after
     the activation.  Dispatches to the fused Pallas kernel
@@ -277,31 +314,10 @@ def ffn_apply(p1, p2, x, act_name, dtype, act_rng=None, act_dropout=0.0):
     chain is the fallback and the numerics reference."""
     if _ffn_fused_eligible(p1, p2, x, act_name, act_rng, act_dropout):
         from .pallas.ffn_kernel import ffn_fused_trainable
-        lead = x.shape[:-1]
-        h = x.shape[-1]
-        rows = 1
-        for d in lead:
-            rows *= d
-        block_rows = 256
-        pad = (-rows) % block_rows
-        x2 = x.astype(dtype).reshape(rows, h)
-        if pad:
-            x2 = jnp.concatenate(
-                [x2, jnp.zeros((pad, h), x2.dtype)], axis=0)
-        f_dim, h_out = p1["kernel"].shape[1], p2["kernel"].shape[1]
-        # zero biases when absent: the trainable VJP differentiates all five
-        # operands, and a grad w.r.t. an inline constant is simply dropped
-        b1 = p1.get("bias")
-        b1 = jnp.zeros((f_dim,), jnp.float32) if b1 is None else b1
-        b2 = p2.get("bias")
-        b2 = jnp.zeros((h_out,), jnp.float32) if b2 is None else b2
-        y = ffn_fused_trainable(
-            x2, p1["kernel"], b1, p2["kernel"], b2,
-            act_name, block_rows, _ffn_block_f(f_dim),
-            jax.default_backend() != "tpu")  # interpret off-TPU (tests)
-        if pad:
-            y = y[:rows]
-        return y.reshape(*lead, p2["kernel"].shape[1])
+        return _ffn_fused_call(
+            lambda x2, w1, b1, w2, b2, br, bf, interp: ffn_fused_trainable(
+                x2, w1, b1, w2, b2, act_name, br, bf, interp),
+            p1, p2, x, dtype)
     h = activation(act_name)(dense(p1, x, dtype))
     h = dropout(h, act_dropout, act_rng)
     return dense(p2, h, dtype)
@@ -331,29 +347,13 @@ def ffn_residual_ln_apply(p1, p2, p_ln, x, act_name, dtype, act_rng=None,
     if (_FFN_FUSED_EPILOGUE and (out_rng is None or out_dropout <= 0.0) and
             _ffn_fused_eligible(p1, p2, x, act_name, act_rng, act_dropout)):
         from .pallas.ffn_kernel import ffn_res_ln_trainable
-        lead = x.shape[:-1]
-        h = x.shape[-1]
-        rows = 1
-        for d in lead:
-            rows *= d
-        f_dim = p1["kernel"].shape[1]
-        b1 = p1.get("bias")
-        b1 = jnp.zeros((f_dim,), jnp.float32) if b1 is None else b1
-        b2 = p2.get("bias")
-        b2 = jnp.zeros((h,), jnp.float32) if b2 is None else b2
-        block_rows = 256
-        pad = (-rows) % block_rows
-        x2 = x.astype(dtype).reshape(rows, h)
-        if pad:
-            x2 = jnp.concatenate(
-                [x2, jnp.zeros((pad, h), x2.dtype)], axis=0)
-        y = ffn_res_ln_trainable(
-            x2, p1["kernel"], b1, p2["kernel"], b2, x2,
-            p_ln["scale"], p_ln["bias"], act_name, eps, block_rows,
-            _ffn_block_f(f_dim), jax.default_backend() != "tpu")
-        if pad:
-            y = y[:rows]
-        return y.reshape(*lead, h)
+        return _ffn_fused_call(
+            lambda x2, w1, b1, w2, b2, res, br, bf, interp:
+                ffn_res_ln_trainable(x2, w1, b1, w2, b2, res,
+                                     p_ln["scale"], p_ln["bias"], act_name,
+                                     eps, br, bf, interp),
+            p1, p2, x, dtype,
+            extra_args=(lambda x2: x2,))  # residual = the padded FFN input
     f = ffn_apply(p1, p2, x, act_name, dtype, act_rng, act_dropout)
     f = dropout(f, out_dropout, out_rng)
     return layer_norm(p_ln, x + ffn_ln_barrier(f), eps)

@@ -218,6 +218,36 @@ def active_seq_mesh() -> Optional[Mesh]:
     return mesh if mesh.shape.get(SEQ_AXIS, 1) > 1 else None
 
 
+def active_tp_mesh() -> Optional[Mesh]:
+    """The mesh of the active tp_sharding() trace, when its `model` axis is
+    actually parallel (size > 1); None otherwise.  Lets ops whose Pallas
+    custom calls cannot be GSPMD-partitioned over a contracted weight dim
+    (the fused FFN kernel: fc1 P(None,'model') / fc2 P('model',None)) fall
+    back to the XLA chain instead of forcing a per-layer weight
+    all-gather."""
+    if _TP_SHARDING is None:
+        return None
+    return _TP_SHARDING if _TP_SHARDING.shape.get(MODEL_AXIS, 1) > 1 \
+        else None
+
+
+_TP_SHARDING = None
+
+
+@contextlib.contextmanager
+def tp_sharding(mesh: Optional[Mesh]):
+    """Mark the enclosed TRACE as tensor-parallel (see active_tp_mesh).
+    Wrap the body of the jitted fn, like seq_sharding.  Identity (but still
+    cheap to enter) when mesh is None or its model axis is 1."""
+    global _TP_SHARDING
+    prev = _TP_SHARDING
+    _TP_SHARDING = mesh
+    try:
+        yield
+    finally:
+        _TP_SHARDING = prev
+
+
 def constrain_time_sharded(x):
     """Annotate a (B, T, C) activation (or a (B, T) mask) as sequence-
     sharded.  Identity when no seq_sharding() trace is active."""

@@ -157,6 +157,8 @@ class TranscriptionPipeline:
             int16_in = self.transfer_dtype == "int16"
             gen_kwargs = self.generate_kwargs
 
+            mesh = self.mesh
+
             def raw(params, batch, lengths, scale):
                 if int16_in:
                     # scale: per-ROW peak (host-computed, shape (B,)) so a
@@ -166,12 +168,13 @@ class TranscriptionPipeline:
                     # |x| > 1 is never clipped
                     batch = batch.astype(jnp.float32) * \
                         (scale[:, None] / 32767.0)
-                return gen_lib.generate(
-                    params, cfg, batch, lengths, max_length=max_length,
-                    num_beams=num_beams, use_flash=use_flash,
-                    early_stop=early_stop, kv_int8=kv_int8,
-                    min_length=min_length, dtype=jnp_dtype(cfg.dtype),
-                    **gen_kwargs)
+                with mesh_lib.tp_sharding(mesh):
+                    return gen_lib.generate(
+                        params, cfg, batch, lengths, max_length=max_length,
+                        num_beams=num_beams, use_flash=use_flash,
+                        early_stop=early_stop, kv_int8=kv_int8,
+                        min_length=min_length, dtype=jnp_dtype(cfg.dtype),
+                        **gen_kwargs)
 
             fn = jax.jit(raw)
             self._fns[t_samples] = fn

@@ -257,7 +257,9 @@ def reference_unfreeze_scale(params, epoch, freeze_epoch: int):
             treedef, [jnp.float32(1.0)] * len(flat))
     ranks, n_total = _encoder_tensor_ranks(enc)
     freeze_layers = int(n_total / freeze_epoch) if freeze_epoch > 0 else 0
-    k = jnp.floor(freeze_layers * epoch)
+    # the callback acts at epoch BEGIN: fractional progress within an epoch
+    # must not move the boundary (floor the epoch, not the product)
+    k = freeze_layers * jnp.floor(epoch)
     release_all = (epoch >= freeze_epoch) | (k < 1)
 
     leaves = []

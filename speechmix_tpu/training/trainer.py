@@ -219,7 +219,7 @@ def make_train_step(cfg: SpeechMixConfig, tc: TrainConfig, params_example,
             # partial final batches are filled by repeating examples
             # (data/collator.py); mask the filler rows out of the loss
             labels = jnp.where(micro["example_mask"][:, None], labels, -100)
-        with mesh_lib.seq_sharding(seq_mesh):
+        with mesh_lib.seq_sharding(seq_mesh), mesh_lib.tp_sharding(mesh):
             out = smx.speechmix_forward(
                 params, cfg, micro["input_values"],
                 lengths=micro.get("lengths"), labels=labels,
@@ -297,18 +297,19 @@ def _placed_like(restored, like):
         return jax.device_put(r, sh) if sh is not None else r
     return jax.tree_util.tree_map(place, restored, like)
 
-def make_eval_step(cfg: SpeechMixConfig, tc: TrainConfig):
+def make_eval_step(cfg: SpeechMixConfig, tc: TrainConfig, mesh=None):
     dtype = jnp.bfloat16 if tc.bf16 else jnp.float32
 
     def eval_fn(params, batch):
         labels = batch["labels"]
         if "example_mask" in batch:
             labels = jnp.where(batch["example_mask"][:, None], labels, -100)
-        out = smx.speechmix_forward(
-            params, cfg, batch["input_values"],
-            lengths=batch.get("lengths"), labels=labels,
-            text_input_ids=batch.get("text_input_ids"),
-            prompt_ids=batch.get("prompt_ids"), dtype=dtype)
+        with mesh_lib.tp_sharding(mesh):
+            out = smx.speechmix_forward(
+                params, cfg, batch["input_values"],
+                lengths=batch.get("lengths"), labels=labels,
+                text_input_ids=batch.get("text_input_ids"),
+                prompt_ids=batch.get("prompt_ids"), dtype=dtype)
         preds = jnp.argmax(out["logits"], axis=-1)
         # valid-token count so evaluate() can weight per-batch mean losses
         # the way HF Trainer does (a near-empty trailing batch must not
@@ -417,7 +418,7 @@ class Trainer:
                 self.logger.log({"resumed_from_step": int(state.step)})
         step_fn = make_train_step(self.cfg, self.tc, state.params,
                                   mesh=self.mesh)
-        eval_fn = make_eval_step(self.cfg, self.tc)
+        eval_fn = make_eval_step(self.cfg, self.tc, mesh=self.mesh)
 
         best_metric = float("inf")
         best_step = 0
@@ -534,15 +535,17 @@ class Trainer:
             fn = fns.get(shape)
             if fn is None:
                 def raw(params, wav, lengths):
-                    return gen_lib.generate(
-                        params, self.cfg, wav, lengths,
-                        max_length=max_length, num_beams=num_beams,
-                        # inference-only: the single-pass flash kernel wins
-                        # on TPU (PERF.md); training keeps XLA attention
-                        # (no custom VJP needed)
-                        use_flash=resolve_use_flash(None),
-                        kv_int8=kv_int8,
-                        dtype=jnp.bfloat16 if self.tc.bf16 else jnp.float32)
+                    with mesh_lib.tp_sharding(self.mesh):
+                        return gen_lib.generate(
+                            params, self.cfg, wav, lengths,
+                            max_length=max_length, num_beams=num_beams,
+                            # inference-only: the single-pass flash kernel
+                            # wins on TPU (PERF.md); training keeps XLA
+                            # attention (no custom VJP needed)
+                            use_flash=resolve_use_flash(None),
+                            kv_int8=kv_int8,
+                            dtype=jnp.bfloat16 if self.tc.bf16
+                            else jnp.float32)
                 fn = jax.jit(raw)
                 fns[shape] = fn
             audio_in = {"input_values": np.asarray(batch["input_values"]),

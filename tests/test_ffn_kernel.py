@@ -140,6 +140,39 @@ def test_ffn_apply_ineligible_paths_fall_back():
         layers.set_ffn_fused(None)
 
 
+def test_ffn_fused_disabled_under_tp_and_seq_contexts():
+    """GSPMD can't partition the Pallas custom call over the sharded ffn
+    (TP) or time (SP) dim; inside tp_sharding / seq_sharding traces the
+    eligibility gate must route to the XLA chain even when forced on."""
+    from speechmix_tpu.parallel import mesh as mesh_lib
+    rng = np.random.RandomState(5)
+    p1 = {"kernel": jnp.asarray(rng.randn(H, F).astype(np.float32))}
+    p2 = {"kernel": jnp.asarray(rng.randn(F, H).astype(np.float32))}
+    x_big = jnp.asarray(rng.randn(2048, H).astype(np.float32))
+    layers.set_ffn_fused(True)
+    try:
+        assert layers._ffn_fused_eligible(p1, p2, x_big, "gelu", None, 0.0)
+        tp_mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
+        with mesh_lib.tp_sharding(tp_mesh):
+            assert mesh_lib.active_tp_mesh() is tp_mesh
+            assert not layers._ffn_fused_eligible(
+                p1, p2, x_big, "gelu", None, 0.0)
+        # model axis of size 1 is not tensor-parallel: kernel stays on
+        dp_mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+        with mesh_lib.tp_sharding(dp_mesh):
+            assert mesh_lib.active_tp_mesh() is None
+            assert layers._ffn_fused_eligible(
+                p1, p2, x_big, "gelu", None, 0.0)
+        with mesh_lib.seq_sharding(mesh_lib.make_mesh(n_data=2, n_seq=4)):
+            assert not layers._ffn_fused_eligible(
+                p1, p2, x_big, "gelu", None, 0.0)
+        # contexts restore cleanly
+        assert mesh_lib.active_tp_mesh() is None
+        assert layers._ffn_fused_eligible(p1, p2, x_big, "gelu", None, 0.0)
+    finally:
+        layers.set_ffn_fused(None)
+
+
 # ---------------------------------------------------------------------------
 # residual + LayerNorm epilogue (post-LN blocks: BART, wav2vec2-base)
 # ---------------------------------------------------------------------------

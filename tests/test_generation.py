@@ -218,3 +218,13 @@ def test_sample_filter_clamps_degenerate_knobs():
     for row in range(3):
         kept = np.isfinite(out[row])
         assert kept.sum() == 1 and kept[best[row]]
+
+
+def test_num_beam_groups_requires_enough_beams(params):
+    """HF generate raises when num_beam_groups > num_beams; the greedy path
+    must NOT silently swallow group-beam kwargs (review round 4)."""
+    wav = jnp.asarray(np.zeros((1, 8000), np.float32))
+    with pytest.raises(ValueError, match="num_beam_groups"):
+        gen_lib.generate(params, CFG, wav, max_length=4,
+                            num_beams=1, num_beam_groups=2,
+                            diversity_penalty=0.5)

@@ -441,26 +441,36 @@ def test_fairseq_layout_speech_encoder_matches_hf_load():
     assert "post_extract_proj.weight" in fsd
     assert "encoder.layers.0.self_attn.q_proj.weight" in fsd
 
-    # fairseq checkpoints ship as {"args": Namespace, "model": state_dict}
+    # fairseq checkpoints ship as {"args": Namespace, "model": state_dict};
+    # fine-tuned fairseq CTC checkpoints additionally nest the encoder
+    # under w2v prefixes — BOTH must be auto-detected as fairseq layout
     import argparse
     ckpt = {"args": argparse.Namespace(arch="wav2vec2"), "model": fsd}
+    fsd_ft = {f"w2v_encoder.w2v_model.{k}": v for k, v in fsd.items()}
+    ckpt_ft = {"args": argparse.Namespace(arch="wav2vec2_ctc"),
+               "model": fsd_ft}
     fs_path = tempfile.mktemp(suffix=".pt")
+    ft_path = tempfile.mktemp(suffix=".pt")
     torch.save(ckpt, fs_path)
+    torch.save(ckpt_ft, ft_path)
     hf_path = _save_sd(hf)
     try:
         p_hf = convert.load_speech_encoder(hf_path, cfg)
         p_fs = convert.load_speech_encoder(fs_path, cfg)
+        p_ft = convert.load_speech_encoder(ft_path, cfg)
     finally:
         os.remove(fs_path)
+        os.remove(ft_path)
         os.remove(hf_path)
 
     import jax
     leaves_hf, td_hf = jax.tree_util.tree_flatten(p_hf)
-    leaves_fs, td_fs = jax.tree_util.tree_flatten(p_fs)
-    assert td_hf == td_fs
-    for a, b in zip(leaves_hf, leaves_fs):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=1e-7)
+    for other in (p_fs, p_ft):
+        leaves_fs, td_fs = jax.tree_util.tree_flatten(other)
+        assert td_hf == td_fs
+        for a, b in zip(leaves_hf, leaves_fs):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
 
     # and the converted encoder actually runs
     wav = np.random.RandomState(0).randn(1, 4000).astype(np.float32) * 0.1
