@@ -199,9 +199,11 @@ def _encoder_block(block, cfg, x, bias, kv_mask, use_flash, dtype,
                          num_heads=cfg.num_heads, head_dim=cfg.per_head_dim,
                          scale=scale, use_flash=use_flash, dtype=dtype,
                          dropout_rate=cfg.attention_dropout,
-                         dropout_rng=k_attn)
-        a = layers.dropout(a, cfg.dropout, k_h1)
-        x = _norm(cfg, block["self_attn_layer_norm"], x + a)
+                         dropout_rng=k_attn, out_proj=False)
+        # out-projection + residual + LN in one VMEM pass when eligible
+        x = layers.dense_residual_ln_apply(
+            block["self_attn"]["out_proj"], block["self_attn_layer_norm"],
+            a, x, dtype, k_h1, cfg.dropout, cfg.layer_norm_eps)
         if cfg.activation == "gelu_gated":
             f = layers.dropout(_ffn(block, cfg, x, dtype, k_act),
                                cfg.dropout, k_h2)
@@ -292,15 +294,20 @@ def _decoder_block(block, cfg, x, self_bias, cross_bias, enc_hidden,
                                  cache=self_cache, use_flash=use_flash,
                                  dtype=dtype,
                                  dropout_rate=cfg.attention_dropout,
-                                 dropout_rng=k_sattn)
-        a = layers.dropout(a, cfg.dropout, k_h1)
-        x = _norm(cfg, block["self_attn_layer_norm"], x + a)
+                                 dropout_rng=k_sattn, out_proj=False)
+        # out-projection + residual + LN fused when eligible (prefill /
+        # training widths; cached single-token steps stay on the XLA chain)
+        x = layers.dense_residual_ln_apply(
+            block["self_attn"]["out_proj"], block["self_attn_layer_norm"],
+            a, x, dtype, k_h1, cfg.dropout, cfg.layer_norm_eps)
         a = _cross_attention(block["encoder_attn"], cfg, x, enc_hidden,
                              cross_bias, cross_kv, scale, dtype,
                              kv_mask=cross_kv_mask, use_flash=use_flash,
-                             dropout_rng=k_cattn)
-        a = layers.dropout(a, cfg.dropout, k_h2)
-        x = _norm(cfg, block["encoder_attn_layer_norm"], x + a)
+                             dropout_rng=k_cattn, out_proj=False)
+        x = layers.dense_residual_ln_apply(
+            block["encoder_attn"]["out_proj"],
+            block["encoder_attn_layer_norm"], a, x, dtype, k_h2,
+            cfg.dropout, cfg.layer_norm_eps)
         if cfg.activation == "gelu_gated":
             f = layers.dropout(_ffn(block, cfg, x, dtype, k_act),
                                cfg.dropout, k_h3)
@@ -337,19 +344,21 @@ def _decoder_block(block, cfg, x, self_bias, cross_bias, enc_hidden,
 
 def _cross_attention(attn_params, cfg, x_q, enc_hidden, bias, cross_kv,
                      scale, dtype, kv_mask=None, use_flash=False,
-                     dropout_rng=None):
+                     dropout_rng=None, out_proj=True):
     """Cross-attention; uses precomputed K/V when given (decode hot path —
     the reference recomputes these every step through HF, SURVEY.md §3.3).
     With use_flash + q_len==1 + a structured kv_mask, runs the fused Pallas
     decode-attention kernel (ops/pallas/decode_attention.py).
     dropout_rng applies attention-prob dropout on the training (cross_kv is
-    None) path only; the precomputed-K/V path is inference-only."""
+    None) path only; the precomputed-K/V path is inference-only.
+    out_proj=False returns the concatenated heads output — the caller owns
+    the out-projection (fused post-LN epilogue)."""
     if cross_kv is None:
         out, _ = attention(attn_params, x_q, x_kv=enc_hidden, bias=bias,
                            num_heads=cfg.num_heads, head_dim=cfg.per_head_dim,
                            scale=scale, dtype=dtype,
                            dropout_rate=cfg.attention_dropout,
-                           dropout_rng=dropout_rng)
+                           dropout_rng=dropout_rng, out_proj=out_proj)
         return out
     import math as _math
     k, v = cross_kv[0], cross_kv[1]
@@ -374,7 +383,8 @@ def _cross_attention(attn_params, cfg, x_q, enc_hidden, bias, cross_kv,
                                   v_scale=v_scale)
         if out is not None:
             out = out.reshape(*out.shape[:2], cfg.num_heads * d)
-            return layers.dense(attn_params["out_proj"], out, dtype)
+            return (layers.dense(attn_params["out_proj"], out, dtype)
+                    if out_proj else out)
     if bias is None and kv_mask is not None:
         bias = combine_masks_to_bias(kv_mask=kv_mask)
     # int8-KV path: scores/values computed on the int8 codes (convert fuses
@@ -393,7 +403,8 @@ def _cross_attention(attn_params, cfg, x_q, enc_hidden, bias, cross_kv,
     out = jnp.einsum("bhqk,khdb->bqhd", probs, v.astype(dtype),
                      preferred_element_type=dtype)
     out = out.reshape(*out.shape[:2], cfg.num_heads * d)
-    return layers.dense(attn_params["out_proj"], out, dtype)
+    return (layers.dense(attn_params["out_proj"], out, dtype)
+            if out_proj else out)
 
 
 # ----------------------------------------------------------------------------

@@ -288,14 +288,17 @@ def _encoder_layer(layer_params, x, kv_mask, cfg, use_flash, dtype,
                               cfg.layer_norm_eps)
         x = x + ffn(h)
     else:
-        # post-LN (wav2vec2-base)
+        # post-LN (wav2vec2-base); out-projection + residual + LN fused into
+        # one VMEM pass when eligible (layers.dense_residual_ln_apply)
         attn, _ = attention(layer_params["attention"], x, kv_mask=kv_mask,
                             num_heads=cfg.num_heads, use_flash=use_flash,
                             dtype=dtype, dropout_rate=cfg.attention_dropout,
-                            dropout_rng=k_attn, ring_mesh=ring_mesh)
-        attn = layers.dropout(attn, cfg.dropout, k_h1)
-        x = layers.layer_norm(layer_params["attention_layer_norm"], x + attn,
-                              cfg.layer_norm_eps)
+                            dropout_rng=k_attn, ring_mesh=ring_mesh,
+                            out_proj=False)
+        x = layers.dense_residual_ln_apply(
+            layer_params["attention"]["out_proj"],
+            layer_params["attention_layer_norm"], attn, x, dtype,
+            k_h1, cfg.dropout, cfg.layer_norm_eps)
         # residual + final LN fused into the FFN kernel flush when eligible
         x = layers.ffn_residual_ln_apply(
             layer_params["ffn_in"], layer_params["ffn_out"],

@@ -122,7 +122,8 @@ def maybe_decode_kernel(q, k, v, kv_mask, scale, num_heads, use_flash,
 def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
               num_heads=None, head_dim=None, scale=None,
               cache: Optional[KVCache] = None, use_flash=False, dtype=None,
-              dropout_rate=0.0, dropout_rng=None, ring_mesh=None):
+              dropout_rate=0.0, dropout_rng=None, ring_mesh=None,
+              out_proj=True):
     """General MHA.
 
     x_q: (B, Tq, Dq).  x_kv: (B, Tk, Dk) or None for self-attention.
@@ -246,7 +247,10 @@ def attention(params, x_q, x_kv=None, bias=None, kv_mask=None, causal=False,
         out = _attend(q, k, v, total_bias, scale,
                       dropout_rate if has_dropout else 0.0, dropout_rng)
     out = out.reshape(out.shape[0], out.shape[1], num_heads * head_dim)
-    out = layers.dense(params["out_proj"], out, dtype)
+    if out_proj:
+        out = layers.dense(params["out_proj"], out, dtype)
+    # out_proj=False: the caller owns the out-projection (post-LN blocks
+    # fuse it with the residual+LN epilogue — layers.dense_residual_ln_apply)
     return out, new_cache
 
 

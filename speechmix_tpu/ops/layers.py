@@ -359,6 +359,77 @@ def ffn_residual_ln_apply(p1, p2, p_ln, x, act_name, dtype, act_rng=None,
     return layer_norm(p_ln, x + ffn_ln_barrier(f), eps)
 
 
+# attention-epilogue fusion toggle, independent of the FFN toggles so it can
+# be A/B'd alone (experiments/attn_epilogue_ab.py)
+_ATTN_FUSED_EPILOGUE = True
+
+
+def set_attn_fused_epilogue(on: bool):
+    global _ATTN_FUSED_EPILOGUE
+    _ATTN_FUSED_EPILOGUE = bool(on)
+
+
+def _dense_fused_eligible(p, x):
+    """Eligibility for the single-gemm epilogue kernel (attention out-proj):
+    same gates as the FFN kernel minus the activation — TPU (or forced),
+    unquantized weight, 128-aligned dims, >= min rows, no SP/TP trace."""
+    if _FFN_FUSED is False:
+        return False
+    if _FFN_FUSED is None and jax.default_backend() != "tpu":
+        return False
+    if "kernel" not in p:
+        return False
+    din, h = p["kernel"].shape
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    if rows < _FFN_FUSED_MIN_ROWS or din % 128 or h % 128:
+        return False
+    from ..parallel import mesh as mesh_lib
+    if mesh_lib.active_seq_mesh() is not None or \
+            mesh_lib.active_tp_mesh() is not None:
+        return False
+    return True
+
+
+def dense_residual_ln_apply(p, p_ln, x, res, dtype, out_rng=None,
+                            out_dropout=0.0, eps=1e-5):
+    """Post-LN attention epilogue: ``LayerNorm(res + dropout(x @ W + b))``
+    where x is the concatenated attention-heads output and W the
+    out-projection.  Fuses gemm + residual + LayerNorm into one VMEM pass
+    (ops/pallas/ffn_kernel.dense_res_ln) when eligible — the same
+    deoptimized fc+LN gemm seam the FFN epilogue kernel closes (PERF.md
+    round-4 table).  With a live dropout rng, or when ineligible (cached
+    decode steps: rows == B), the XLA chain is the numerics reference."""
+    if (_ATTN_FUSED_EPILOGUE and (out_rng is None or out_dropout <= 0.0)
+            and _dense_fused_eligible(p, x)):
+        from .pallas.ffn_kernel import dense_res_ln_trainable
+        lead = x.shape[:-1]
+        din = x.shape[-1]
+        h = p["kernel"].shape[1]
+        rows = 1
+        for d in lead:
+            rows *= d
+        b = p.get("bias")
+        b = jnp.zeros((h,), jnp.float32) if b is None else b
+        pad = (-rows) % _FFN_BLOCK_ROWS
+        x2 = x.astype(dtype).reshape(rows, din)
+        r2 = res.astype(dtype).reshape(rows, h)
+        if pad:
+            x2 = jnp.concatenate([x2, jnp.zeros((pad, din), x2.dtype)],
+                                 axis=0)
+            r2 = jnp.concatenate([r2, jnp.zeros((pad, h), r2.dtype)],
+                                 axis=0)
+        y = dense_res_ln_trainable(x2, p["kernel"], b, r2, p_ln["scale"],
+                                   p_ln["bias"], eps, _FFN_BLOCK_ROWS,
+                                   jax.default_backend() != "tpu")
+        if pad:
+            y = y[:rows]
+        return y.reshape(*lead, h)
+    a = dropout(dense(p, x, dtype), out_dropout, out_rng)
+    return layer_norm(p_ln, res + a, eps)
+
+
 # ----------------------------------------------------------------------------
 # strided conv1d as patch-matmul (MXU-friendly)
 # ----------------------------------------------------------------------------

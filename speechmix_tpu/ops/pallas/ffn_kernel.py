@@ -249,6 +249,101 @@ def _frl_bwd(act, eps, block_rows, block_f, interpret, resids, grad):
 ffn_res_ln_trainable.defvjp(_frl_fwd, _frl_bwd)
 
 
+def _kernel_dense_res_ln(x_ref, w_ref, b_ref, res_ref, g_ref, beta_ref,
+                         o_ref, *, eps):
+    """Single gemm + post-LN epilogue: o = LN(res + x @ w + b).  The
+    attention out-projection's residual+LayerNorm seam — same ~112 TFLOP/s
+    deoptimized-gemm fusion the FFN epilogue kernel closes (PERF.md), one
+    matmul instead of two so no ffn-chunk grid axis is needed."""
+    y = jax.lax.dot_general(x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = (y + b_ref[...].astype(jnp.float32) +
+         res_ref[...].astype(jnp.float32))
+    mu = jnp.mean(y, axis=1, keepdims=True)
+    d = y - mu
+    var = jnp.mean(d * d, axis=1, keepdims=True)
+    o_ref[...] = (d * jax.lax.rsqrt(var + eps) *
+                  g_ref[...].astype(jnp.float32) +
+                  beta_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def dense_res_ln(x, w, b, res, g, beta, *, eps=1e-5, block_rows=256,
+                 interpret=False):
+    """o = LayerNorm(res + x @ w + b; scale=g, bias=beta).
+
+    The post-LN attention epilogue (BART blocks, wav2vec2-base encoder
+    layer): out-projection gemm, residual add, mean/var and affine in one
+    VMEM pass.  x: (N, Din), w: (Din, H), res: (N, H).  Requirements
+    (checked): Din % 128 == 0, H % 128 == 0, N % block_rows == 0.  The full
+    (Din, H) weight is one VMEM block (<= 2 MB bf16 at H = 1024)."""
+    n, din = x.shape
+    hdim = w.shape[1]
+    if w.shape != (din, hdim) or res.shape != (n, hdim):
+        raise ValueError(f"shape mismatch: x {x.shape} w {w.shape} "
+                         f"res {res.shape}")
+    if din % 128 or hdim % 128 or n % block_rows:
+        raise ValueError(f"unsupported dims N={n} Din={din} H={hdim} "
+                         f"block_rows={block_rows}")
+    dtype = x.dtype
+    b = (b if b is not None else jnp.zeros((hdim,))).reshape(1, hdim)
+    fn = pl.pallas_call(
+        functools.partial(_kernel_dense_res_ln, eps=eps),
+        grid=(n // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, din), lambda i: (i, 0)),
+            pl.BlockSpec((din, hdim), lambda i: (0, 0)),
+            pl.BlockSpec((1, hdim), lambda i: (0, 0)),
+            pl.BlockSpec((block_rows, hdim), lambda i: (i, 0)),
+            pl.BlockSpec((1, hdim), lambda i: (0, 0)),
+            pl.BlockSpec((1, hdim), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_rows, hdim), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, hdim), dtype),
+        interpret=interpret,
+    )
+    return fn(x, w.astype(dtype), b.astype(jnp.float32), res.astype(dtype),
+              g.reshape(1, hdim).astype(jnp.float32),
+              beta.reshape(1, hdim).astype(jnp.float32))
+
+
+def _xla_dense_res_ln(x, w, b, res, g, beta, eps):
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    y = res.astype(jnp.float32) + y.astype(jnp.float32)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    d = y - mu
+    var = jnp.mean(d * d, axis=-1, keepdims=True)
+    return (d * jax.lax.rsqrt(var + eps) * g.astype(jnp.float32) +
+            beta.astype(jnp.float32)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def dense_res_ln_trainable(x, w, b, res, g, beta, eps=1e-5, block_rows=256,
+                           interpret=False):
+    """dense_res_ln with a total VJP: backward recomputes gemm + LN through
+    XLA (pallas_call has no autodiff rule); no pre-LN (N, H) residual
+    stored."""
+    return dense_res_ln(x, w, b, res, g, beta, eps=eps,
+                        block_rows=block_rows, interpret=interpret)
+
+
+def _drl_fwd(x, w, b, res, g, beta, eps, block_rows, interpret):
+    out = dense_res_ln(x, w, b, res, g, beta, eps=eps,
+                       block_rows=block_rows, interpret=interpret)
+    return out, (x, w, b, res, g, beta)
+
+
+def _drl_bwd(eps, block_rows, interpret, resids, grad):
+    x, w, b, res, g, beta = resids
+    _, vjp = jax.vjp(lambda *a: _xla_dense_res_ln(*a, eps),
+                     x, w, b, res, g, beta)
+    return vjp(grad.astype(x.dtype))
+
+
+dense_res_ln_trainable.defvjp(_drl_fwd, _drl_bwd)
+
+
 def _xla_ffn(x, w1, b1, w2, b2, act):
     h = jnp.dot(x, w1.astype(x.dtype), preferred_element_type=x.dtype)
     if b1 is not None:

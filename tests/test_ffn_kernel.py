@@ -292,3 +292,152 @@ def test_ffn_residual_ln_apply_post_dropout_falls_back():
     layers.set_ffn_fused(None)
     np.testing.assert_allclose(np.asarray(y_drop), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# dense + residual + LayerNorm (attention out-projection epilogue)
+# ---------------------------------------------------------------------------
+
+
+def _ref_dense_res_ln(x, w, b, res, g, beta, eps=1e-5):
+    y = jnp.dot(x.astype(jnp.float32), w)
+    if b is not None:
+        y = y + b
+    y = y + res.astype(jnp.float32)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    d = y - mu
+    var = jnp.mean(d * d, axis=-1, keepdims=True)
+    return d * jax.lax.rsqrt(var + eps) * g + beta
+
+
+def test_dense_res_ln_matches_reference_f32():
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(512, H).astype(np.float32) * 0.5)
+    w = jnp.asarray(rng.randn(H, H).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(H).astype(np.float32) * 0.1)
+    res = jnp.asarray(rng.randn(512, H).astype(np.float32) * 0.5)
+    g, beta = _ln_params()
+    y = fk.dense_res_ln(x, w, b, res, g, beta, block_rows=256,
+                        interpret=True)
+    ref = _ref_dense_res_ln(x, w, b, res, g, beta)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_dense_res_ln_bf16():
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(256, H).astype(np.float32) * 0.5)
+    w = jnp.asarray(rng.randn(H, H).astype(np.float32) * 0.1)
+    res = jnp.asarray(rng.randn(256, H).astype(np.float32) * 0.5)
+    g, beta = _ln_params()
+    b = jnp.zeros((H,), jnp.float32)
+    y = fk.dense_res_ln(x.astype(jnp.bfloat16), w, b,
+                        res.astype(jnp.bfloat16), g, beta, block_rows=256,
+                        interpret=True)
+    assert y.dtype == jnp.bfloat16
+    ref = _ref_dense_res_ln(x, w, b, res, g, beta)
+    np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(ref),
+                               rtol=4e-2, atol=4e-2)
+
+
+def test_dense_res_ln_trainable_grads_match_xla_chain():
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.randn(256, H).astype(np.float32) * 0.5)
+    w = jnp.asarray(rng.randn(H, H).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(H).astype(np.float32) * 0.1)
+    res = jnp.asarray(rng.randn(256, H).astype(np.float32) * 0.5)
+    g, beta = _ln_params()
+
+    def loss_k(args):
+        y = fk.dense_res_ln_trainable(*args, 1e-5, 256, True)
+        return jnp.sum(jnp.square(y))
+
+    def loss_r(args):
+        return jnp.sum(jnp.square(_ref_dense_res_ln(*args)))
+
+    gk = jax.grad(loss_k)((x, w, b, res, g, beta))
+    gr = jax.grad(loss_r)((x, w, b, res, g, beta))
+    for a, b_ in zip(jax.tree_util.tree_leaves(gk),
+                     jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4,
+                                   atol=1e-4)
+
+
+def test_dense_residual_ln_apply_dispatch_and_padding():
+    """The attention-epilogue helper: kernel forced on (CPU -> interpret)
+    equals the XLA chain, incl. non-multiple-of-block_rows (B, T, H) rows,
+    and the independent toggle turns only this fusion off."""
+    rng = np.random.RandomState(14)
+    x = jnp.asarray(rng.randn(2, 700, H).astype(np.float32) * 0.5)
+    res = jnp.asarray(rng.randn(2, 700, H).astype(np.float32) * 0.5)
+    p = {"kernel": jnp.asarray(rng.randn(H, H).astype(np.float32) * 0.1),
+         "bias": jnp.asarray(rng.randn(H).astype(np.float32) * 0.1)}
+    p_ln = dict(zip(("scale", "bias"), _ln_params()))
+    layers.set_ffn_fused(True)
+    try:
+        y_k = layers.dense_residual_ln_apply(p, p_ln, x, res, jnp.float32)
+        layers.set_attn_fused_epilogue(False)
+        y_off = layers.dense_residual_ln_apply(p, p_ln, x, res, jnp.float32)
+    finally:
+        layers.set_ffn_fused(None)
+        layers.set_attn_fused_epilogue(True)
+    y_x = layers.dense_residual_ln_apply(p, p_ln, x, res, jnp.float32)
+    assert y_k.shape == y_x.shape == (2, 700, H)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_x), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y_off), np.asarray(y_x),
+                               rtol=1e-7, atol=1e-7)
+
+
+def test_dense_residual_ln_apply_dropout_falls_back():
+    """A live post-attention dropout rng keeps the XLA chain (dropout sits
+    between the out-proj and the residual) while still applying dropout."""
+    rng = np.random.RandomState(15)
+    x = jnp.asarray(rng.randn(4, 512, H).astype(np.float32) * 0.5)
+    res = jnp.asarray(rng.randn(4, 512, H).astype(np.float32) * 0.5)
+    p = {"kernel": jnp.asarray(rng.randn(H, H).astype(np.float32) * 0.1)}
+    p_ln = dict(zip(("scale", "bias"), _ln_params()))
+    key = jax.random.PRNGKey(1)
+    layers.set_ffn_fused(True)
+    try:
+        y = layers.dense_residual_ln_apply(p, p_ln, x, res, jnp.float32,
+                                           out_rng=key, out_dropout=0.5)
+    finally:
+        layers.set_ffn_fused(None)
+    a = layers.dropout(layers.dense(p, x, jnp.float32), 0.5, key)
+    ref = layers.layer_norm(p_ln, res + a, 1e-5)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_post_ln_encoder_fused_epilogues_in_situ():
+    """Full post-LN speech-encoder forward with BOTH fused epilogues forced
+    on (CPU -> interpret) vs all-XLA: the in-model wiring
+    (attention(out_proj=False) + dense_residual_ln_apply +
+    ffn_residual_ln_apply) must be numerically equivalent.  128-dim config
+    so the kernels' alignment gates open; B*T >= 1024 rows."""
+    from speechmix_tpu.config import SpeechEncoderConfig
+    from speechmix_tpu.models import speech_encoder as se
+    cfg = SpeechEncoderConfig(
+        name="t128", conv_dims=(32, 32), conv_kernels=(10, 3),
+        conv_strides=(5, 4), hidden_size=128, num_layers=2, num_heads=4,
+        ffn_dim=256, pos_conv_kernel=16, pos_conv_groups=4,
+        apply_spec_augment=False, layerdrop=0.0)
+    assert not cfg.do_stable_layer_norm  # post-LN family
+    params = se.init_speech_encoder(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(20)
+    wav = jnp.asarray(rng.randn(2, 16000 * 2).astype(np.float32) * 0.1)
+    lengths = jnp.asarray([32000, 29000])
+
+    layers.set_ffn_fused(True)
+    try:
+        y_k = se.speech_encoder_apply(params, cfg, wav,
+                                      lengths)["last_hidden_state"]
+    finally:
+        layers.set_ffn_fused(False)
+    y_x = se.speech_encoder_apply(params, cfg, wav,
+                                  lengths)["last_hidden_state"]
+    layers.set_ffn_fused(None)
+    assert y_k.shape[0] * y_k.shape[1] >= 1024  # kernels actually engaged
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_x), rtol=2e-4,
+                               atol=2e-4)
