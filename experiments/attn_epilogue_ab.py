@@ -52,7 +52,7 @@ def main():
     from speechmix_tpu.ops import layers
     from speechmix_tpu import generation as gen_lib
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    B = next((int(a) for a in sys.argv[1:] if a.isdigit()), 128)
     rng = np.random.RandomState(0)
 
     cfg = SpeechMixConfig(encoder=SPEECH_ENCODER_PRESETS["wav2vec2-base"],
