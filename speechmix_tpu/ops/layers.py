@@ -234,13 +234,30 @@ def set_ffn_fused(mode):
     _FFN_FUSED = mode
 
 
+# in-kernel PRNG dropout for the fused FFN/epilogue kernels (round 4) —
+# independent toggle so it can be A/B'd against the XLA dropout chain
+# (experiments/ffn_dropout_ab.py)
+_FFN_DROPOUT_FUSED = True
+
+
+def set_ffn_dropout_fused(on: bool):
+    global _FFN_DROPOUT_FUSED
+    _FFN_DROPOUT_FUSED = bool(on)
+
+
+def _dropout_seed(rng):
+    """Derive the kernels' int32 stream seed from a site rng key (same
+    scheme as the flash-attention dropout dispatch, ops/attention.py)."""
+    return jax.random.randint(rng, (), 0, 2**31 - 1)
+
+
 def _ffn_fused_eligible(p1, p2, x, act_name, act_rng, act_dropout):
     if _FFN_FUSED is False:
         return False
     if _FFN_FUSED is None and jax.default_backend() != "tpu":
         return False
-    if act_rng is not None and act_dropout > 0.0:
-        return False  # in-kernel activation dropout unsupported; XLA path
+    if act_rng is not None and act_dropout > 0.0 and not _FFN_DROPOUT_FUSED:
+        return False  # in-kernel dropout disabled (A/B toggle); XLA path
     if "kernel" not in p1 or "kernel" not in p2:
         return False  # int8-quantized weights keep the XLA dequant fusion
     if act_name not in ("gelu", "gelu_new", "relu", "silu"):
@@ -313,6 +330,18 @@ def ffn_apply(p1, p2, x, act_name, dtype, act_rng=None, act_dropout=0.0):
     (rows, ffn_dim) intermediate never reaches HBM) when eligible; the XLA
     chain is the fallback and the numerics reference."""
     if _ffn_fused_eligible(p1, p2, x, act_name, act_rng, act_dropout):
+        if act_rng is not None and act_dropout > 0.0:
+            # in-kernel PRNG activation dropout (TPU; XLA-mask fallback
+            # inside the op elsewhere) — the fidelity recipe keeps the
+            # fused kernel (ops/pallas/ffn_kernel.py round-4 section)
+            from .pallas.ffn_kernel import ffn_dropout_trainable
+            seed = _dropout_seed(act_rng)
+            return _ffn_fused_call(
+                lambda x2, w1, b1, w2, b2, br, bf, interp:
+                    ffn_dropout_trainable(x2, w1, b1, w2, b2, seed,
+                                          act_name, float(act_dropout),
+                                          br, bf),
+                p1, p2, x, dtype)
         from .pallas.ffn_kernel import ffn_fused_trainable
         return _ffn_fused_call(
             lambda x2, w1, b1, w2, b2, br, bf, interp: ffn_fused_trainable(
@@ -344,8 +373,26 @@ def ffn_residual_ln_apply(p1, p2, p_ln, x, act_name, dtype, act_rng=None,
     rescheduling XLA can't close it) when eligible; with a live post-FFN
     dropout rng, or when the kernel is ineligible, falls back to
     ffn_apply + the XLA residual+LN chain (the numerics reference)."""
-    if (_FFN_FUSED_EPILOGUE and (out_rng is None or out_dropout <= 0.0) and
+    act_live = act_rng is not None and act_dropout > 0.0
+    out_live = out_rng is not None and out_dropout > 0.0
+    if (_FFN_FUSED_EPILOGUE and
+            (not out_live or _FFN_DROPOUT_FUSED) and
             _ffn_fused_eligible(p1, p2, x, act_name, act_rng, act_dropout)):
+        if act_live or out_live:
+            # both HF dropout sites in-kernel (PRNG mask; round-4 section
+            # of ops/pallas/ffn_kernel.py) — one seed, per-site streams
+            from .pallas.ffn_kernel import ffn_dropout_res_ln_trainable
+            seed = _dropout_seed(act_rng if act_live else out_rng)
+            return _ffn_fused_call(
+                lambda x2, w1, b1, w2, b2, res, br, bf, interp:
+                    ffn_dropout_res_ln_trainable(
+                        x2, w1, b1, w2, b2, res, p_ln["scale"],
+                        p_ln["bias"], seed, act_name,
+                        float(act_dropout) if act_live else 0.0,
+                        float(out_dropout) if out_live else 0.0,
+                        eps, br, bf),
+                p1, p2, x, dtype,
+                extra_args=(lambda x2: x2,))
         from .pallas.ffn_kernel import ffn_res_ln_trainable
         return _ffn_fused_call(
             lambda x2, w1, b1, w2, b2, res, br, bf, interp:
@@ -401,9 +448,11 @@ def dense_residual_ln_apply(p, p_ln, x, res, dtype, out_rng=None,
     deoptimized fc+LN gemm seam the FFN epilogue kernel closes (PERF.md
     round-4 table).  With a live dropout rng, or when ineligible (cached
     decode steps: rows == B), the XLA chain is the numerics reference."""
-    if (_ATTN_FUSED_EPILOGUE and (out_rng is None or out_dropout <= 0.0)
+    out_live = out_rng is not None and out_dropout > 0.0
+    if (_ATTN_FUSED_EPILOGUE and (not out_live or _FFN_DROPOUT_FUSED)
             and _dense_fused_eligible(p, x)):
-        from .pallas.ffn_kernel import dense_res_ln_trainable
+        from .pallas.ffn_kernel import (dense_dropout_res_ln_trainable,
+                                        dense_res_ln_trainable)
         lead = x.shape[:-1]
         din = x.shape[-1]
         h = p["kernel"].shape[1]
@@ -420,9 +469,17 @@ def dense_residual_ln_apply(p, p_ln, x, res, dtype, out_rng=None,
                                  axis=0)
             r2 = jnp.concatenate([r2, jnp.zeros((pad, h), r2.dtype)],
                                  axis=0)
-        y = dense_res_ln_trainable(x2, p["kernel"], b, r2, p_ln["scale"],
-                                   p_ln["bias"], eps, _FFN_BLOCK_ROWS,
-                                   jax.default_backend() != "tpu")
+        if out_live:
+            # out-projection dropout in-kernel (PRNG mask; round-4 section
+            # of ops/pallas/ffn_kernel.py)
+            y = dense_dropout_res_ln_trainable(
+                x2, p["kernel"], b, r2, p_ln["scale"], p_ln["bias"],
+                _dropout_seed(out_rng), float(out_dropout), eps,
+                _FFN_BLOCK_ROWS)
+        else:
+            y = dense_res_ln_trainable(x2, p["kernel"], b, r2, p_ln["scale"],
+                                       p_ln["bias"], eps, _FFN_BLOCK_ROWS,
+                                       jax.default_backend() != "tpu")
         if pad:
             y = y[:rows]
         return y.reshape(*lead, h)

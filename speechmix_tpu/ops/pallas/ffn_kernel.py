@@ -25,10 +25,21 @@ hf_model.py:210-215 encoder load; BART EncoderLayer fc1/fc2) and leans on
 cuDNN/cuBLAS fusion; here the fusion is explicit and TPU-shaped.
 
 Activation: exact-erf GELU (same rational approximation XLA lowers erf.f32
-to — see conv_extractor._erf_f32), tanh GELU, relu, or silu.  Dropout
-between fc1 and fc2 (activation_dropout) is NOT supported in-kernel; the
-dispatch (ops.layers.ffn_apply) falls back to the XLA path when an
-activation-dropout rng is live.
+to — see conv_extractor._erf_f32), tanh GELU, relu, or silu.
+
+Dropout (round 4): the training-fidelity recipe keeps the HF backbone
+dropout rates live (hf_model.py:216-219 config load), which used to force
+the whole FFN block back onto the XLA chain.  `ffn_dropout_trainable` /
+`ffn_dropout_res_ln_trainable` / `dense_dropout_res_ln_trainable` apply
+activation- and output-dropout IN-KERNEL via the TPU PRNG (the same
+(seed, program_id) regeneration scheme as the flash-attention dropout
+kernels): masks are never materialized in HBM on the forward, and the
+backward regenerates the exact bits with a tiny mask kernel
+(`dropout_mask`) before recomputing through the XLA chain — so neither
+the (N, F) intermediate nor its mask is a residual.  Off-TPU the same
+functions fall back to XLA formulas with a seed-derived jax.random mask
+(deterministic per backend; only within-backend determinism is
+contractual, as with flash dropout).
 
 Backward: `ffn_fused_trainable` wraps the kernel in a custom VJP whose
 backward recomputes through the XLA chain — flash-style: the (B, T, F)
@@ -382,3 +393,379 @@ def _fft_bwd(act, block_rows, block_f, interpret, res, g):
 
 
 ffn_fused_trainable.defvjp(_fft_fwd, _fft_bwd)
+
+
+# ----------------------------------------------------------------------------
+# In-kernel dropout variants (round 4): activation-/output-dropout via the
+# TPU PRNG so the fused FFN + epilogue kernels engage under the
+# reference-fidelity training recipe (dropout ON).  Stream layout per kernel
+# call (one int32 seed, derived from the site's rng key by the dispatch):
+#   act mask  at grid (i, j): stream id i * nj + j            (ids [0, ni*nj))
+#   out mask  at row tile i:  stream id ni * nj + i           (ids [ni*nj, +ni))
+# The backward regenerates the identical bits with `dropout_mask` (same
+# grid carve-up, same seeding) and recomputes through the XLA chain.
+# ----------------------------------------------------------------------------
+
+from .flash_attention_kernel import (_dropout_scale_from_bits,
+                                     _xla_dropout_mask)
+
+
+def _on_tpu():
+    return jax.default_backend() == "tpu"
+
+
+def _seed_arr(seed):
+    return jnp.asarray(seed, jnp.int32).reshape(1)
+
+
+def _mask_kernel(seed_ref, o_ref, *, rate, nj, offset):
+    pid = offset + pl.program_id(0) * nj + pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0], pid)
+    o_ref[...] = _dropout_scale_from_bits(
+        pltpu.prng_random_bits(o_ref.shape), rate)
+
+
+def dropout_mask(seed, n, cols, rate, block_rows, block_cols, offset=0):
+    """Regenerate a fused-kernel dropout mask as an (n, cols) f32 array of
+    {0, 1/(1-rate)} — the exact bits the forward kernels draw, for the
+    backward's XLA-chain recompute.  TPU only (callers branch per backend).
+    """
+    nj = cols // block_cols
+    fn = pl.pallas_call(
+        functools.partial(_mask_kernel, rate=rate, nj=nj, offset=offset),
+        grid=(n // block_rows, nj),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((block_rows, block_cols), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((n, cols), jnp.float32),
+    )
+    return fn(_seed_arr(seed))
+
+
+def _kernel_dropout(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                    acc_ref, *, act, nj, act_rate):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    h = jax.lax.dot_general(x, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = _act_f32(act, h + b1_ref[...].astype(jnp.float32))
+    if act_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0], i * nj + j)
+        h = h * _dropout_scale_from_bits(pltpu.prng_random_bits(h.shape),
+                                         act_rate)
+    acc_ref[...] += jax.lax.dot_general(
+        h.astype(x.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _flush():
+        o_ref[...] = (acc_ref[...] +
+                      b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _kernel_dropout_res_ln(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                           res_ref, g_ref, beta_ref, o_ref, acc_ref, *,
+                           act, ni, nj, act_rate, out_rate, eps):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    h = jax.lax.dot_general(x, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = _act_f32(act, h + b1_ref[...].astype(jnp.float32))
+    if act_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0], i * nj + j)
+        h = h * _dropout_scale_from_bits(pltpu.prng_random_bits(h.shape),
+                                         act_rate)
+    acc_ref[...] += jax.lax.dot_general(
+        h.astype(x.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _flush():
+        y = acc_ref[...] + b2_ref[...].astype(jnp.float32)
+        if out_rate > 0.0:
+            pltpu.prng_seed(seed_ref[0], ni * nj + i)
+            y = y * _dropout_scale_from_bits(
+                pltpu.prng_random_bits(y.shape), out_rate)
+        y = y + res_ref[...].astype(jnp.float32)
+        mu = jnp.mean(y, axis=1, keepdims=True)
+        d = y - mu
+        var = jnp.mean(d * d, axis=1, keepdims=True)
+        o_ref[...] = (d * jax.lax.rsqrt(var + eps) *
+                      g_ref[...].astype(jnp.float32) +
+                      beta_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _kernel_dense_dropout_res_ln(seed_ref, x_ref, w_ref, b_ref, res_ref,
+                                 g_ref, beta_ref, o_ref, *, rate, eps):
+    y = jax.lax.dot_general(x_ref[...], w_ref[...],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y + b_ref[...].astype(jnp.float32)
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    y = y * _dropout_scale_from_bits(pltpu.prng_random_bits(y.shape), rate)
+    y = y + res_ref[...].astype(jnp.float32)
+    mu = jnp.mean(y, axis=1, keepdims=True)
+    d = y - mu
+    var = jnp.mean(d * d, axis=1, keepdims=True)
+    o_ref[...] = (d * jax.lax.rsqrt(var + eps) *
+                  g_ref[...].astype(jnp.float32) +
+                  beta_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+# --- XLA twins (masked chains): the backward's recompute target AND the
+# --- off-TPU forward.  Mask multiplies happen in f32 exactly where the
+# --- kernels apply them.
+
+def _xla_ffn_drop(x, w1, b1, w2, b2, amask, act):
+    h = jnp.dot(x, w1.astype(x.dtype), preferred_element_type=x.dtype)
+    h = h + b1.astype(x.dtype)
+    h = _act_f32(act, h.astype(jnp.float32))
+    if amask is not None:
+        h = h * amask
+    h = h.astype(x.dtype)
+    y = jnp.dot(h, w2.astype(x.dtype), preferred_element_type=x.dtype)
+    return y + b2.astype(x.dtype)
+
+
+def _xla_ffn_drop_res_ln(x, w1, b1, w2, b2, res, g, beta, amask, omask,
+                         act, eps):
+    y = _xla_ffn_drop(x, w1, b1, w2, b2, amask, act).astype(jnp.float32)
+    if omask is not None:
+        y = y * omask
+    y = res.astype(jnp.float32) + y
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    d = y - mu
+    var = jnp.mean(d * d, axis=-1, keepdims=True)
+    return (d * jax.lax.rsqrt(var + eps) * g.astype(jnp.float32) +
+            beta.astype(jnp.float32)).astype(x.dtype)
+
+
+def _xla_dense_drop_res_ln(x, w, b, res, g, beta, omask, eps):
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
+    y = (y + b.astype(x.dtype)).astype(jnp.float32)
+    y = y * omask
+    y = res.astype(jnp.float32) + y
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    d = y - mu
+    var = jnp.mean(d * d, axis=-1, keepdims=True)
+    return (d * jax.lax.rsqrt(var + eps) * g.astype(jnp.float32) +
+            beta.astype(jnp.float32)).astype(x.dtype)
+
+
+# --- public trainable ops -----------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def ffn_dropout_trainable(x, w1, b1, w2, b2, seed, act, act_rate,
+                          block_rows, block_f):
+    """act(x @ w1 + b1) -> inverted dropout(act_rate) -> @ w2 + b2, with the
+    mask drawn in-kernel (TPU) or from a seed-derived jax.random stream
+    (elsewhere).  Total VJP: backward regenerates the mask and recomputes
+    through the XLA chain — no (N, F) intermediate or mask residual."""
+    n, hdim = x.shape
+    fdim = w1.shape[1]
+    if not _on_tpu():
+        return _xla_ffn_drop(x, w1, b1, w2, b2,
+                             _xla_dropout_mask(seed, (n, fdim), act_rate),
+                             act)
+    block_f = min(block_f, fdim)
+    nj = fdim // block_f
+    fn = pl.pallas_call(
+        functools.partial(_kernel_dropout, act=act, nj=nj,
+                          act_rate=act_rate),
+        grid=(n // block_rows, nj),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_rows, hdim), lambda i, j: (i, 0)),
+            pl.BlockSpec((hdim, block_f), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_f), lambda i, j: (0, j)),
+            pl.BlockSpec((block_f, hdim), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, hdim), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_rows, hdim), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, hdim), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_rows, hdim), jnp.float32)],
+    )
+    dtype = x.dtype
+    return fn(_seed_arr(seed), x, w1.astype(dtype),
+              b1.reshape(1, fdim).astype(jnp.float32), w2.astype(dtype),
+              b2.reshape(1, hdim).astype(jnp.float32))
+
+
+def _fdt_fwd(x, w1, b1, w2, b2, seed, act, act_rate, block_rows, block_f):
+    out = ffn_dropout_trainable(x, w1, b1, w2, b2, seed, act, act_rate,
+                                block_rows, block_f)
+    return out, (x, w1, b1, w2, b2, seed)
+
+
+def _fdt_bwd(act, act_rate, block_rows, block_f, resids, grad):
+    x, w1, b1, w2, b2, seed = resids
+    n = x.shape[0]
+    fdim = w1.shape[1]
+    if _on_tpu():
+        amask = dropout_mask(seed, n, fdim, act_rate, block_rows,
+                             min(block_f, fdim))
+    else:
+        amask = _xla_dropout_mask(seed, (n, fdim), act_rate)
+    _, vjp = jax.vjp(
+        lambda x_, w1_, b1_, w2_, b2_:
+            _xla_ffn_drop(x_, w1_, b1_, w2_, b2_, amask, act),
+        x, w1, b1, w2, b2)
+    return (*vjp(grad.astype(x.dtype)), None)
+
+
+ffn_dropout_trainable.defvjp(_fdt_fwd, _fdt_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+def ffn_dropout_res_ln_trainable(x, w1, b1, w2, b2, res, g, beta, seed,
+                                 act, act_rate, out_rate, eps, block_rows,
+                                 block_f):
+    """Post-LN FFN block with BOTH HF dropout sites in-kernel:
+    LN(res + drop_out(drop_act(act(x@w1+b1)) @ w2 + b2)).  Either rate may
+    be 0.0 (statically skipped).  Total VJP via mask regeneration + XLA
+    recompute."""
+    n, hdim = x.shape
+    fdim = w1.shape[1]
+    if not _on_tpu():
+        amask = (_xla_dropout_mask(seed, (n, fdim), act_rate)
+                 if act_rate > 0.0 else None)
+        omask = (_xla_dropout_mask(seed + 1, (n, hdim), out_rate)
+                 if out_rate > 0.0 else None)
+        return _xla_ffn_drop_res_ln(x, w1, b1, w2, b2, res, g, beta,
+                                    amask, omask, act, eps)
+    block_f = min(block_f, fdim)
+    nj = fdim // block_f
+    ni = n // block_rows
+    fn = pl.pallas_call(
+        functools.partial(_kernel_dropout_res_ln, act=act, ni=ni, nj=nj,
+                          act_rate=act_rate, out_rate=out_rate, eps=eps),
+        grid=(ni, nj),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_rows, hdim), lambda i, j: (i, 0)),
+            pl.BlockSpec((hdim, block_f), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_f), lambda i, j: (0, j)),
+            pl.BlockSpec((block_f, hdim), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, hdim), lambda i, j: (0, 0)),
+            pl.BlockSpec((block_rows, hdim), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, hdim), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, hdim), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_rows, hdim), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, hdim), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_rows, hdim), jnp.float32)],
+    )
+    dtype = x.dtype
+    return fn(_seed_arr(seed), x, w1.astype(dtype),
+              b1.reshape(1, fdim).astype(jnp.float32), w2.astype(dtype),
+              b2.reshape(1, hdim).astype(jnp.float32), res.astype(dtype),
+              g.reshape(1, hdim).astype(jnp.float32),
+              beta.reshape(1, hdim).astype(jnp.float32))
+
+
+def _fdrl_fwd(x, w1, b1, w2, b2, res, g, beta, seed, act, act_rate,
+              out_rate, eps, block_rows, block_f):
+    out = ffn_dropout_res_ln_trainable(x, w1, b1, w2, b2, res, g, beta,
+                                       seed, act, act_rate, out_rate, eps,
+                                       block_rows, block_f)
+    return out, (x, w1, b1, w2, b2, res, g, beta, seed)
+
+
+def _fdrl_bwd(act, act_rate, out_rate, eps, block_rows, block_f, resids,
+              grad):
+    x, w1, b1, w2, b2, res, g, beta, seed = resids
+    n, hdim = x.shape
+    fdim = w1.shape[1]
+    if _on_tpu():
+        bf = min(block_f, fdim)
+        nj = fdim // bf
+        ni = n // block_rows
+        amask = (dropout_mask(seed, n, fdim, act_rate, block_rows, bf)
+                 if act_rate > 0.0 else None)
+        omask = (dropout_mask(seed, n, hdim, out_rate, block_rows, hdim,
+                              offset=ni * nj)
+                 if out_rate > 0.0 else None)
+    else:
+        amask = (_xla_dropout_mask(seed, (n, fdim), act_rate)
+                 if act_rate > 0.0 else None)
+        omask = (_xla_dropout_mask(seed + 1, (n, hdim), out_rate)
+                 if out_rate > 0.0 else None)
+    _, vjp = jax.vjp(
+        lambda x_, w1_, b1_, w2_, b2_, res_, g_, beta_:
+            _xla_ffn_drop_res_ln(x_, w1_, b1_, w2_, b2_, res_, g_, beta_,
+                                 amask, omask, act, eps),
+        x, w1, b1, w2, b2, res, g, beta)
+    return (*vjp(grad.astype(x.dtype)), None)
+
+
+ffn_dropout_res_ln_trainable.defvjp(_fdrl_fwd, _fdrl_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def dense_dropout_res_ln_trainable(x, w, b, res, g, beta, seed, rate, eps,
+                                   block_rows):
+    """Post-LN attention epilogue with the out-projection dropout in-kernel:
+    LN(res + drop(x @ w + b)).  Total VJP via mask regeneration + XLA
+    recompute."""
+    n, din = x.shape
+    hdim = w.shape[1]
+    if not _on_tpu():
+        return _xla_dense_drop_res_ln(
+            x, w, b, res, g, beta,
+            _xla_dropout_mask(seed, (n, hdim), rate), eps)
+    fn = pl.pallas_call(
+        functools.partial(_kernel_dense_dropout_res_ln, rate=rate, eps=eps),
+        grid=(n // block_rows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_rows, din), lambda i: (i, 0)),
+            pl.BlockSpec((din, hdim), lambda i: (0, 0)),
+            pl.BlockSpec((1, hdim), lambda i: (0, 0)),
+            pl.BlockSpec((block_rows, hdim), lambda i: (i, 0)),
+            pl.BlockSpec((1, hdim), lambda i: (0, 0)),
+            pl.BlockSpec((1, hdim), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_rows, hdim), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, hdim), x.dtype),
+    )
+    dtype = x.dtype
+    return fn(_seed_arr(seed), x, w.astype(dtype),
+              b.reshape(1, hdim).astype(jnp.float32), res.astype(dtype),
+              g.reshape(1, hdim).astype(jnp.float32),
+              beta.reshape(1, hdim).astype(jnp.float32))
+
+
+def _ddrl_fwd(x, w, b, res, g, beta, seed, rate, eps, block_rows):
+    out = dense_dropout_res_ln_trainable(x, w, b, res, g, beta, seed, rate,
+                                         eps, block_rows)
+    return out, (x, w, b, res, g, beta, seed)
+
+
+def _ddrl_bwd(rate, eps, block_rows, resids, grad):
+    x, w, b, res, g, beta, seed = resids
+    n = x.shape[0]
+    hdim = w.shape[1]
+    if _on_tpu():
+        omask = dropout_mask(seed, n, hdim, rate, block_rows, hdim)
+    else:
+        omask = _xla_dropout_mask(seed, (n, hdim), rate)
+    _, vjp = jax.vjp(
+        lambda x_, w_, b_, res_, g_, beta_:
+            _xla_dense_drop_res_ln(x_, w_, b_, res_, g_, beta_, omask, eps),
+        x, w, b, res, g, beta)
+    return (*vjp(grad.astype(x.dtype)), None)
+
+
+dense_dropout_res_ln_trainable.defvjp(_ddrl_fwd, _ddrl_bwd)

@@ -121,9 +121,14 @@ def test_ffn_apply_ineligible_paths_fall_back():
     layers.set_ffn_fused(True)
     try:
         assert layers._ffn_fused_eligible(p1, p2, x_big, "gelu", None, 0.0)
-        # live activation-dropout rng -> XLA
+        # live activation-dropout rng stays fused (in-kernel PRNG dropout,
+        # round 4) unless the dropout-fusion toggle is off
+        assert layers._ffn_fused_eligible(
+            p1, p2, x_big, "gelu", jax.random.PRNGKey(0), 0.1)
+        layers.set_ffn_dropout_fused(False)
         assert not layers._ffn_fused_eligible(
             p1, p2, x_big, "gelu", jax.random.PRNGKey(0), 0.1)
+        layers.set_ffn_dropout_fused(True)
         # rate 0 with an rng is still eligible (dropout is identity)
         assert layers._ffn_fused_eligible(
             p1, p2, x_big, "gelu", jax.random.PRNGKey(0), 0.0)
@@ -268,8 +273,10 @@ def test_ffn_residual_ln_apply_dispatch_and_padding():
 
 
 def test_ffn_residual_ln_apply_post_dropout_falls_back():
-    """A live post-FFN dropout rng must keep the XLA epilogue (dropout sits
-    between fc2 and the LN) while still applying dropout."""
+    """With in-kernel dropout toggled OFF, a live post-FFN dropout rng must
+    keep the XLA epilogue (dropout sits between fc2 and the LN) while still
+    applying dropout.  (The default fused-dropout path is covered by
+    tests/test_ffn_dropout.py.)"""
     rng = np.random.RandomState(5)
     x = jnp.asarray(rng.randn(4, 512, H).astype(np.float32) * 0.5)
     p1 = {"kernel": jnp.asarray(rng.randn(H, F).astype(np.float32) * 0.1),
@@ -279,12 +286,14 @@ def test_ffn_residual_ln_apply_post_dropout_falls_back():
     p_ln = dict(zip(("scale", "bias"), _ln_params()))
     key = jax.random.PRNGKey(0)
     layers.set_ffn_fused(True)
+    layers.set_ffn_dropout_fused(False)
     try:
         y_drop = layers.ffn_residual_ln_apply(
             p1, p2, p_ln, x, "gelu", jnp.float32,
             out_rng=key, out_dropout=0.5)
     finally:
         layers.set_ffn_fused(False)
+        layers.set_ffn_dropout_fused(True)
     # reference: explicit chain with the same key
     f = layers.ffn_apply(p1, p2, x, "gelu", jnp.float32)
     f = layers.dropout(f, 0.5, key)
@@ -390,8 +399,9 @@ def test_dense_residual_ln_apply_dispatch_and_padding():
 
 
 def test_dense_residual_ln_apply_dropout_falls_back():
-    """A live post-attention dropout rng keeps the XLA chain (dropout sits
-    between the out-proj and the residual) while still applying dropout."""
+    """With in-kernel dropout toggled OFF, a live post-attention dropout rng
+    keeps the XLA chain (dropout sits between the out-proj and the residual)
+    while still applying dropout."""
     rng = np.random.RandomState(15)
     x = jnp.asarray(rng.randn(4, 512, H).astype(np.float32) * 0.5)
     res = jnp.asarray(rng.randn(4, 512, H).astype(np.float32) * 0.5)
@@ -399,11 +409,13 @@ def test_dense_residual_ln_apply_dropout_falls_back():
     p_ln = dict(zip(("scale", "bias"), _ln_params()))
     key = jax.random.PRNGKey(1)
     layers.set_ffn_fused(True)
+    layers.set_ffn_dropout_fused(False)
     try:
         y = layers.dense_residual_ln_apply(p, p_ln, x, res, jnp.float32,
                                            out_rng=key, out_dropout=0.5)
     finally:
         layers.set_ffn_fused(None)
+        layers.set_ffn_dropout_fused(True)
     a = layers.dropout(layers.dense(p, x, jnp.float32), 0.5, key)
     ref = layers.layer_norm(p_ln, res + a, 1e-5)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-5,
