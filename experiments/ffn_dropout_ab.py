@@ -26,6 +26,33 @@ import time
 import numpy as np
 
 
+def run_converge(name, tc, cfg, batches, dropout_fused, steps=1200):
+    """Memorization run over a fixed batch cycle: if the backward's mask
+    regeneration mismatched the forward's in-kernel bits, the gradient
+    would be wrong exactly at the dropped coordinates and this curve
+    would stall/diverge vs the XLA arm."""
+    import jax
+    import jax.numpy as jnp
+    from speechmix_tpu.ops import layers
+    from speechmix_tpu.training import trainer as trainer_lib
+
+    layers.set_ffn_dropout_fused(dropout_fused)
+    try:
+        state = trainer_lib.create_train_state(jax.random.PRNGKey(0), cfg, tc)
+        step = trainer_lib.make_train_step(cfg, tc, state.params)
+        losses = []
+        for i in range(steps):
+            state, m = step(state, batches[i % len(batches)],
+                            jnp.float32(1.0))
+            if (i + 1) % 200 == 0 or i == 0:
+                losses.append(float(jax.device_get(m["loss"])))
+                print(f"{name}: step {i+1:5d} loss {losses[-1]:.4f}",
+                      flush=True)
+        return losses
+    finally:
+        layers.set_ffn_dropout_fused(True)
+
+
 def run_variant(name, tc, cfg, batch, dropout_fused, steps=20):
     import jax
     import jax.numpy as jnp
@@ -112,9 +139,11 @@ def main():
                                       SEQ2SEQ_PRESETS, SpeechMixConfig)
     from speechmix_tpu.training.trainer import TrainConfig
 
-    tier1()
+    if "--converge" not in sys.argv:
+        tier1()
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    B = int(pos[0]) if pos else 16
     cfg = SpeechMixConfig(
         encoder=SPEECH_ENCODER_PRESETS["wav2vec2-base"],
         decoder=SEQ2SEQ_PRESETS["bart-base"], down_scale=2)
@@ -129,6 +158,29 @@ def main():
     }
     base = dict(learning_rate=1e-4, warmup_steps=0, grad_accum=1,
                 bf16=True, use_flash=True, output_dir="")
+
+    if "--converge" in sys.argv:
+        # flagship-scale memorization A/B (8 fixed batches, lr 3e-4): the
+        # two arms draw DIFFERENT masks by construction, so curves track
+        # within dropout noise rather than matching bitwise
+        batches = []
+        for k in range(8):
+            r = np.random.RandomState(100 + k)
+            batches.append({
+                "input_values": jnp.asarray(
+                    r.randn(B, t_samples).astype(np.float32) * 0.1),
+                "lengths": batch["lengths"],
+                "labels": jnp.asarray(
+                    r.randint(100, 5000, size=(B, 48)).astype(np.int64)),
+            })
+        cbase = dict(base, learning_rate=3e-4)
+        la = run_converge("A fused", TrainConfig(**cbase), cfg, batches,
+                          True)
+        lb = run_converge("B xla  ", TrainConfig(**cbase), cfg, batches,
+                          False)
+        print("A curve:", [round(x, 4) for x in la], flush=True)
+        print("B curve:", [round(x, 4) for x in lb], flush=True)
+        return
 
     t_a, _ = run_variant("A in-kernel dropout (default)",
                          TrainConfig(**base), cfg, batch, dropout_fused=True)
