@@ -21,6 +21,7 @@ Conventions converted:
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Dict, Optional
 
 import jax.numpy as jnp
@@ -33,8 +34,17 @@ from .config import Seq2SeqConfig, SpeechEncoderConfig
 # state dict loading
 # ----------------------------------------------------------------------------
 
-def load_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a torch/safetensors state dict from a file or checkpoint dir."""
+def load_state_dict(path: str,
+                    allow_pickle: bool = True) -> Dict[str, np.ndarray]:
+    """Load a torch/safetensors state dict from a file or checkpoint dir.
+
+    ``allow_pickle`` gates the unrestricted ``torch.load`` fallback needed
+    for fairseq/s3prl checkpoints, which pickle an args Namespace beside the
+    weights (same trust model as the reference's ``torch.load`` at
+    eval.py:10 — a local file the user chose to load). The fallback fires
+    only on the specific weights-only rejection, never on genuine I/O or
+    corruption errors, and warns with the file name when it does.
+    """
     if os.path.isdir(path):
         for name in ("model.safetensors", "pytorch_model.bin"):
             cand = os.path.join(path, name)
@@ -44,14 +54,21 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
         return {k: np.asarray(v) for k, v in load_file(path).items()}
+    import pickle
     import torch
     try:
         sd = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
-        # fairseq/s3prl checkpoints pickle an args Namespace beside the
-        # weights, which weights_only rejects — retry unrestricted (these
-        # are local files the user chose to load, same trust model as the
-        # reference's torch.load at eval.py:10)
+    except pickle.UnpicklingError:
+        # torch raises _pickle.UnpicklingError when weights_only rejects a
+        # non-tensor global (fairseq's Namespace).  Any other exception
+        # (missing file, truncated zip, corrupt data) propagates.
+        if not allow_pickle:
+            raise
+        warnings.warn(
+            f"{path}: weights-only load rejected (non-tensor pickled "
+            "objects, typical of fairseq/s3prl checkpoints); retrying with "
+            "weights_only=False. Pass allow_pickle=False to forbid this "
+            "for untrusted files.", stacklevel=2)
         sd = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(sd, dict) and not any(
             hasattr(v, "detach") for v in sd.values()):

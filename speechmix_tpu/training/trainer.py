@@ -311,12 +311,16 @@ def make_eval_step(cfg: SpeechMixConfig, tc: TrainConfig, mesh=None):
                 text_input_ids=batch.get("text_input_ids"),
                 prompt_ids=batch.get("prompt_ids"), dtype=dtype)
         preds = jnp.argmax(out["logits"], axis=-1)
-        # valid-token count so evaluate() can weight per-batch mean losses
-        # the way HF Trainer does (a near-empty trailing batch must not
-        # count as much as a full one — eval_loss drives early stopping
-        # and best-checkpoint selection)
+        # example count weights evaluate()'s per-batch mean losses the way
+        # HF Trainer does (loss.repeat(batch_size) then a flat mean —
+        # example-weighted, not token-weighted); n_tokens lets evaluate()
+        # drop all-padding batches whose mean CE is NaN.  eval_loss drives
+        # early stopping and best-checkpoint selection, so the weighting
+        # must match the reference's.
+        n_ex = (jnp.sum(batch["example_mask"]) if "example_mask" in batch
+                else jnp.asarray(labels.shape[0]))
         return {"loss": out["loss"], "predictions": preds,
-                "n_tokens": jnp.sum(labels != -100)}
+                "n_tokens": jnp.sum(labels != -100), "n_examples": n_ex}
 
     return jax.jit(eval_fn)
 
@@ -585,8 +589,11 @@ class Trainer:
                 heartbeat()
             batch_dev = mesh_lib.shard_batch(self.mesh, batch)
             out = eval_fn(params, batch_dev)
-            losses.append(float(out["loss"]))
-            weights.append(float(out.get("n_tokens", 1.0)))
+            if float(out.get("n_tokens", 1.0)) > 0:
+                # a batch with zero valid tokens has NaN mean CE — exclude
+                # it (zero weight would still poison np.dot with NaN)
+                losses.append(float(out["loss"]))
+                weights.append(float(out.get("n_examples", 1.0)))
             # this host's rows of the (global) predictions, then the global
             # row set on every host — metrics must agree across processes
             preds = mesh_lib.allgather_rows(
@@ -598,12 +605,14 @@ class Trainer:
             preds, labels = preds[real], labels[real]
             all_preds.append(preds)
             all_labels.append(labels)
-        # token-weighted mean of per-batch mean losses == corpus-level
-        # mean CE per valid token (HF Trainer semantics)
+        # example-weighted mean of per-batch mean losses — exactly HF
+        # Trainer's eval_loss (evaluation_loop repeats each batch's mean
+        # loss per example and takes one flat mean), so early stopping and
+        # best-checkpoint selection see the reference's statistic
         total_w = sum(weights)
         metrics = {"eval_loss": (
             float(np.dot(losses, weights) / total_w) if total_w > 0
-            else float(np.mean(losses)))}
+            else float("nan"))}
         if self.tokenizer is not None:
             from ..metrics import compute_metrics
             preds = [p for arr in all_preds for p in arr]

@@ -156,3 +156,40 @@ def test_from_pretrained_roundtrips_freezing_kwargs(tmp_path):
     assert not os.path.exists(os.path.join(d2, "model_kwargs.json"))
     base2 = speechmix_tpu.SpeechMixEED.from_pretrained(d2)
     assert sorted(base2.list_grad) == sorted(base.list_grad)
+
+
+def test_load_state_dict_pickle_gate(tmp_path):
+    """The unrestricted torch.load fallback (fairseq/s3prl checkpoints that
+    pickle an args Namespace beside the weights) fires only on the specific
+    weights-only rejection, warns with the file name, and is refusable via
+    allow_pickle=False (advisor round-4 medium finding; convert.py)."""
+    import argparse
+    import warnings as warnings_mod
+
+    import pytest as pt
+    torch = pt.importorskip("torch")
+    from speechmix_tpu import convert
+
+    # plain tensor checkpoint: loads with no warning
+    clean = str(tmp_path / "clean.bin")
+    torch.save({"w": torch.zeros(2)}, clean)
+    with warnings_mod.catch_warnings():
+        warnings_mod.simplefilter("error")
+        sd = convert.load_state_dict(clean)
+    assert sd["w"].shape == (2,)
+
+    # fairseq-style: non-tensor Namespace -> warns + falls back
+    dirty = str(tmp_path / "fairseq.pt")
+    torch.save({"args": argparse.Namespace(arch="wav2vec2"),
+                "model": {"w": torch.ones(3)}}, dirty)
+    with pt.warns(UserWarning, match="fairseq.pt"):
+        sd = convert.load_state_dict(dirty)
+    assert "model" in sd or any("w" in k for k in sd)
+
+    # allow_pickle=False forbids the fallback
+    with pt.raises(Exception):
+        convert.load_state_dict(dirty, allow_pickle=False)
+
+    # a genuinely missing file propagates its real error, not a retry
+    with pt.raises((FileNotFoundError, OSError, RuntimeError)):
+        convert.load_state_dict(str(tmp_path / "missing.bin"))

@@ -430,10 +430,12 @@ def test_config_from_hf_null_token_ids_and_gen_config(tmp_path):
     assert dec.max_length == 200  # generation_config wins on the composite
 
 
-def test_eval_loss_token_weighted():
-    """eval_loss weights per-batch mean losses by valid-token count (HF
-    Trainer semantics): a near-empty trailing batch must not count as much
-    as a full one (judge round-3 weak #3; trainer.py evaluate())."""
+def test_eval_loss_example_weighted():
+    """eval_loss weights per-batch mean losses by example count — exactly
+    HF Trainer's evaluation_loop (loss.repeat(batch_size), one flat mean):
+    a 1-example trailing batch must count 1/8 of a full batch, and an
+    all-padding batch (NaN mean CE) must be excluded entirely (advisor
+    round-4 finding; trainer.py evaluate())."""
     tc = TrainConfig(learning_rate=1e-3, warmup_steps=1, grad_accum=1,
                      bf16=False)
     tr = trainer_lib.Trainer(CFG, tc)
@@ -447,16 +449,22 @@ def test_eval_loss_token_weighted():
     labels[0, 2:] = -100
     small["labels"] = jnp.asarray(labels)
     small["example_mask"] = jnp.asarray([True] + [False] * 7)
+    # degenerate batch: zero valid tokens anywhere -> NaN mean CE
+    empty = make_batch(8, label_len=8, seed=3)
+    empty["labels"] = jnp.full_like(empty["labels"], -100)
+    empty["example_mask"] = jnp.zeros(8, bool)
 
     outs = [eval_fn(state.params, mesh_lib.shard_batch(tr.mesh, b))
             for b in (full, small)]
     losses = [float(o["loss"]) for o in outs]
-    ns = [float(o["n_tokens"]) for o in outs]
-    assert ns[0] == 64.0 and ns[1] == 2.0
+    ns = [float(o["n_examples"]) for o in outs]
+    assert ns[0] == 8.0 and ns[1] == 1.0
 
-    metrics = tr.evaluate(state.params, eval_fn, lambda: iter([full, small]))
+    metrics = tr.evaluate(state.params, eval_fn,
+                          lambda: iter([full, small, empty]))
     expected = (losses[0] * ns[0] + losses[1] * ns[1]) / (ns[0] + ns[1])
     unweighted = np.mean(losses)
+    assert np.isfinite(metrics["eval_loss"])  # NaN batch excluded
     assert abs(metrics["eval_loss"] - expected) < 1e-6
     # and the weighting is actually doing something on this fixture
     assert abs(expected - unweighted) > 1e-9
