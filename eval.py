@@ -31,6 +31,21 @@ def main():
     p.add_argument("--audio", default=None, help="wav file to transcribe")
     p.add_argument("--prompt", default=None)
     p.add_argument("--max_length", default=250, type=int)
+    p.add_argument("--max_new_tokens", default=None, type=int,
+                   help="HF generate max_new_tokens: number of generated "
+                        "tokens; takes precedence over --max_length")
+    p.add_argument("--do_sample", action="store_true",
+                   help="ancestral sampling instead of greedy/beam ranking")
+    p.add_argument("--temperature", default=1.0, type=float)
+    p.add_argument("--top_k", default=0, type=int)
+    p.add_argument("--top_p", default=1.0, type=float)
+    p.add_argument("--typical_p", default=1.0, type=float,
+                   help="typical-decoding mass (HF typical_p warper; "
+                        "requires --do_sample)")
+    p.add_argument("--encoder_no_repeat_ngram_size", default=0, type=int,
+                   help="HF kwarg, accepted for parity: with a waveform "
+                        "encoder input this is a no-op exactly as in the "
+                        "reference's execution (float ngrams never match)")
     p.add_argument("--min_length", default=0, type=int,
                    help="EOS is suppressed until this many tokens are "
                         "generated.  Counts GENERATED tokens, i.e. HF "
@@ -137,10 +152,17 @@ def main():
         print("reference text:", ex["text"])
 
     outputs = spm.generate([wav], decoder_text_prompt=args.prompt,
-                           max_length=args.max_length, num_beams=args.beam,
+                           max_length=args.max_length,
+                           max_new_tokens=args.max_new_tokens,
+                           num_beams=args.beam,
                            kv_int8=args.kv_int8, min_length=args.min_length,
                            num_beam_groups=args.num_beam_groups,
-                           diversity_penalty=args.diversity_penalty)
+                           diversity_penalty=args.diversity_penalty,
+                           do_sample=args.do_sample,
+                           temperature=args.temperature, top_k=args.top_k,
+                           top_p=args.top_p, typical_p=args.typical_p,
+                           encoder_no_repeat_ngram_size=(
+                               args.encoder_no_repeat_ngram_size))
     decoded = spm.tokenizer.decode(np.asarray(outputs[0]),
                                    skip_special_tokens=True)
     print("decoded:", decoded)

@@ -31,7 +31,23 @@ separately (tests/test_data.py).
 Outputs: a per-step loss-curve table, curve agreement stats, and end-of-run
 greedy-decode token error rates on the training set from both models.
 
+Round-5 extensions (VERDICT r4 #5):
+  * --eval_every N: free-running greedy-decode token error rate on a HELD-OUT
+    synthetic set (seed-disjoint from training), measured every N steps on
+    BOTH stacks — generalization trajectory, not just train-set fit.
+  * --dropout P: dropout-ON arm. Both stacks train with all dropout sites at
+    rate P (hidden/attention/activation/feat-proj).  Torch and JAX draw from
+    different RNGs, so per-step losses are stochastic — the pinned statistics
+    for this arm are the final loss window and the held-out TER trajectory.
+  * the torch side's SpecAugment is explicitly DISABLED
+    (mask_time_prob=0.0): the 300-step round-4 run left the Wav2Vec2Config
+    default (0.05) active in train mode on the reference side only, a small
+    uncontrolled divergence; isolating the optimization recipe requires both
+    sides augmentation-free (SpecAugment parity is pinned separately in
+    tests/test_hf_parity.py).
+
 Usage: python experiments/recipe_parity.py [--steps 300] [--platform cpu]
+       [--eval_every 250] [--dropout 0.1]
 """
 
 import argparse
@@ -58,9 +74,10 @@ def load_reference_hf_model():
     return mod
 
 
-def build_checkpoints(root):
-    """Tiny offline wav2vec2 + BART checkpoints (dropout 0), same shapes as
-    tests/test_reference_parity.py."""
+def build_checkpoints(root, dropout=0.0):
+    """Tiny offline wav2vec2 + BART checkpoints, same shapes as
+    tests/test_reference_parity.py.  `dropout` sets every dropout site;
+    SpecAugment is always off (see module docstring)."""
     import torch
     import transformers
     torch.manual_seed(0)
@@ -72,15 +89,17 @@ def build_checkpoints(root):
         conv_dim=(16, 16, 16), conv_kernel=(10, 3, 3), conv_stride=(5, 2, 2),
         num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=2,
         do_stable_layer_norm=False, feat_extract_norm="group",
-        hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
-        feat_proj_dropout=0.0, layerdrop=0.0)
+        hidden_dropout=dropout, attention_dropout=dropout,
+        activation_dropout=dropout, feat_proj_dropout=dropout, layerdrop=0.0,
+        apply_spec_augment=False, mask_time_prob=0.0)
     transformers.Wav2Vec2Model(w2v_cfg).save_pretrained(sp_dir)
     transformers.Wav2Vec2FeatureExtractor().save_pretrained(sp_dir)
     bart_cfg = transformers.BartConfig(
         vocab_size=VOCAB, d_model=HID, encoder_layers=2, decoder_layers=2,
         encoder_attention_heads=2, decoder_attention_heads=2,
         encoder_ffn_dim=64, decoder_ffn_dim=64, max_position_embeddings=512,
-        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        dropout=dropout, attention_dropout=dropout,
+        activation_dropout=dropout,
         pad_token_id=PAD, bos_token_id=0, eos_token_id=EOS,
         decoder_start_token_id=EOS, scale_embedding=False,
         activation_function="gelu", forced_eos_token_id=None)
@@ -114,29 +133,37 @@ def make_examples(n=8, t=4000, label_len=8, seed=0):
     return wavs, labels
 
 
-def our_cfg(down_scale=4):
+def our_cfg(down_scale=4, dropout=0.0):
     from speechmix_tpu.config import (Seq2SeqConfig, SpeechEncoderConfig,
                                       SpeechMixConfig)
     enc = SpeechEncoderConfig(
         name="parity-speech", conv_dims=(16, 16, 16), conv_kernels=(10, 3, 3),
         conv_strides=(5, 2, 2), conv_bias=False, feat_extract_norm="group",
         hidden_size=HID, num_layers=4, num_heads=2, ffn_dim=64,
-        pos_conv_kernel=16, pos_conv_groups=2)
+        pos_conv_kernel=16, pos_conv_groups=2,
+        dropout=dropout, attention_dropout=dropout,
+        activation_dropout=dropout, feat_proj_dropout=dropout)
     dec = Seq2SeqConfig(
         name="parity-bart", arch="bart", vocab_size=VOCAB, hidden_size=HID,
         encoder_layers=2, decoder_layers=2, num_heads=2, ffn_dim=64,
         max_positions=512, pad_token_id=PAD, bos_token_id=0, eos_token_id=EOS,
-        decoder_start_token_id=EOS)
+        decoder_start_token_id=EOS,
+        dropout=dropout, attention_dropout=dropout,
+        activation_dropout=dropout)
     return SpeechMixConfig(encoder=enc, decoder=dec, down_scale=down_scale)
 
 
 RECIPE = dict(lr=1e-3, warmup=20, batch=4, max_grad_norm=1.0)
 
 
-def run_reference(ref_model, wavs, labels, steps):
+def run_reference(ref_model, wavs, labels, steps, heldout=None,
+                  eval_every=0, eval_max_len=12):
     """The reference recipe, literally: transformers.Trainer +
     TrainingArguments mirroring /root/reference/train.py:291-311 (adafactor,
-    linear schedule, warmup; fp16 off on CPU), sequential batch order."""
+    linear schedule, warmup; fp16 off on CPU), sequential batch order.
+
+    With eval_every > 0 and a heldout (wavs, refs) pair, greedy-decodes the
+    held-out set every eval_every steps (free-running TER trajectory)."""
     import torch
     import transformers
     from torch.utils.data import SequentialSampler
@@ -163,11 +190,25 @@ def run_reference(ref_model, wavs, labels, steps):
                 else self.train_dataset)
 
     losses = []
+    ter_curve = []
 
     class LossTap(transformers.TrainerCallback):
         def on_log(self, args, state, control, logs=None, **kw):
             if logs and "loss" in logs:
                 losses.append(float(logs["loss"]))
+
+    class HeldoutTER(transformers.TrainerCallback):
+        def on_step_end(self, args, state, control, **kw):
+            if eval_every and state.global_step % eval_every == 0:
+                hw, hrefs = heldout
+                hyps = ref_greedy_decode(ref_model, hw, eval_max_len)
+                ter = token_error_rate([strip_eos(h) for h in hyps], hrefs)
+                ter_curve.append((int(state.global_step), float(ter)))
+                ref_model.train()
+
+    callbacks = [LossTap()]
+    if eval_every and heldout is not None:
+        callbacks.append(HeldoutTER())
 
     with tempfile.TemporaryDirectory() as out:
         args = transformers.TrainingArguments(
@@ -191,16 +232,18 @@ def run_reference(ref_model, wavs, labels, steps):
         trainer = SequentialTrainer(model=ref_model, args=args,
                                     train_dataset=ListDataset(),
                                     data_collator=collate,
-                                    callbacks=[LossTap()])
+                                    callbacks=callbacks)
         ref_model.train()
         trainer.train()
-    return losses[:steps]
+    return losses[:steps], ter_curve
 
 
-def run_ours(params, cfg, wavs, labels, steps):
+def run_ours(params, cfg, wavs, labels, steps, dropout=False, heldout=None,
+             eval_every=0, eval_max_len=12):
     import jax
     import jax.numpy as jnp
 
+    from speechmix_tpu import generation
     from speechmix_tpu.training import trainer as trainer_lib
     from speechmix_tpu.training.trainer import TrainConfig, TrainState
 
@@ -208,7 +251,7 @@ def run_ours(params, cfg, wavs, labels, steps):
                      warmup_steps=RECIPE["warmup"],
                      lr_schedule="linear", max_steps=steps,
                      max_grad_norm=RECIPE["max_grad_norm"],
-                     grad_accum=1, output_dir="", dropout=False,
+                     grad_accum=1, output_dir="", dropout=dropout,
                      use_flash=False, optimizer="adafactor",
                      fixed_nlp=False)
     optimizer = trainer_lib.make_optimizer(tc)
@@ -219,6 +262,7 @@ def run_ours(params, cfg, wavs, labels, steps):
     b, t = RECIPE["batch"], wavs.shape[1]
     n_batches = len(wavs) // b
     losses = []
+    ter_curve = []
     for s in range(steps):
         i = (s % n_batches) * b
         batch = {
@@ -228,7 +272,14 @@ def run_ours(params, cfg, wavs, labels, steps):
         }
         state, m = step_fn(state, batch, jnp.float32(1.0))
         losses.append(float(m["loss"]))
-    return losses, state.params
+        if eval_every and heldout is not None and (s + 1) % eval_every == 0:
+            hw, hrefs = heldout
+            tokens, _ = generation.generate(
+                state.params, cfg, jnp.asarray(hw),
+                max_length=eval_max_len + 1)
+            hyps = [strip_eos(row) for row in np.asarray(tokens)]
+            ter_curve.append((s + 1, float(token_error_rate(hyps, hrefs))))
+    return losses, state.params, ter_curve
 
 
 def ref_greedy_decode(ref_model, wavs, max_len):
@@ -276,6 +327,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--eval_every", type=int, default=0,
+                    help="free-running held-out TER every N steps (0 = off)")
+    ap.add_argument("--heldout_n", type=int, default=8)
+    ap.add_argument("--dropout", type=float, default=0.0,
+                    help="dropout rate for BOTH stacks (dropout-ON arm)")
     args = ap.parse_args()
 
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
@@ -292,17 +348,26 @@ def main():
 
     REF = load_reference_hf_model()
     with tempfile.TemporaryDirectory() as root:
-        ckpts = build_checkpoints(root)
+        ckpts = build_checkpoints(root, dropout=args.dropout)
         ref_model = REF.HFSpeechMixEED(ckpts["speech"], ckpts["bart"],
                                        down_scale=4)
-    cfg = our_cfg(down_scale=4)
+    cfg = our_cfg(down_scale=4, dropout=args.dropout)
     params = convert.load_speechmix(ref_model.state_dict(), cfg)
 
     wavs, labels = make_examples()
     steps = args.steps
+    hw, hlabels = make_examples(n=args.heldout_n, seed=1)
+    hrefs = [strip_eos(row) for row in hlabels]
+    heldout = (hw, hrefs)
+    eval_max_len = labels.shape[1] + 4
 
-    ref_losses = run_reference(ref_model, wavs, labels, steps)
-    our_losses, final_params = run_ours(params, cfg, wavs, labels, steps)
+    ref_losses, ref_ter_curve = run_reference(
+        ref_model, wavs, labels, steps, heldout=heldout,
+        eval_every=args.eval_every, eval_max_len=eval_max_len)
+    our_losses, final_params, our_ter_curve = run_ours(
+        params, cfg, wavs, labels, steps, dropout=args.dropout > 0,
+        heldout=heldout, eval_every=args.eval_every,
+        eval_max_len=eval_max_len)
 
     n = min(len(ref_losses), len(our_losses))
     ref_a, our_a = np.array(ref_losses[:n]), np.array(our_losses[:n])
@@ -331,11 +396,20 @@ def main():
     ter_ref = token_error_rate([strip_eos(h) for h in ref_hyps], refs)
     ter_ours = token_error_rate(our_hyps, refs)
     print(f"greedy train-set TER : ref {ter_ref:.4f}  ours {ter_ours:.4f}")
-    print(json.dumps({"steps": n, "ref_final": float(ref_s),
+    if args.eval_every:
+        print("\nheld-out free-running TER (step, ref, ours):")
+        ours_at = dict(our_ter_curve)
+        for s, t_ref in ref_ter_curve:
+            t_ours = ours_at.get(s, float("nan"))
+            print(f"{s:6d}   {t_ref:.4f}   {t_ours:.4f}")
+    print(json.dumps({"steps": n, "dropout": args.dropout,
+                      "ref_final": float(ref_s),
                       "ours_final": float(our_s),
                       "mean_abs_diff": float(np.abs(ref_a - our_a).mean()),
                       "ter_ref": float(ter_ref),
-                      "ter_ours": float(ter_ours)}))
+                      "ter_ours": float(ter_ours),
+                      "heldout_ter_ref": ref_ter_curve,
+                      "heldout_ter_ours": our_ter_curve}))
 
 
 if __name__ == "__main__":

@@ -189,7 +189,9 @@ class _SpeechMixBase:
                  suppress_tokens=None, begin_suppress_tokens=None,
                  num_return_sequences=1, output_scores=False,
                  return_dict_in_generate=False, num_beam_groups=1,
-                 diversity_penalty=0.0):
+                 diversity_penalty=0.0, max_new_tokens=None, typical_p=1.0,
+                 encoder_no_repeat_ngram_size=0, encoder_input_ids=None,
+                 prefix_allowed_tokens_fn=None, force_words_ids=None):
         """use_flash=None auto-enables the single-pass Pallas attention
         kernel on TPU (measured faster in situ at speech shapes — PERF.md);
         pass False/True to override.  kv_int8 quantizes the precomputed
@@ -198,12 +200,29 @@ class _SpeechMixBase:
         tests/test_generation.py::test_kv_int8_decode_matches.
 
         bad_words_ids / suppress_tokens / begin_suppress_tokens /
-        num_return_sequences / output_scores follow HF generate()
-        (hf_model.py:304-338 inherits them from PreTrainedModel).  With
-        output_scores or return_dict_in_generate the return is a dict:
-        {"sequences", "scores"} (greedy/sample per-step scores) or
-        {"sequences", "sequences_scores"} (beam)."""
+        num_return_sequences / output_scores / max_new_tokens / typical_p /
+        encoder_no_repeat_ngram_size / prefix_allowed_tokens_fn /
+        force_words_ids (constrained beam search; token-id word lists or
+        disjunctive word-sets, num_beams > 1) follow HF generate()
+        (hf_model.py:304-338 inherits them from PreTrainedModel).  With output_scores or
+        return_dict_in_generate the return is a dict: {"sequences",
+        "scores"} (greedy/sample per-step scores) or {"sequences",
+        "sequences_scores"} (beam).
+
+        Documented shape divergences from HF's return dict (same numbers,
+        different container): greedy/sample "scores" is one stacked
+        (max_length, B, V) array covering every scan step, where HF returns
+        a per-step TUPLE truncated at the step all rows finished; beam modes
+        return "sequences_scores" only — HF additionally carries per-step
+        beam "scores", which the static while_loop does not buffer.
+
+        prefix_allowed_tokens_fn runs on host each decode step via
+        jax.pure_callback (seq arrives as a numpy array, not a torch
+        tensor); the jit cache keys it by identity, so reuse the same
+        function object across calls to avoid recompiles."""
         use_flash = resolve_use_flash(use_flash)
+        if max_new_tokens is not None:
+            max_length = max_new_tokens  # ours counts generated tokens
 
         batch, lengths = _prepare_audio(input_values,
                                         encoder_cfg=self.config.encoder)
@@ -215,25 +234,39 @@ class _SpeechMixBase:
         # static word/token lists must be hashable for the jit cache key
         bad_words_ids = None if not bad_words_ids else tuple(
             tuple(int(t) for t in w) for w in bad_words_ids)
+        force_words_ids = None if not force_words_ids else tuple(
+            tuple(tuple(int(t) for t in w) for w in entry)
+            if entry and isinstance(entry[0], (list, tuple))
+            else tuple(int(t) for t in entry)
+            for entry in force_words_ids)
         suppress_tokens = None if not suppress_tokens else tuple(
             int(t) for t in suppress_tokens)
         begin_suppress_tokens = None if not begin_suppress_tokens else tuple(
             int(t) for t in begin_suppress_tokens)
+        enc_ids = None
+        if encoder_input_ids is not None:
+            enc_ids = jnp.asarray(np.asarray(encoder_input_ids), jnp.int32)
+            if enc_ids.ndim == 1:
+                enc_ids = enc_ids[None]
         # seed is NOT part of the key: the rng is a runtime argument, so
         # drawing many sampled transcripts compiles once
         key = ("gen", batch.shape,
                None if prompt_ids is None else prompt_ids.shape,
                max_length, num_beams, length_penalty, early_stopping,
                use_flash, kv_int8,
-               do_sample, temperature, top_k, top_p, min_length,
+               do_sample, temperature, top_k, top_p, typical_p, min_length,
                repetition_penalty, no_repeat_ngram_size,
                forced_bos_token_id, forced_eos_token_id, bad_words_ids,
                suppress_tokens, begin_suppress_tokens,
                num_return_sequences, output_scores,
-               num_beam_groups, diversity_penalty)
+               num_beam_groups, diversity_penalty,
+               encoder_no_repeat_ngram_size,
+               None if enc_ids is None else enc_ids.shape,
+               None if prefix_allowed_tokens_fn is None
+               else id(prefix_allowed_tokens_fn), force_words_ids)
         fn = self._jit_generate_cache.get(key)
         if fn is None:
-            def raw(params, batch, lengths, prompt_ids, rng):
+            def raw(params, batch, lengths, prompt_ids, rng, enc_ids):
                 return gen_lib.generate(
                     params, self.config, batch, lengths,
                     prompt_ids=prompt_ids, max_length=max_length,
@@ -242,7 +275,7 @@ class _SpeechMixBase:
                     use_flash=use_flash, dtype=self._dtype,
                     kv_int8=kv_int8, do_sample=do_sample,
                     temperature=temperature, top_k=top_k, top_p=top_p,
-                    rng=rng, min_length=min_length,
+                    typical_p=typical_p, rng=rng, min_length=min_length,
                     repetition_penalty=repetition_penalty,
                     no_repeat_ngram_size=no_repeat_ngram_size,
                     forced_bos_token_id=forced_bos_token_id,
@@ -253,11 +286,16 @@ class _SpeechMixBase:
                     num_return_sequences=num_return_sequences,
                     output_scores=output_scores,
                     num_beam_groups=num_beam_groups,
-                    diversity_penalty=diversity_penalty)
+                    diversity_penalty=diversity_penalty,
+                    encoder_no_repeat_ngram_size=(
+                        encoder_no_repeat_ngram_size),
+                    encoder_input_ids=enc_ids,
+                    prefix_allowed_tokens_fn=prefix_allowed_tokens_fn,
+                    force_words_ids=force_words_ids)
             fn = jax.jit(raw)
             self._jit_generate_cache[key] = fn
         rng = jax.random.PRNGKey(seed) if do_sample else None
-        out = fn(self.params, batch, lengths, prompt_ids, rng)
+        out = fn(self.params, batch, lengths, prompt_ids, rng, enc_ids)
         if output_scores or return_dict_in_generate:
             tokens = out[0]
             d = {"sequences": tokens}

@@ -55,21 +55,25 @@ class SpeechEncoderConfig:
     attention_dropout: float = 0.1   # on attention probabilities
     activation_dropout: float = 0.1  # inside the FFN, after the activation
     feat_proj_dropout: float = 0.1   # after the feature projection
-    # SpecAugment time masking (training only, applied after the feature
-    # projection like HF Wav2Vec2Model._mask_hidden_states): HF wav2vec2 /
-    # hubert configs default apply_spec_augment=True, so the reference
-    # TRAINS with it on every pretrained checkpoint.  Span starts are
-    # sampled with replacement (HF permutes without replacement) — same
-    # expectation, documented divergence.  Tiny test presets turn it off.
+    # SpecAugment (training only, applied after the feature projection like
+    # HF Wav2Vec2Model._mask_hidden_states): HF wav2vec2 / hubert configs
+    # default apply_spec_augment=True, so the reference TRAINS with it on
+    # every pretrained checkpoint.  Time-mask spans replace frames with
+    # masked_spec_embed; feature-mask spans zero channels across ALL frames.
+    # Span starts are sampled WITHOUT replacement with one shared rounding
+    # epsilon per call — HF _compute_mask_indices semantics, distribution-
+    # pinned in tests/test_hf_parity.py.  Tiny test presets turn it off.
     apply_spec_augment: bool = True
     mask_time_prob: float = 0.05
     mask_time_length: int = 10
     mask_time_min_masks: int = 2
+    mask_feature_prob: float = 0.0   # checkpoints like wav2vec2-large-robust
+    mask_feature_length: int = 10    # train with this > 0
+    mask_feature_min_masks: int = 0
     # LayerDrop (training only): HF Wav2Vec2Config defaults layerdrop=0.1 —
     # the reference trains with stochastic layer skipping.  Implemented as
     # a select (the skipped layer is still computed under jit — no FLOP
-    # saving on TPU static graphs, but the REGULARIZATION semantics match);
-    # mask_feature_prob defaults to 0.0 in HF and is not implemented.
+    # saving on TPU static graphs, but the REGULARIZATION semantics match).
     layerdrop: float = 0.1
     # rematerialize transformer layers in the backward pass (jax.checkpoint):
     # trades ~30% extra FLOPs for O(layers) less activation HBM

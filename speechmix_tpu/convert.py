@@ -679,6 +679,9 @@ def _encoder_config_from_dict(d: dict) -> SpeechEncoderConfig:
         mask_time_prob=float(d.get("mask_time_prob", 0.05)),
         mask_time_length=int(d.get("mask_time_length", 10)),
         mask_time_min_masks=int(d.get("mask_time_min_masks", 2)),
+        mask_feature_prob=float(d.get("mask_feature_prob", 0.0)),
+        mask_feature_length=int(d.get("mask_feature_length", 10)),
+        mask_feature_min_masks=int(d.get("mask_feature_min_masks", 0)),
         layerdrop=float(d.get("layerdrop", 0.1)),
     )
 

@@ -227,32 +227,59 @@ def _pairs_slack_pad(t_samples, kernels, strides):
     raise ValueError("no pairs-compatible pad found")  # pragma: no cover
 
 
-def compute_time_mask(rng, batch, t_frames, lengths, prob, mask_len,
-                      min_masks):
-    """Jittable SpecAugment time-mask sampler — the HF semantics
-    (modeling_wav2vec2._compute_mask_indices): per row with valid length L,
-    mask `num` spans of `mask_len` frames where
-    num = floor(prob * L / mask_len + eps), eps ~ U(0,1), clamped to
-    [min_masks, L // mask_len]; span starts uniform in [0, L - mask_len].
-    Divergence: starts are drawn WITH replacement (HF permutes without),
-    so overlapping spans mask slightly fewer frames — same expectation.
-    Returns (B, T) bool, True = replace with masked_spec_embed."""
+def compute_mask_spans(rng, batch, size, lengths, prob, mask_len, min_masks):
+    """Jittable SpecAugment span sampler — exact HF semantics
+    (modeling_wav2vec2._compute_mask_indices, distribution-pinned in
+    tests/test_hf_parity.py):
+
+      * ONE shared rounding epsilon ~ U(0,1) per call (HF draws
+        np.random.rand(1) once for the whole batch)
+      * per row with valid length L:
+        num = floor(prob * L / mask_len + eps), then max(num, min_masks),
+        then capped at size // mask_len and at max(L - (mask_len-1), 0)
+        (HF's cap order)
+      * span starts sampled uniformly WITHOUT replacement from
+        [0, L - mask_len] — HF's np.random.choice(replace=False), realized
+        statically as order statistics: the top-num positions of an i.i.d.
+        uniform draw restricted to the valid range are exactly a uniform
+        without-replacement sample
+
+    HF's dummy-index padding quirk (a row whose num == 0 while another
+    row's num > 0 marks frame size-1) is dropped: it can only hit padding
+    frames, which are zeroed immediately after masking both here and in
+    HF's encoder, so the model never sees the difference.
+
+    Returns (B, size) bool, True = masked."""
     r_eps, r_starts = jax.random.split(rng)
-    lengths = lengths.astype(jnp.float32)
-    eps = jax.random.uniform(r_eps, (batch,))
-    num = jnp.floor(prob * lengths / mask_len + eps).astype(jnp.int32)
-    cap = (lengths // mask_len).astype(jnp.int32)
-    num = jnp.clip(jnp.maximum(num, min_masks), 0, cap)
-    # static upper bound on spans per row (worst case: full-length row)
-    s_max = max(min_masks, int(prob * t_frames / mask_len) + 1)
-    span_room = jnp.maximum(lengths - mask_len + 1, 1.0)       # (B,)
-    starts = (jax.random.uniform(r_starts, (batch, s_max))
-              * span_room[:, None]).astype(jnp.int32)          # (B, S)
+    lengths = lengths.astype(jnp.int32)
+    eps = jax.random.uniform(r_eps, ())
+    num = jnp.floor(prob * lengths.astype(jnp.float32) / mask_len
+                    + eps).astype(jnp.int32)
+    num = jnp.maximum(num, min_masks)
+    num = jnp.where(num * mask_len > size, size // mask_len, num)
+    room = jnp.maximum(lengths - (mask_len - 1), 0)            # (B,)
+    num = jnp.minimum(num, room)
+    # static upper bound on spans per row (worst case: full-length row,
+    # eps -> 1), with HF's caps applied at L = size
+    s_max = max(int(prob * size / mask_len) + 1, min_masks)
+    s_max = min(s_max, size // mask_len, max(size - (mask_len - 1), 0))
+    if s_max <= 0:
+        return jnp.zeros((batch, size), bool)
+    u = jax.random.uniform(r_starts, (batch, size))
+    valid = jnp.arange(size)[None, :] < room[:, None]          # starts
+    _, starts = jax.lax.top_k(jnp.where(valid, u, -1.0), s_max)
     active = jnp.arange(s_max)[None, :] < num[:, None]         # (B, S)
-    t = jnp.arange(t_frames)[None, None, :]                    # (1, 1, T)
+    t = jnp.arange(size)[None, None, :]                        # (1, 1, T)
     span = ((t >= starts[..., None]) & (t < (starts + mask_len)[..., None])
             & active[..., None])                               # (B, S, T)
     return jnp.any(span, axis=1)
+
+
+def compute_time_mask(rng, batch, t_frames, lengths, prob, mask_len,
+                      min_masks):
+    """SpecAugment time mask (True = replace with masked_spec_embed)."""
+    return compute_mask_spans(rng, batch, t_frames, lengths, prob, mask_len,
+                              min_masks)
 
 
 def _encoder_layer(layer_params, x, kv_mask, cfg, use_flash, dtype,
@@ -352,13 +379,25 @@ def speech_encoder_apply(params, cfg: SpeechEncoderConfig, waveform,
     # _mask_hidden_states; reference checkpoints train with
     # apply_spec_augment=True).  Older checkpoints may lack
     # masked_spec_embed; skip silently then (inference is never affected).
-    if (k_spec is not None and cfg.apply_spec_augment
-            and cfg.mask_time_prob > 0 and "masked_spec_embed" in params):
-        tmask = compute_time_mask(k_spec, b, t_frames, frame_lengths,
-                                  cfg.mask_time_prob, cfg.mask_time_length,
-                                  cfg.mask_time_min_masks)
-        h = jnp.where(tmask[..., None],
-                      params["masked_spec_embed"].astype(h.dtype), h)
+    if k_spec is not None and cfg.apply_spec_augment:
+        k_time, k_feat = jax.random.split(k_spec)
+        if cfg.mask_time_prob > 0 and "masked_spec_embed" in params:
+            tmask = compute_time_mask(k_time, b, t_frames, frame_lengths,
+                                      cfg.mask_time_prob,
+                                      cfg.mask_time_length,
+                                      cfg.mask_time_min_masks)
+            h = jnp.where(tmask[..., None],
+                          params["masked_spec_embed"].astype(h.dtype), h)
+        if cfg.mask_feature_prob > 0:
+            # HF feature masking: sample spans over the CHANNEL axis (no
+            # attention mask — every row uses the full hidden size), zero
+            # the masked channels across all frames
+            hdim = h.shape[-1]
+            fmask = compute_mask_spans(
+                k_feat, b, hdim, jnp.full((b,), hdim, jnp.int32),
+                cfg.mask_feature_prob, cfg.mask_feature_length,
+                cfg.mask_feature_min_masks)
+            h = jnp.where(fmask[:, None, :], jnp.zeros((), h.dtype), h)
 
     # zero out padded frames before the pos-conv so padding can't leak in
     h = h * frame_mask[..., None].astype(h.dtype)

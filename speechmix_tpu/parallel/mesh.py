@@ -126,28 +126,44 @@ def opt_state_sharding(mesh: Mesh, opt_state):
 
     The reference scaled via HF Trainer's DDP, which replicates optimizer
     state per device (SURVEY.md §2.4); here each array leaf of the optax
-    state shards its first data-divisible dimension over `data` so per-chip
-    state memory drops ~linearly with the DP degree.  XLA's SPMD partitioner
+    state shards a data-divisible dimension over `data` so per-chip state
+    memory drops ~linearly with the DP degree.  XLA's SPMD partitioner
     then reduce-scatters the gradient consumption inside optimizer.update
     and all-gathers the (small) updates at apply_updates — the classic
     ZeRO-1 comm pattern, derived automatically from the output sharding.
 
-    Rule: shard the FIRST dimension divisible by the data-axis size (scalar
-    counts and indivisible leaves stay replicated).  Applies to any optax
-    state (AdamW moments, Adafactor factored rows/cols)."""
+    Composition with tensor parallelism (model axis > 1): param-shaped
+    state leaves (AdamW mu/nu — optax preserves the param keypaths under
+    the state NamedTuples) first inherit the matching param's `model` spec
+    via the same path-keyed rules (_param_spec_for), then the `data` shard
+    lands on the first divisible dimension the param layout leaves free.
+    Keeping the state's model layout congruent with the param's avoids
+    XLA inserting a per-step resharding of every moment tensor between
+    the param layout and a conflicting ZeRO layout.  Leaves without a
+    param-rule match (counts, Adafactor factored rows/cols) shard their
+    first data-divisible dimension as before."""
     n_data = mesh.shape[DATA_AXIS]
-
-    def sh(leaf):
+    model_size = mesh.shape[MODEL_AXIS]
+    flat, treedef = jax.tree_util.tree_flatten_with_path(opt_state)
+    out = []
+    for keypath, leaf in flat:
         ndim = getattr(leaf, "ndim", 0)
         shape = getattr(leaf, "shape", ())
+        spec = [None] * ndim
+        if model_size > 1 and ndim >= 2:
+            mspec = _param_spec_for(keypath_str(keypath), leaf)
+            if len(mspec) <= ndim and all(
+                    shape[i] % model_size == 0
+                    for i, ax in enumerate(mspec) if ax == MODEL_AXIS):
+                for i, ax in enumerate(mspec):
+                    spec[i] = ax
         for i in range(ndim):
-            if shape[i] >= n_data and shape[i] % n_data == 0:
-                spec = [None] * ndim
+            if spec[i] is None and shape[i] >= n_data \
+                    and shape[i] % n_data == 0:
                 spec[i] = DATA_AXIS
-                return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
-
-    return jax.tree_util.tree_map(sh, opt_state)
+                break
+        out.append(NamedSharding(mesh, P(*spec)))
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def shard_opt_state(mesh: Mesh, opt_state):

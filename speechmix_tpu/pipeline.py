@@ -82,7 +82,9 @@ class TranscriptionPipeline:
                    "begin_suppress_tokens", "repetition_penalty",
                    "no_repeat_ngram_size", "forced_bos_token_id",
                    "forced_eos_token_id", "length_penalty", "early_stopping",
-                   "num_beam_groups", "diversity_penalty"}
+                   "num_beam_groups", "diversity_penalty",
+                   "encoder_no_repeat_ngram_size",
+                   "prefix_allowed_tokens_fn"}
         generate_kwargs = dict(generate_kwargs or {})
         bad = set(generate_kwargs) - allowed
         if bad:

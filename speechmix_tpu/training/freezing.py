@@ -12,11 +12,14 @@ reference's three freezing mechanisms:
 
 All three produce float multiplier pytrees applied to gradients inside the
 jitted train step (`apply_grad_mask`) — no module mutation, no optimizer
-surgery.  Because transformer layers are stored stacked (leading layer axis),
-the gradual-unfreeze mask is a per-layer broadcast along that axis: layers
-release top-first, at layer granularity (the reference released individual
-tensors in registration order; layer granularity preserves the top-down
-release order while staying one compiled step).
+surgery.  Gradual unfreezing DEFAULTS to `reference_unfreeze_scale`:
+tensor granularity in the reference's parameter registration order, pinned
+against the executed reference callback (tests/test_freezing.py;
+trainer.py selects it via TrainConfig.unfreeze_granularity="tensor").
+`gradual_unfreeze_scale` remains as the opt-in "layer" granularity: because
+transformer layers are stored stacked (leading layer axis), its mask is a
+per-layer broadcast along that axis — same top-down release order, coarser
+steps, marginally cheaper mask tree.
 """
 
 from __future__ import annotations

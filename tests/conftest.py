@@ -87,6 +87,7 @@ _SLOW_FILES = {
     "test_reference_parity.py",
     "test_hf_parity.py",
     "test_beam_hf.py",
+    "test_constrained_beam.py",
     "test_recipe_parity.py",
     "test_generation.py",
     "test_pipeline.py",

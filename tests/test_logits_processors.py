@@ -302,3 +302,143 @@ def test_output_scores_greedy_matches_hf(bart_pair):
             if t < int(lengths[b]):  # row still live at step t
                 np.testing.assert_allclose(scores[t, b], ref[b],
                                            rtol=2e-3, atol=2e-4)
+
+
+# ----------------------------------------------------------------------------
+# round 5: the inherited generate() kwarg tail (VERDICT r4 missing #2)
+# ----------------------------------------------------------------------------
+
+def test_typical_p_warper_matches_hf():
+    """sample_filter_logits(typical_p=m) == HF TypicalLogitsWarper tensor-
+    exact (RNGs differ across frameworks, so the warper itself is the pin),
+    alone and stacked after top_k (-inf logits present)."""
+    from transformers.generation.logits_process import (TopKLogitsWarper,
+                                                        TypicalLogitsWarper)
+    rng = np.random.default_rng(3)
+    logits = rng.normal(size=(5, VOCAB)).astype(np.float32) * 3.0
+    for mass in (0.2, 0.5, 0.9):
+        ref = TypicalLogitsWarper(mass=mass)(None,
+                                             torch.tensor(logits)).numpy()
+        ours = np.asarray(generation.sample_filter_logits(
+            jnp.asarray(logits), typical_p=mass))
+        np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
+        assert np.isneginf(ours).any()  # the warper provably filtered
+
+    # stacked after top_k, as HF's warper list applies them
+    k = 9
+    ref = TopKLogitsWarper(top_k=k)(None, torch.tensor(logits))
+    ref = TypicalLogitsWarper(mass=0.6)(None, ref).numpy()
+    ours = np.asarray(generation.sample_filter_logits(
+        jnp.asarray(logits), top_k=k, typical_p=0.6))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("nsz", [2, 3])
+def test_encoder_no_repeat_ngram_greedy_matches_hf(bart_pair, nsz):
+    """encoder_no_repeat_ngram_size with explicit token ids == HF generate
+    (HF's processor builds its ngram table over the encoder input_ids)."""
+    hf, params, cfg = bart_pair
+    max_new = 14
+    ref = _hf_gen(hf, IDS, max_new, encoder_no_repeat_ngram_size=nsz,
+                  min_length=10)
+    toks, lengths = _ours_greedy(params, cfg, IDS, max_new,
+                                 encoder_no_repeat_ngram_size=nsz,
+                                 encoder_input_ids=jnp.asarray(IDS),
+                                 min_length=9)
+    _assert_rows_match(toks, lengths, ref, cfg.pad_token_id)
+
+
+def test_encoder_no_repeat_ngram_beam_matches_hf(bart_pair):
+    hf, params, cfg = bart_pair
+    max_new = 12
+    ref = _hf_gen(hf, IDS, max_new, num_beams=3,
+                  encoder_no_repeat_ngram_size=2, min_length=8)
+    toks, lengths = _ours_beam(params, cfg, IDS, max_new, num_beams=3,
+                               encoder_no_repeat_ngram_size=2,
+                               encoder_input_ids=jnp.asarray(IDS),
+                               min_length=7)
+    _assert_rows_match(toks, lengths, ref, cfg.pad_token_id)
+
+
+def test_encoder_no_repeat_ngram_binds(bart_pair):
+    """The ban provably changes the output (guards against a silent no-op):
+    ban 2-grams of the unconstrained OUTPUT by feeding it back as the
+    encoder ids."""
+    _, params, cfg = bart_pair
+    max_new = 12
+    base, base_len = _ours_greedy(params, cfg, IDS, max_new, min_length=9)
+    # feed the generated sequence (incl. decoder start) as "encoder ids"
+    enc_ids = np.concatenate(
+        [np.full((IDS.shape[0], 1), cfg.decoder_start_token_id), base],
+        axis=1)
+    toks, _ = _ours_greedy(params, cfg, IDS, max_new, min_length=9,
+                           encoder_no_repeat_ngram_size=2,
+                           encoder_input_ids=jnp.asarray(enc_ids))
+    assert not np.array_equal(np.asarray(toks), np.asarray(base))
+
+
+def _prefix_fn(batch_id, sent):
+    """Allow a window of 8 tokens keyed on the last token (works on both
+    numpy arrays — ours — and torch tensors — HF)."""
+    last = int(sent[-1])
+    lo = (last * 3 + batch_id) % (VOCAB - 8)
+    return list(range(lo, lo + 8)) + [2]  # always allow EOS
+
+
+def test_prefix_allowed_tokens_greedy_matches_hf(bart_pair):
+    hf, params, cfg = bart_pair
+    max_new = 10
+    ref = _hf_gen(hf, IDS, max_new, prefix_allowed_tokens_fn=_prefix_fn)
+    toks, lengths = _ours_greedy(params, cfg, IDS, max_new,
+                                 prefix_allowed_tokens_fn=_prefix_fn)
+    _assert_rows_match(toks, lengths, ref, cfg.pad_token_id)
+
+
+def test_prefix_allowed_tokens_beam_matches_hf(bart_pair):
+    hf, params, cfg = bart_pair
+    max_new = 8
+    ref = _hf_gen(hf, IDS, max_new, num_beams=3,
+                  prefix_allowed_tokens_fn=_prefix_fn)
+    toks, lengths = _ours_beam(params, cfg, IDS, max_new, num_beams=3,
+                               prefix_allowed_tokens_fn=_prefix_fn)
+    _assert_rows_match(toks, lengths, ref, cfg.pad_token_id)
+
+
+def test_max_new_tokens_api():
+    """max_new_tokens takes precedence over max_length and equals our
+    generated-token max_length convention (HF max_length - 1)."""
+    import jax
+    from speechmix_tpu.config import (SEQ2SEQ_PRESETS,
+                                      SPEECH_ENCODER_PRESETS, SpeechMixConfig)
+    from speechmix_tpu.models import speechmix as smx
+    cfg = SpeechMixConfig(encoder=SPEECH_ENCODER_PRESETS["tiny-speech"],
+                          decoder=SEQ2SEQ_PRESETS["tiny-bart-bytes"],
+                          down_scale=4)
+    params = smx.init_speechmix(jax.random.PRNGKey(0), cfg)
+    wav = jnp.zeros((2, 4000), jnp.float32)
+    a, _ = generation.generate(params, cfg, wav, max_length=12,
+                               max_new_tokens=5)
+    b, _ = generation.generate(params, cfg, wav, max_length=5)
+    assert a.shape == (2, 5)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_typical_p_sampling_structural(bart_pair):
+    """typical_p end-to-end in the sampling path: deterministic per seed and
+    provably binding (typical_p=tiny collapses to near-greedy-in-typical-set
+    behavior that differs from unwarped sampling)."""
+    _, params, cfg = bart_pair
+    import jax
+    enc = s2s.encode(params, cfg, input_ids=jnp.asarray(IDS))
+    kw = dict(do_sample=True, temperature=1.5)
+    a, _ = generation.greedy_decode(
+        params, cfg, enc["last_hidden_state"], enc["mask"], 10,
+        rng=jax.random.PRNGKey(0), typical_p=0.05, **kw)
+    b, _ = generation.greedy_decode(
+        params, cfg, enc["last_hidden_state"], enc["mask"], 10,
+        rng=jax.random.PRNGKey(0), typical_p=0.05, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c, _ = generation.greedy_decode(
+        params, cfg, enc["last_hidden_state"], enc["mask"], 10,
+        rng=jax.random.PRNGKey(0), **kw)
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
