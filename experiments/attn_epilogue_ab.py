@@ -19,8 +19,11 @@ import time
 
 import numpy as np
 
+import _smoke
 
-def bench(fn, *args, n=8):
+
+def bench(fn, *args, n=None):
+    n = _smoke.pick(8, 1) if n is None else n
     import jax
 
     def ready(o):
@@ -38,6 +41,7 @@ def bench(fn, *args, n=8):
 
 
 def main():
+    _smoke.init()
     import jax
     import jax.numpy as jnp
 
@@ -52,16 +56,18 @@ def main():
     from speechmix_tpu.ops import layers
     from speechmix_tpu import generation as gen_lib
 
-    B = next((int(a) for a in sys.argv[1:] if a.isdigit()), 128)
+    B = next((int(a) for a in sys.argv[1:] if a.isdigit()),
+             _smoke.pick(128, 2))
     rng = np.random.RandomState(0)
 
-    cfg = SpeechMixConfig(encoder=SPEECH_ENCODER_PRESETS["wav2vec2-base"],
-                          decoder=SEQ2SEQ_PRESETS["bart-base"], down_scale=2)
+    cfg = SpeechMixConfig(
+        encoder=SPEECH_ENCODER_PRESETS[_smoke.enc_preset()],
+        decoder=SEQ2SEQ_PRESETS[_smoke.dec_preset()], down_scale=2)
     params = smx.init_speechmix(jax.random.PRNGKey(0), cfg)
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 and x.ndim >= 2 else x, params)
-    seconds, max_len = 16.0, 64
+    seconds, max_len = _smoke.pick(16.0, 0.5), _smoke.pick(64, 4)
     t_samples = int(seconds * 16000)
     t_padded = cfg.encoder.aligned_samples(t_samples)
     wav = np.zeros((B, t_padded), np.float32)

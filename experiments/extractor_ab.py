@@ -24,8 +24,11 @@ import time
 
 import numpy as np
 
+import _smoke
 
-def bench(fn, *args, iters=8):
+
+def bench(fn, *args, iters=None):
+    iters = _smoke.pick(8, 1) if iters is None else iters
     import jax
     out = fn(*args)
     jax.device_get(out)
@@ -39,6 +42,7 @@ def bench(fn, *args, iters=8):
 
 
 def main():
+    _smoke.init()
     import jax
     import jax.numpy as jnp
 
@@ -50,15 +54,16 @@ def main():
     from speechmix_tpu.models import speech_encoder as se
     from speechmix_tpu.ops.pallas import conv_extractor as fx
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else _smoke.pick(128, 2)
     # argv[2]: encoder preset (wav2vec2-large exercises the LN-epilogue
     # kernel family — feat_extract_norm == "layer")
     enc = SPEECH_ENCODER_PRESETS[
-        sys.argv[2] if len(sys.argv) > 2 else "wav2vec2-base"]
-    t_samples = enc.aligned_samples(16 * 16000)
+        sys.argv[2] if len(sys.argv) > 2 else _smoke.enc_preset()]
+    seconds = _smoke.pick(16, 0.5)
+    t_samples = enc.aligned_samples(int(seconds * 16000))
     rng = np.random.RandomState(0)
     wav = jnp.asarray(rng.randn(B, t_samples).astype(np.float32) * 0.1)
-    lengths = jnp.full((B,), 16 * 16000, jnp.int32)
+    lengths = jnp.full((B,), int(seconds * 16000), jnp.int32)
     params = se.init_speech_encoder(jax.random.PRNGKey(0), enc)
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
@@ -91,8 +96,8 @@ def main():
     interp = jax.default_backend() != "tpu"  # CPU smoke runs interpret
     results = []
     for mode in ("reshape", "slice"):
-        for bt in (256, 512, 1024):
-            for bb in (1, 2, 4):
+        for bt in _smoke.pick((256, 512, 1024), (64,)):
+            for bb in _smoke.pick((1, 2, 4), (1,)):
                 try:
                     f = jax.jit(functools.partial(
                         lambda x, m, b, b2: jnp.sum(fx.fused_conv_stack(

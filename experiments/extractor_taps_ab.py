@@ -24,8 +24,11 @@ import time
 
 import numpy as np
 
+import _smoke
 
-def bench(fn, *args, iters=8):
+
+def bench(fn, *args, iters=None):
+    iters = _smoke.pick(8, 1) if iters is None else iters
     import jax
     out = fn(*args)
     jax.device_get(out)
@@ -39,6 +42,7 @@ def bench(fn, *args, iters=8):
 
 
 def main():
+    _smoke.init()
     import jax
     import jax.numpy as jnp
 
@@ -49,13 +53,14 @@ def main():
     from speechmix_tpu.models import speech_encoder as se
     from speechmix_tpu.ops import layers as L
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else _smoke.pick(128, 2)
     enc = SPEECH_ENCODER_PRESETS[
-        sys.argv[2] if len(sys.argv) > 2 else "wav2vec2-base"]
-    t_samples = enc.aligned_samples(16 * 16000)
+        sys.argv[2] if len(sys.argv) > 2 else _smoke.enc_preset()]
+    seconds = _smoke.pick(16, 0.5)
+    t_samples = enc.aligned_samples(int(seconds * 16000))
     rng = np.random.RandomState(0)
     wav = jnp.asarray(rng.randn(B, t_samples).astype(np.float32) * 0.1)
-    lengths = jnp.full((B,), 16 * 16000, jnp.int32)
+    lengths = jnp.full((B,), int(seconds * 16000), jnp.int32)
     params = se.init_speech_encoder(jax.random.PRNGKey(0), enc)
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
@@ -82,7 +87,10 @@ def main():
         return jnp.sum(x.astype(jnp.float32))
 
     ref = None
-    for impl in ("conv", "taps", "pairs", "conv"):
+    # smoke: the pairs lowering needs input slack T >= s*(t+1) that the
+    # tiny-speech aligned length can't provide; taps covers the logic
+    for impl in _smoke.pick(("conv", "taps", "pairs", "conv"),
+                            ("conv", "taps", "conv")):
         f = jax.jit(lambda x, impl=impl: chain(x, impl))
         v = float(jax.device_get(f(x0)))
         if ref is None:
@@ -122,8 +130,8 @@ def main():
     from speechmix_tpu import generation as gen_lib
     from speechmix_tpu.models import speechmix as smx
 
-    dec = SEQ2SEQ_PRESETS["bart-base"]
-    audio_sec = B * 16.0
+    dec = SEQ2SEQ_PRESETS[_smoke.dec_preset()]
+    audio_sec = B * seconds
     toks_ref = None
     for impl in ("conv", "taps", "conv"):
         cfg = SpeechMixConfig(
@@ -136,7 +144,8 @@ def main():
 
         @jax.jit
         def g(mp, wav, lengths, cfg=cfg):
-            return gen_lib.generate(mp, cfg, wav, lengths, max_length=64,
+            return gen_lib.generate(mp, cfg, wav, lengths,
+                                    max_length=_smoke.pick(64, 4),
                                     use_flash=True, dtype=jnp.bfloat16)
 
         toks, _ = g(mp, wav, lengths)

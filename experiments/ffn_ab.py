@@ -16,8 +16,11 @@ import time
 
 import numpy as np
 
+import _smoke
+
 
 def main():
+    _smoke.init()
     import jax
     import jax.numpy as jnp
 
@@ -27,12 +30,13 @@ def main():
     from speechmix_tpu.config import SPEECH_ENCODER_PRESETS
     from speechmix_tpu.models import speech_encoder as se
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    enc = SPEECH_ENCODER_PRESETS["wav2vec2-base"]
-    t_samples = enc.aligned_samples(16 * 16000)
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else _smoke.pick(128, 2)
+    enc = SPEECH_ENCODER_PRESETS[_smoke.enc_preset()]
+    seconds = _smoke.pick(16, 0.5)
+    t_samples = enc.aligned_samples(int(seconds * 16000))
     rng = np.random.RandomState(0)
     wav = jnp.asarray(rng.randn(B, t_samples).astype(np.float32) * 0.1)
-    lengths = jnp.full((B,), 16 * 16000, jnp.int32)
+    lengths = jnp.full((B,), int(seconds * 16000), jnp.int32)
     params = se.init_speech_encoder(jax.random.PRNGKey(0), enc)
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
@@ -53,7 +57,7 @@ def main():
         v = full(params, wav, lengths)
         jax.device_get(v)
         times = []
-        for _ in range(8):
+        for _ in range(_smoke.pick(8, 1)):
             t0 = time.perf_counter()
             jax.device_get(full(params, wav, lengths))
             times.append(time.perf_counter() - t0)
@@ -76,7 +80,8 @@ def main():
     from speechmix_tpu import generation as gen_lib
 
     cfg = SpeechMixConfig(encoder=enc,
-                          decoder=SEQ2SEQ_PRESETS["bart-base"], down_scale=2)
+                          decoder=SEQ2SEQ_PRESETS[_smoke.dec_preset()],
+                          down_scale=2)
     fparams = smx.init_speechmix(jax.random.PRNGKey(0), cfg)
     fparams = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
@@ -86,19 +91,20 @@ def main():
 
         @jax.jit
         def decode(params, wav, lengths, _b=barrier):
-            return gen_lib.generate(params, cfg, wav, lengths, max_length=64,
+            return gen_lib.generate(params, cfg, wav, lengths,
+                                    max_length=_smoke.pick(64, 4),
                                     use_flash=True, dtype=jnp.bfloat16)
 
         tok, _ = decode(fparams, wav, lengths)
         jax.device_get(tok)
         times = []
-        for _ in range(8):
+        for _ in range(_smoke.pick(8, 1)):
             t0 = time.perf_counter()
             tok, _ = decode(fparams, wav, lengths)
             jax.device_get(tok)
             times.append(time.perf_counter() - t0)
         print(f"generate barrier={barrier}: {min(times)*1e3:8.1f} ms "
-              f"(RTFx {B*16.0/min(times):7.1f})", flush=True)
+              f"(RTFx {B*seconds/min(times):7.1f})", flush=True)
     L.set_ffn_ln_barrier(False)
 
 

@@ -25,8 +25,11 @@ import time
 
 import numpy as np
 
+import _smoke
 
-def run_converge(name, tc, cfg, batches, dropout_fused, steps=1200):
+
+def run_converge(name, tc, cfg, batches, dropout_fused, steps=None):
+    steps = _smoke.pick(1200, 3) if steps is None else steps
     """Memorization run over a fixed batch cycle: if the backward's mask
     regeneration mismatched the forward's in-kernel bits, the gradient
     would be wrong exactly at the dropped coordinates and this curve
@@ -53,7 +56,8 @@ def run_converge(name, tc, cfg, batches, dropout_fused, steps=1200):
         layers.set_ffn_dropout_fused(True)
 
 
-def run_variant(name, tc, cfg, batch, dropout_fused, steps=20):
+def run_variant(name, tc, cfg, batch, dropout_fused, steps=None):
+    steps = _smoke.pick(20, 1) if steps is None else steps
     import jax
     import jax.numpy as jnp
     from speechmix_tpu.ops import layers
@@ -88,7 +92,7 @@ def tier1(B=128):
     import jax.numpy as jnp
     from speechmix_tpu.ops import layers
 
-    h, f, rows = 768, 3072, B * 800
+    h, f, rows = _smoke.pick((768, 3072, B * 800), (256, 512, 256))
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(rows, h).astype(np.float32) * 0.5, jnp.bfloat16)
     p1 = {"kernel": jnp.asarray(rng.randn(h, f).astype(np.float32) * 0.02),
@@ -118,7 +122,7 @@ def tier1(B=128):
 
         run()
         times = []
-        for _ in range(8):
+        for _ in range(_smoke.pick(8, 1)):
             t0 = time.perf_counter()
             run()
             times.append(time.perf_counter() - t0)
@@ -129,6 +133,7 @@ def tier1(B=128):
 
 
 def main():
+    _smoke.init()
     import jax
     import jax.numpy as jnp
 
@@ -143,17 +148,19 @@ def main():
         tier1()
 
     pos = [a for a in sys.argv[1:] if not a.startswith("-")]
-    B = int(pos[0]) if pos else 16
+    B = int(pos[0]) if pos else _smoke.pick(16, 2)
     cfg = SpeechMixConfig(
-        encoder=SPEECH_ENCODER_PRESETS["wav2vec2-base"],
-        decoder=SEQ2SEQ_PRESETS["bart-base"], down_scale=2)
-    t_samples = cfg.encoder.aligned_samples(16 * 16000)
+        encoder=SPEECH_ENCODER_PRESETS[_smoke.enc_preset()],
+        decoder=SEQ2SEQ_PRESETS[_smoke.dec_preset()], down_scale=2)
+    sec = _smoke.pick(16, 0.5)
+    t_samples = cfg.encoder.aligned_samples(int(sec * 16000))
     rng = np.random.RandomState(0)
-    labels = rng.randint(100, 5000, size=(B, 48)).astype(np.int64)
+    vmax = _smoke.pick(5000, 200)
+    labels = rng.randint(100, vmax, size=(B, 48)).astype(np.int64)
     batch = {
         "input_values": jnp.asarray(
             rng.randn(B, t_samples).astype(np.float32) * 0.1),
-        "lengths": jnp.asarray(np.full((B,), 16 * 16000, np.int32)),
+        "lengths": jnp.asarray(np.full((B,), int(sec * 16000), np.int32)),
         "labels": jnp.asarray(labels),
     }
     base = dict(learning_rate=1e-4, warmup_steps=0, grad_accum=1,
@@ -171,7 +178,7 @@ def main():
                     r.randn(B, t_samples).astype(np.float32) * 0.1),
                 "lengths": batch["lengths"],
                 "labels": jnp.asarray(
-                    r.randint(100, 5000, size=(B, 48)).astype(np.int64)),
+                    r.randint(100, vmax, size=(B, 48)).astype(np.int64)),
             })
         cbase = dict(base, learning_rate=3e-4)
         la = run_converge("A fused", TrainConfig(**cbase), cfg, batches,

@@ -17,8 +17,11 @@ import time
 
 import numpy as np
 
+import _smoke
 
-def bench(fn, *args, n=8):
+
+def bench(fn, *args, n=None):
+    n = _smoke.pick(8, 1) if n is None else n
     """block_until_ready, NOT device_get: the tunnel transport makes host
     pulls of big outputs (157 MB for a (102400, 768) bf16 tier-1 output)
     cost seconds, swamping the compute difference under measurement."""
@@ -39,6 +42,7 @@ def bench(fn, *args, n=8):
 
 
 def main():
+    _smoke.init()
     import jax
     import jax.numpy as jnp
 
@@ -54,13 +58,14 @@ def main():
     from speechmix_tpu.ops.pallas import ffn_kernel as fk
     from speechmix_tpu import generation as gen_lib
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else _smoke.pick(128, 2)
     rng = np.random.RandomState(0)
 
     # ---- tier 1: standalone FFN ----
     # (one shape; the tunnel costs ~4-8 min per fresh compile, so the sweep
     # is deliberately small — PERF.md compile-latency note)
-    for tag, h, f, rows in (("w2v2", 768, 3072, B * 800),):
+    for tag, h, f, rows in _smoke.pick((("w2v2", 768, 3072, B * 800),),
+                                       (("tiny", 256, 512, 256),)):
         x = jnp.asarray(rng.randn(rows, h).astype(np.float32) * 0.5,
                         jnp.bfloat16)
         w1 = jnp.asarray(rng.randn(h, f).astype(np.float32) * 0.02)
@@ -80,14 +85,17 @@ def main():
         flops = 2 * 2 * rows * h * f
         print(f"[{tag}] XLA chain : {t_x*1e3:8.2f} ms  "
               f"{flops/t_x/1e12:6.1f} TFLOP/s", flush=True)
-        for br, bf in ((256, 1536), (256, 3072), (512, 1536), (128, 1536)):
+        for br, bf in _smoke.pick(
+                ((256, 1536), (256, 3072), (512, 1536), (128, 1536)),
+                ((128, 128),)):
             if rows % br or f % bf:
                 continue
 
             @jax.jit
             def kern(x, br=br, bf=bf):
                 return fk.ffn_fused(x, w1, b1, w2, b2, act="gelu",
-                                    block_rows=br, block_f=bf)
+                                    block_rows=br, block_f=bf,
+                                    interpret=_smoke.ON)
 
             try:
                 t_k, y_k = bench(kern, x)
@@ -103,13 +111,14 @@ def main():
                   f"({t_x/t_k:5.2f}x)  rel={rel:.1e}", flush=True)
 
     # ---- tiers 2+3: in-situ ----
-    cfg = SpeechMixConfig(encoder=SPEECH_ENCODER_PRESETS["wav2vec2-base"],
-                          decoder=SEQ2SEQ_PRESETS["bart-base"], down_scale=2)
+    cfg = SpeechMixConfig(encoder=SPEECH_ENCODER_PRESETS[_smoke.enc_preset()],
+                          decoder=SEQ2SEQ_PRESETS[_smoke.dec_preset()],
+                          down_scale=2)
     params = smx.init_speechmix(jax.random.PRNGKey(0), cfg)
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 and x.ndim >= 2 else x, params)
-    seconds, max_len = 16.0, 64
+    seconds, max_len = _smoke.pick(16.0, 0.5), _smoke.pick(64, 4)
     t_samples = int(seconds * 16000)
     t_padded = cfg.encoder.aligned_samples(t_samples)
     wav = np.zeros((B, t_padded), np.float32)

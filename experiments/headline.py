@@ -15,8 +15,11 @@ import time
 
 import numpy as np
 
+import _smoke
+
 
 def main():
+    _smoke.init()
     import jax
     import jax.numpy as jnp
 
@@ -28,11 +31,11 @@ def main():
     from speechmix_tpu.models import speechmix as smx
     from speechmix_tpu import generation as gen_lib
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    seconds, max_len = 16.0, 64
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else _smoke.pick(128, 2)
+    seconds, max_len = _smoke.pick(16.0, 0.5), _smoke.pick(64, 4)
     base_cfg = SpeechMixConfig(
-        encoder=SPEECH_ENCODER_PRESETS["wav2vec2-base"],
-        decoder=SEQ2SEQ_PRESETS["bart-base"], down_scale=2)
+        encoder=SPEECH_ENCODER_PRESETS[_smoke.enc_preset()],
+        decoder=SEQ2SEQ_PRESETS[_smoke.dec_preset()], down_scale=2)
     params = smx.init_speechmix(jax.random.PRNGKey(0), base_cfg)
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
@@ -70,7 +73,7 @@ def main():
                 ref_tokens = tokens
             agree = float((tokens == ref_tokens).all(axis=-1).mean())
             times = []
-            for _ in range(8):
+            for _ in range(_smoke.pick(8, 1)):
                 t0 = time.perf_counter()
                 t_, _ = decode(params, wav, lengths)
                 jax.device_get(t_)

@@ -19,8 +19,11 @@ import time
 
 import numpy as np
 
+import _smoke
 
-def run_arm(name, cfg, tc, batch, steps=20):
+
+def run_arm(name, cfg, tc, batch, steps=None):
+    steps = _smoke.pick(20, 1) if steps is None else steps
     import jax
     import jax.numpy as jnp
     from speechmix_tpu.training import trainer as trainer_lib
@@ -41,8 +44,9 @@ def run_arm(name, cfg, tc, batch, steps=20):
             times.append(time.perf_counter() - t0)
         t = min(times)
         b = batch["input_values"].shape[0]
+        sec = _smoke.pick(16.0, 0.5)
         print(f"{name:32s}: {t*1e3:8.1f} ms/step  "
-              f"{b*16.0/t:7.1f} audio-sec/s/chip  first_loss={loss0:.4f}",
+              f"{b*sec/t:7.1f} audio-sec/s/chip  first_loss={loss0:.4f}",
               flush=True)
         return t
     except Exception as e:
@@ -52,6 +56,7 @@ def run_arm(name, cfg, tc, batch, steps=20):
 
 
 def main():
+    _smoke.init()
     import jax
     import jax.numpy as jnp
 
@@ -62,30 +67,35 @@ def main():
                                       SEQ2SEQ_PRESETS, SpeechMixConfig)
     from speechmix_tpu.training.trainer import TrainConfig
 
-    enc = SPEECH_ENCODER_PRESETS["wav2vec2-large"]
-    dec = SEQ2SEQ_PRESETS["bart-large"]
+    enc = SPEECH_ENCODER_PRESETS[_smoke.enc_preset("wav2vec2-large")]
+    dec = SEQ2SEQ_PRESETS[_smoke.dec_preset("bart-large")]
     rng = np.random.RandomState(0)
     tc = TrainConfig(learning_rate=4e-5, warmup_steps=0, grad_accum=1,
                      bf16=True, output_dir="")
+    sec = _smoke.pick(16, 0.5)
 
     def make_batch(b):
-        t_samples = enc.aligned_samples(16 * 16000)
-        labels = rng.randint(100, 5000, size=(b, 48)).astype(np.int64)
+        t_samples = enc.aligned_samples(int(sec * 16000))
+        labels = rng.randint(100, _smoke.pick(5000, 200),
+                             size=(b, 48)).astype(np.int64)
         return {
             "input_values": jnp.asarray(
                 rng.randn(b, t_samples).astype(np.float32) * 0.1),
-            "lengths": jnp.asarray(np.full((b,), 16 * 16000, np.int32)),
+            "lengths": jnp.asarray(np.full((b,), int(sec * 16000), np.int32)),
             "labels": jnp.asarray(labels),
         }
 
     # (name, batch, remat) — each fresh shape costs ~4-8 min tunnel compile,
     # keep the matrix tight; argv picks a single arm for retry runs
-    arms = [
+    arms = _smoke.pick([
         ("B=8  no-remat", 8, False),
         ("B=8  remat", 8, True),
         ("B=16 remat", 16, True),
         ("B=32 remat", 32, True),
-    ]
+    ], [
+        ("B=2  no-remat", 2, False),
+        ("B=2  remat", 2, True),
+    ])
     only = sys.argv[1] if len(sys.argv) > 1 else None
     for name, b, remat in arms:
         if only and only not in name.replace(" ", ""):

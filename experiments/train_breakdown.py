@@ -20,8 +20,11 @@ import time
 
 import numpy as np
 
+import _smoke
 
-def bench(fn, *args, n=12):
+
+def bench(fn, *args, n=None):
+    n = _smoke.pick(12, 1) if n is None else n
     import jax
 
     def ready(o):
@@ -39,6 +42,7 @@ def bench(fn, *args, n=12):
 
 
 def main():
+    _smoke.init()
     import jax
     import jax.numpy as jnp
 
@@ -52,21 +56,24 @@ def main():
     from speechmix_tpu.training import trainer as trainer_lib
     from speechmix_tpu.training.trainer import TrainConfig
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    B = int(pos[0]) if pos else _smoke.pick(16, 2)
     step_only = "--step-only" in sys.argv  # skip fwd/vg/enc compiles
     cfg = SpeechMixConfig(
-        encoder=SPEECH_ENCODER_PRESETS["wav2vec2-base"],
-        decoder=SEQ2SEQ_PRESETS["bart-base"], down_scale=2)
+        encoder=SPEECH_ENCODER_PRESETS[_smoke.enc_preset()],
+        decoder=SEQ2SEQ_PRESETS[_smoke.dec_preset()], down_scale=2)
     tc = TrainConfig(learning_rate=1e-4, warmup_steps=0, grad_accum=1,
                      bf16=True, use_flash=True, output_dir="")
-    t_samples = cfg.encoder.aligned_samples(16 * 16000)
+    sec = _smoke.pick(16, 0.5)
+    t_samples = cfg.encoder.aligned_samples(int(sec * 16000))
     rng = np.random.RandomState(0)
     batch = {
         "input_values": jnp.asarray(
             rng.randn(B, t_samples).astype(np.float32) * 0.1),
-        "lengths": jnp.asarray(np.full((B,), 16 * 16000, np.int32)),
+        "lengths": jnp.asarray(np.full((B,), int(sec * 16000), np.int32)),
         "labels": jnp.asarray(
-            rng.randint(100, 5000, size=(B, 48)).astype(np.int64)),
+            rng.randint(100, _smoke.pick(5000, 200),
+                        size=(B, 48)).astype(np.int64)),
     }
 
     state = trainer_lib.create_train_state(jax.random.PRNGKey(0), cfg, tc)
@@ -88,14 +95,14 @@ def main():
         st, m = step(st, batch, jnp.float32(1.0))
         float(jax.device_get(m["loss"]))
         times = []
-        for _ in range(12):
+        for _ in range(_smoke.pick(12, 1)):
             t0 = time.perf_counter()
             st, m = step(st, batch, jnp.float32(1.0))
             float(jax.device_get(m["loss"]))
             times.append(time.perf_counter() - t0)
         t_step = min(times)
         print(f"full train step (B={B})       : {t_step*1e3:8.1f} ms "
-              f"({B*16.0/t_step:7.1f} audio-sec/s/chip)", flush=True)
+              f"({B*sec/t_step:7.1f} audio-sec/s/chip)", flush=True)
         return
 
     t_fwd = bench(jax.jit(loss_fn), params, key)
@@ -147,7 +154,7 @@ def main():
     st, m = step(st, batch, jnp.float32(1.0))
     float(jax.device_get(m["loss"]))
     times = []
-    for _ in range(12):
+    for _ in range(_smoke.pick(12, 1)):
         t0 = time.perf_counter()
         st, m = step(st, batch, jnp.float32(1.0))
         float(jax.device_get(m["loss"]))

@@ -23,8 +23,11 @@ import time
 
 import numpy as np
 
+import _smoke
 
-def run_variant(name, tc, cfg, batch, force_transposed=False, steps=20):
+
+def run_variant(name, tc, cfg, batch, force_transposed=False, steps=None):
+    steps = _smoke.pick(20, 1) if steps is None else steps
     import jax
     import jax.numpy as jnp
     from speechmix_tpu.ops.pallas import flash_attention_kernel as fk
@@ -57,6 +60,7 @@ def run_variant(name, tc, cfg, batch, force_transposed=False, steps=20):
 
 
 def main():
+    _smoke.init()
     import jax
     import jax.numpy as jnp
 
@@ -67,17 +71,19 @@ def main():
                                       SEQ2SEQ_PRESETS, SpeechMixConfig)
     from speechmix_tpu.training.trainer import TrainConfig
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else _smoke.pick(16, 2)
     cfg = SpeechMixConfig(
-        encoder=SPEECH_ENCODER_PRESETS["wav2vec2-base"],
-        decoder=SEQ2SEQ_PRESETS["bart-base"], down_scale=2)
-    t_samples = cfg.encoder.aligned_samples(16 * 16000)
+        encoder=SPEECH_ENCODER_PRESETS[_smoke.enc_preset()],
+        decoder=SEQ2SEQ_PRESETS[_smoke.dec_preset()], down_scale=2)
+    sec = _smoke.pick(16, 0.5)
+    t_samples = cfg.encoder.aligned_samples(int(sec * 16000))
     rng = np.random.RandomState(0)
-    labels = rng.randint(100, 5000, size=(B, 48)).astype(np.int64)
+    labels = rng.randint(100, _smoke.pick(5000, 200),
+                         size=(B, 48)).astype(np.int64)
     batch = {
         "input_values": jnp.asarray(
             rng.randn(B, t_samples).astype(np.float32) * 0.1),
-        "lengths": jnp.asarray(np.full((B,), 16 * 16000, np.int32)),
+        "lengths": jnp.asarray(np.full((B,), int(sec * 16000), np.int32)),
         "labels": jnp.asarray(labels),
     }
     base = dict(learning_rate=1e-4, warmup_steps=0, grad_accum=1,

@@ -29,6 +29,19 @@ from .models import seq2seq
 from .models import speechmix as smx
 
 
+# Shared cross-KV beam decode (round 5): beam/group/constrained search keep
+# ONE cross-attention K/V projection per input row instead of tiling it
+# num_beams times; seq2seq._cross_attention folds the beams into the einsum
+# q axis.  Identical math (pinned token-exact in tests/test_generation.py);
+# toggle kept for paired A/B measurement only.
+_BEAM_SHARED_CROSS_KV = True
+
+
+def set_beam_shared_cross_kv(on: bool):
+    global _BEAM_SHARED_CROSS_KV
+    _BEAM_SHARED_CROSS_KV = bool(on)
+
+
 # ----------------------------------------------------------------------------
 # HF LogitsProcessor stack
 # ----------------------------------------------------------------------------
@@ -480,12 +493,23 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
         prefix_allowed_tokens_fn)
 
     rep = lambda x: jnp.repeat(x, k, axis=0)
-    enc_hidden_t, enc_mask_t = rep(enc_hidden), rep(enc_mask)
     enc_ids_t = None
     if encoder_input_ids is not None:
         enc_ids_t = rep(jnp.asarray(encoder_input_ids, jnp.int32))
-    cache0 = seq2seq.init_decoder_cache(params, dcfg, enc_hidden_t, b * k,
-                                        s_max, dtype, kv_int8=kv_int8)
+    if _BEAM_SHARED_CROSS_KV:
+        # ONE cross projection per input row: decode folds the beams into
+        # the einsum q axis (seq2seq._cross_attention shared-KV path) —
+        # 1/k the cross-KV HBM stream per step (the decode bandwidth
+        # floor) and 1/k the prefill projection FLOPs/memory.  A/B toggle:
+        # set_beam_shared_cross_kv (experiments/beam_serving.py).
+        cache0 = seq2seq.init_decoder_cache(params, dcfg, enc_hidden, b * k,
+                                            s_max, dtype, kv_int8=kv_int8)
+        dec_enc_mask = enc_mask
+    else:
+        cache0 = seq2seq.init_decoder_cache(params, dcfg, rep(enc_hidden),
+                                            b * k, s_max, dtype,
+                                            kv_int8=kv_int8)
+        dec_enc_mask = rep(enc_mask)
 
     def gather(x, idx):
         """(B, N, ...) gathered to (B, idx.shape[1], ...)"""
@@ -517,7 +541,7 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
 
     def body(c):
         out = seq2seq.decode(params, dcfg, c["last_tok"],
-                             encoder_mask=enc_mask_t, cache=c["cache"],
+                             encoder_mask=dec_enc_mask, cache=c["cache"],
                              adapters=adapters, dtype=dtype,
                              use_flash=use_flash)
         logp = jax.nn.log_softmax(
@@ -679,14 +703,21 @@ def group_beam_search(params, dcfg, enc_hidden, enc_mask, max_length,
         prefix_allowed_tokens_fn)
 
     rep = lambda x: jnp.repeat(x, k, axis=0)
-    enc_hidden_t, enc_mask_t = rep(enc_hidden), rep(enc_mask)
     enc_ids_g = None
     if encoder_input_ids is not None:
         # per-group processor rows are (B*kg): tile by the group size
         enc_ids_g = jnp.repeat(jnp.asarray(encoder_input_ids, jnp.int32),
                                kg, axis=0)
-    cache0 = seq2seq.init_decoder_cache(params, dcfg, enc_hidden_t, b * k,
-                                        s_max, dtype, kv_int8=kv_int8)
+    if _BEAM_SHARED_CROSS_KV:
+        # shared cross-KV across ALL k beams (see beam_search)
+        cache0 = seq2seq.init_decoder_cache(params, dcfg, enc_hidden, b * k,
+                                            s_max, dtype, kv_int8=kv_int8)
+        dec_enc_mask = enc_mask
+    else:
+        cache0 = seq2seq.init_decoder_cache(params, dcfg, rep(enc_hidden),
+                                            b * k, s_max, dtype,
+                                            kv_int8=kv_int8)
+        dec_enc_mask = rep(enc_mask)
 
     # beam 0 of each group live at step 0
     scores0 = jnp.where(jnp.arange(kg) == 0, 0.0, float(-1e9))
@@ -713,7 +744,7 @@ def group_beam_search(params, dcfg, enc_hidden, enc_mask, max_length,
 
     def body(c):
         out = seq2seq.decode(params, dcfg, c["last_tok"],
-                             encoder_mask=enc_mask_t, cache=c["cache"],
+                             encoder_mask=dec_enc_mask, cache=c["cache"],
                              adapters=adapters, dtype=dtype,
                              use_flash=use_flash)
         logp_all = jax.nn.log_softmax(
@@ -1117,12 +1148,23 @@ def constrained_beam_search(params, dcfg, enc_hidden, enc_mask, max_length,
         prefix_allowed_tokens_fn)
 
     rep = lambda x: jnp.repeat(x, k, axis=0)
-    enc_hidden_t, enc_mask_t = rep(enc_hidden), rep(enc_mask)
     enc_ids_t = None
     if encoder_input_ids is not None:
         enc_ids_t = rep(jnp.asarray(encoder_input_ids, jnp.int32))
-    cache0 = seq2seq.init_decoder_cache(params, dcfg, enc_hidden_t, b * k,
-                                        s_max, dtype, kv_int8=kv_int8)
+    if _BEAM_SHARED_CROSS_KV:
+        # ONE cross projection per input row: decode folds the beams into
+        # the einsum q axis (seq2seq._cross_attention shared-KV path) —
+        # 1/k the cross-KV HBM stream per step (the decode bandwidth
+        # floor) and 1/k the prefill projection FLOPs/memory.  A/B toggle:
+        # set_beam_shared_cross_kv (experiments/beam_serving.py).
+        cache0 = seq2seq.init_decoder_cache(params, dcfg, enc_hidden, b * k,
+                                            s_max, dtype, kv_int8=kv_int8)
+        dec_enc_mask = enc_mask
+    else:
+        cache0 = seq2seq.init_decoder_cache(params, dcfg, rep(enc_hidden),
+                                            b * k, s_max, dtype,
+                                            kv_int8=kv_int8)
+        dec_enc_mask = rep(enc_mask)
 
     def gather(x, idx):
         return jnp.take_along_axis(
@@ -1157,7 +1199,7 @@ def constrained_beam_search(params, dcfg, enc_hidden, enc_mask, max_length,
 
     def body(c):
         out = seq2seq.decode(params, dcfg, c["last_tok"],
-                             encoder_mask=enc_mask_t, cache=c["cache"],
+                             encoder_mask=dec_enc_mask, cache=c["cache"],
                              adapters=adapters, dtype=dtype,
                              use_flash=use_flash)
         logp = jax.nn.log_softmax(

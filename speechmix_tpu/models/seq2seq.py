@@ -368,8 +368,29 @@ def _cross_attention(attn_params, cfg, x_q, enc_hidden, bias, cross_kv,
     s = scale if scale is not None else 1.0 / _math.sqrt(d)
     q = layers.dense(attn_params["q_proj"], x_q, dtype)
     q = q.reshape(*q.shape[:2], cfg.num_heads, d)
+    # Shared cross-KV beam decode: when the query batch is a multiple of
+    # the cache batch (beam search keeps ONE cross projection per input
+    # row instead of tiling it num_beams times), fold the beams into the
+    # q_len axis of the einsum — same math, 1/num_beams the K/V bytes
+    # streamed per step, which is the decode bandwidth floor (PERF.md
+    # stage breakdown).  Beams are contiguous per input row (jnp.repeat
+    # tiling in generation.py), so the reshape is layout-only.
+    kb = 1
+    if q.shape[0] != k.shape[-1]:
+        bkv = k.shape[-1]
+        if q.shape[0] % bkv or q.shape[1] != 1:
+            raise ValueError(
+                f"cross-KV batch {bkv} incompatible with query batch "
+                f"{q.shape[0]} x q_len {q.shape[1]}")
+        kb = q.shape[0] // bkv
+        q = q.reshape(bkv, kb, cfg.num_heads, d)
+        for m, what in ((bias, "cross bias"), (kv_mask, "encoder mask")):
+            if m is not None and m.shape[0] not in (1, bkv):
+                raise ValueError(
+                    f"{what} batch {m.shape[0]} != KV batch {bkv}; pass "
+                    f"the UNTILED encoder mask with a shared-KV cache")
     # cross K/V arrives batch-minor (T, H, D, B) — see precompute_cross_kv
-    if bias is None:
+    if bias is None and kb == 1:
         from ..ops.attention import maybe_decode_kernel
         # the opt-in Pallas kernel wants (B, T, H, D); the transpose is
         # loop-invariant and hoisted, but it costs a full-cache copy —
@@ -403,6 +424,8 @@ def _cross_attention(attn_params, cfg, x_q, enc_hidden, bias, cross_kv,
     out = jnp.einsum("bhqk,khdb->bqhd", probs, v.astype(dtype),
                      preferred_element_type=dtype)
     out = out.reshape(*out.shape[:2], cfg.num_heads * d)
+    if kb > 1:
+        out = out.reshape(out.shape[0] * kb, 1, cfg.num_heads * d)
     return (layers.dense(attn_params["out_proj"], out, dtype)
             if out_proj else out)
 

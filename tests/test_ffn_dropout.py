@@ -307,3 +307,43 @@ def test_dispatch_grad_through_jit():
     assert gv.shape == (H, F)
     assert bool(jnp.all(jnp.isfinite(gv)))
     assert float(jnp.abs(gv).max()) > 0.0
+
+
+def test_mask_distribution_uniform_across_program_ids():
+    """Distribution assertion for the PRNG dropout stream (VERDICT r4 #8):
+    the (seed, program_id) regeneration scheme must behave like an i.i.d.
+    Bernoulli(1-rate) field — uniform across grid blocks (no program_id
+    bias), across rows and columns (no lane/sublane structure), and with
+    distinct bits per block (no stream reuse between program_ids)."""
+    rate = 0.25
+    n, cols, bc = 2048, 256, 128
+    m = np.asarray(_regen(11, n, cols, rate, bc)) > 0   # keep indicator
+
+    # global keep rate: 4-sigma Bernoulli bound on n*cols draws
+    p = 1 - rate
+    sigma = np.sqrt(p * (1 - p) / (n * cols))
+    assert abs(m.mean() - p) < 4 * sigma, m.mean()
+
+    # per-block keep rates (the program_id axis): every (BR x bc) block
+    # within 5 sigma of p — a biased pid stream would blow this
+    blocks = m.reshape(n // BR, BR, cols // bc, bc)
+    bm = blocks.mean(axis=(1, 3))
+    bsig = np.sqrt(p * (1 - p) / (BR * bc))
+    assert np.abs(bm - p).max() < 5 * bsig, bm
+
+    # rows and columns: max deviation over cols tests of sqrt(n) scale
+    rsig = np.sqrt(p * (1 - p) / cols)
+    assert np.abs(m.mean(axis=1) - p).max() < 6 * rsig
+    csig = np.sqrt(p * (1 - p) / n)
+    assert np.abs(m.mean(axis=0) - p).max() < 6 * csig
+
+    # blocks draw DISTINCT streams: no two grid blocks share their bits
+    flat = blocks.transpose(0, 2, 1, 3).reshape(-1, BR * bc)
+    for i in range(flat.shape[0]):
+        for j in range(i + 1, flat.shape[0]):
+            assert not np.array_equal(flat[i], flat[j]), (i, j)
+
+    # adjacent-cell independence probe: P(keep | left neighbor kept) ~ p
+    both = (m[:, 1:] & m[:, :-1]).mean()
+    cond = both / max(m[:, :-1].mean(), 1e-9)
+    assert abs(cond - p) < 6 * rsig, cond

@@ -228,3 +228,37 @@ def test_num_beam_groups_requires_enough_beams(params):
         gen_lib.generate(params, CFG, wav, max_length=4,
                             num_beams=1, num_beam_groups=2,
                             diversity_penalty=0.5)
+
+
+def test_beam_shared_cross_kv_matches_tiled(params):
+    """Shared cross-KV beam decode (one cross projection per input row,
+    beams folded into the einsum q axis — round-5 serving lever) is a pure
+    layout change: beam / group-beam / constrained results equal the tiled
+    path token-for-token and score-for-score."""
+    wav = jnp.asarray(
+        np.random.RandomState(3).randn(2, 16000).astype(np.float32) * 0.1)
+    embeds, mask, _ = smx.encode_speech(params, CFG, wav)
+    enc_out = s2s.encode(params["nlp"], DEC, inputs_embeds=embeds,
+                         attention_mask=mask)
+    h, m = enc_out["last_hidden_state"], enc_out["mask"]
+
+    def run_all():
+        b = gen_lib.beam_search(params["nlp"], DEC, h, m, 8, num_beams=3,
+                                output_scores=True)
+        g = gen_lib.group_beam_search(params["nlp"], DEC, h, m, 8,
+                                      num_beams=4, num_beam_groups=2,
+                                      diversity_penalty=0.7)
+        c = gen_lib.constrained_beam_search(params["nlp"], DEC, h, m, 8,
+                                            [[70, 71]], num_beams=3,
+                                            output_scores=True)
+        return [np.asarray(x) for grp in (b, g, c) for x in grp]
+
+    gen_lib.set_beam_shared_cross_kv(True)
+    shared = run_all()
+    try:
+        gen_lib.set_beam_shared_cross_kv(False)
+        tiled = run_all()
+    finally:
+        gen_lib.set_beam_shared_cross_kv(True)
+    for a, b_ in zip(shared, tiled):
+        np.testing.assert_allclose(a, b_, rtol=0, atol=0)
