@@ -34,18 +34,21 @@ import _smoke
 
 
 def bench(fn, *args, n=None):
+    """Distinct-input, device_get-synced timing.  The first run of this
+    harness timed REPEATED identical calls with block_until_ready and read
+    a 0.07 ms greedy B=32 (impossible) — so every timed call here gets a
+    DISTINCT traced epsilon (fn's last arg; perturbs the input on-device,
+    no host transfer, no recompile) and syncs by pulling the small token
+    outputs (headline.py's barrier).  The eps=0 warmup result is returned
+    for token-agreement checks."""
     import jax
+    import jax.numpy as jnp
 
-    def ready(o):
-        for leaf in jax.tree_util.tree_leaves(o):
-            leaf.block_until_ready()
-        return o
-
-    out = ready(fn(*args))
+    out = jax.device_get(fn(*args, jnp.float32(0.0)))
     times = []
-    for _ in range(_smoke.pick(6, 1) if n is None else n):
+    for i in range(_smoke.pick(6, 1) if n is None else n):
         t0 = time.perf_counter()
-        out = ready(fn(*args))
+        jax.device_get(fn(*args, jnp.float32(1e-9 * (i + 1))))
         times.append(time.perf_counter() - t0)
     return min(times), out
 
@@ -63,7 +66,8 @@ def main():
     from speechmix_tpu.models import speechmix as smx
     from speechmix_tpu import generation as gen_lib
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else _smoke.pick(32, 2)
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    B = int(pos[0]) if pos else _smoke.pick(32, 2)
     B_big = _smoke.pick(128, 2)
     seconds, max_len = _smoke.pick(16.0, 0.5), _smoke.pick(64, 4)
     cfg = SpeechMixConfig(
@@ -90,9 +94,10 @@ def main():
         gen_lib.set_beam_shared_cross_kv(shared)
         try:
             @jax.jit
-            def decode(params, wav, lengths):
+            def decode(params, wav, lengths, eps):
                 return gen_lib.generate(
-                    params, cfg, wav, lengths, max_length=max_len,
+                    params, cfg, wav * (1.0 + eps), lengths,
+                    max_length=max_len,
                     num_beams=num_beams, use_flash=True, dtype=jnp.bfloat16,
                     kv_int8=kv, num_beam_groups=groups,
                     diversity_penalty=div)
@@ -117,9 +122,24 @@ def main():
 
     if "--big" in sys.argv or _smoke.ON:
         wav_b, len_b = make_wav(B_big)
+        # greedy at B_big has the same decode-row count as beam-4 at
+        # B_big/4 — the anchor that isolates beam bookkeeping overhead
+        run(f"greedy B={B_big} (beam-row anchor)", B_big, wav_b, len_b, 1,
+            True)
         run(f"beam-4 B={B_big} shared bf16", B_big, wav_b, len_b, 4, True)
         run(f"beam-4 B={B_big} shared kv_int8", B_big, wav_b, len_b, 4, True,
             kv=True)
+
+    if "--probe" in sys.argv or _smoke.ON:
+        # timing probe: beam step with the self-KV cache reorder stubbed to
+        # identity (WRONG outputs — isolates the per-step gather cost)
+        saved = gen_lib._gather_cache
+        gen_lib._gather_cache = lambda cache, idx, b_, k_: cache
+        try:
+            run(f"beam-4 B={B} shared, no cache-reorder (probe)", B, wav,
+                lengths, 4, True)
+        finally:
+            gen_lib._gather_cache = saved
 
 
 if __name__ == "__main__":

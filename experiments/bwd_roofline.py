@@ -49,10 +49,12 @@ import _smoke
 
 
 def scan_time(body, carry0, iters=8, label="", flops_per_iter=None):
-    """Time jit(scan(body, carry0, length=iters)) end-to-end; report the
-    marginal per-iteration time ((t_total - t_1) / (iters - 1) would need
-    two compiles, so we use t_total/iters with the one-off overhead
-    amortized 1/iters — good to ~3% at iters=8 given ~29 ms overhead)."""
+    """Time jit(scan(body, carry0, length=iters)) end-to-end and report
+    t_total/iters.  iters must be LARGE (64 in the default run): the
+    tunnel's fixed per-call overhead (~29 ms round-3 measured, ~2.5-3.5 ms
+    observed on this path) is amortized 1/iters — the first run of this
+    harness at iters=8 put ~3.5 ms on every row, the same order as the
+    gemms under measurement, and was discarded."""
     import jax
 
     @jax.jit
@@ -87,9 +89,10 @@ def main():
 
     from speechmix_tpu.ops.pallas import ffn_kernel as fk
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else _smoke.pick(16, 2)
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    B = int(pos[0]) if pos else _smoke.pick(16, 2)
     rows, H, F = _smoke.pick((B * 800, 768, 3072), (256, 128, 256))
-    it = _smoke.pick(8, 2)
+    it = _smoke.pick(64, 2)
     rng = np.random.RandomState(0)
     bf = jnp.bfloat16
 

@@ -245,6 +245,16 @@ def set_ffn_dropout_fused(on: bool):
     _FFN_DROPOUT_FUSED = bool(on)
 
 
+def set_ffn_bwd_fused(on: bool):
+    """Switch the fused-FFN trainable backward between the hand-derived
+    XLA recompute formulas (default, round 5) and the Pallas dgrad/wgrad
+    kernels (ffn_kernel.ffn_fused_bwd) — A/B toggle for
+    experiments/ffn_bwd_ab.py.  The round-4 jax.vjp backward stays
+    reachable via ffn_kernel.set_ffn_bwd_impl("vjp")."""
+    from .pallas import ffn_kernel as fk
+    fk.set_ffn_bwd_impl("pallas" if on else "hand")
+
+
 def _dropout_seed(rng):
     """Derive the kernels' int32 stream seed from a site rng key (same
     scheme as the flash-attention dropout dispatch, ops/attention.py)."""

@@ -257,7 +257,83 @@ def _frl_bwd(act, eps, block_rows, block_f, interpret, resids, grad):
     return vjp(grad.astype(x.dtype))
 
 
-ffn_res_ln_trainable.defvjp(_frl_fwd, _frl_bwd)
+def _ln_bwd(grad, y_pre, g, eps):
+    """Backward of LN(y_pre)*g+beta given d(out)=grad: returns
+    (dy_pre, dgamma, dbeta).  All f32 row-local math."""
+    grad = grad.astype(jnp.float32)
+    y = y_pre.astype(jnp.float32)
+    hdim = y.shape[-1]
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    d = y - mu
+    var = jnp.mean(d * d, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = d * inv
+    dgamma = jnp.sum(grad * xhat, axis=0)
+    dbeta = jnp.sum(grad, axis=0)
+    gg = grad * g.astype(jnp.float32)
+    dy = inv * (gg - jnp.mean(gg, axis=-1, keepdims=True) -
+                xhat * jnp.mean(gg * xhat, axis=-1, keepdims=True))
+    return dy, dgamma, dbeta
+
+
+def _frl_bwd_pallas(act, eps, block_rows, block_f, interpret, resids, grad):
+    """Pallas backward for the FFN+residual+LN block: recompute the pre-LN
+    sum with the FUSED forward kernel (VMEM-resident intermediate), do the
+    row-local LN backward in XLA (bandwidth ops), then run the dgrad/wgrad
+    kernels on dy.  2 + 7 gemm-units vs the XLA chain's ~6 — the A/B
+    (experiments/ffn_bwd_ab.py) decides whether the seam removal pays."""
+    x, w1, b1, w2, b2, res, g, beta = resids
+    interp = interpret or not _on_tpu()
+    y_pre = ffn_fused(x, w1, b1, w2, b2, act=act, block_rows=block_rows,
+                      block_f=block_f,
+                      interpret=interp).astype(jnp.float32) + \
+        res.astype(jnp.float32)
+    dy, dgamma, dbeta = _ln_bwd(grad, y_pre, g, eps)
+    dy = dy.astype(x.dtype)
+    dx, dw1, db1, dw2, db2 = ffn_fused_bwd(
+        x, dy, w1, b1, w2, act=act, block_rows=block_rows, interpret=interp)
+    return (dx, dw1.astype(w1.dtype),
+            None if b1 is None else db1.astype(b1.dtype),
+            dw2.astype(w2.dtype),
+            None if b2 is None else db2.astype(b2.dtype),
+            dy.astype(res.dtype), dgamma.astype(g.dtype),
+            dbeta.astype(beta.dtype))
+
+
+def _frl_bwd_hand(act, eps, block_rows, block_f, interpret, resids, grad,
+                  amask=None, omask=None):
+    """Hand-derived backward of LN(res + drop_o(ffn_drop(x)) ) — shared by
+    the no-dropout and dropout res+LN variants (the dropout ones pass the
+    regenerated masks)."""
+    x, w1, b1, w2, b2, res, g, beta = resids
+    y = _xla_ffn_drop(x, w1, b1, w2, b2, amask, act).astype(jnp.float32) \
+        if (amask is not None or omask is not None) else \
+        _xla_ffn(x, w1, b1, w2, b2, act).astype(jnp.float32)
+    if omask is not None:
+        y = y * omask
+    y_pre = res.astype(jnp.float32) + y
+    dy, dgamma, dbeta = _ln_bwd(grad, y_pre, g, eps)
+    g_out = dy * omask if omask is not None else dy
+    dx, dw1, db1, dw2, db2 = _ffn_bwd_hand(x, w1, b1, w2, g_out, act,
+                                           amask=amask)
+    return (dx, dw1, db1, dw2,
+            None if b2 is None else db2.astype(b2.dtype),
+            dy.astype(res.dtype), dgamma.astype(g.dtype),
+            dbeta.astype(beta.dtype))
+
+
+def _frl_bwd_dispatch(act, eps, block_rows, block_f, interpret, resids,
+                      grad):
+    if _BWD_IMPL == "pallas":
+        return _frl_bwd_pallas(act, eps, block_rows, block_f, interpret,
+                               resids, grad)
+    if _BWD_IMPL == "hand":
+        return _frl_bwd_hand(act, eps, block_rows, block_f, interpret,
+                             resids, grad)
+    return _frl_bwd(act, eps, block_rows, block_f, interpret, resids, grad)
+
+
+ffn_res_ln_trainable.defvjp(_frl_fwd, _frl_bwd_dispatch)
 
 
 def _kernel_dense_res_ln(x_ref, w_ref, b_ref, res_ref, g_ref, beta_ref,
@@ -352,7 +428,42 @@ def _drl_bwd(eps, block_rows, interpret, resids, grad):
     return vjp(grad.astype(x.dtype))
 
 
-dense_res_ln_trainable.defvjp(_drl_fwd, _drl_bwd)
+def _dense_bwd_hand(x, w, b, res, g, beta, eps, grad, omask=None):
+    """Hand-derived backward of LN(res + drop(x @ w + b)); shared by the
+    no-dropout and dropout dense epilogue variants (vjp of the same chain
+    measured 63 vs 104 TFLOP/s — bwd_roofline.py round-5)."""
+    f32 = jnp.float32
+    xd = x.dtype
+    y = jnp.dot(x, w.astype(xd), preferred_element_type=f32)
+    if b is not None:
+        y = y + b.astype(f32)
+    if omask is not None:
+        y = y * omask
+    y_pre = res.astype(f32) + y
+    dy, dgamma, dbeta = _ln_bwd(grad, y_pre, g, eps)
+    g_out = dy * omask if omask is not None else dy
+    g16 = g_out.astype(xd)
+    dx = jax.lax.dot_general(g16, w.astype(xd), (((1,), (1,)), ((), ())),
+                             preferred_element_type=xd)
+    dw = jax.lax.dot_general(x, g16, (((0,), (0,)), ((), ())),
+                             preferred_element_type=f32).astype(w.dtype)
+    db = None if b is None else \
+        jnp.sum(g_out.astype(f32), axis=0).astype(b.dtype)
+    return (dx, dw, db, dy.astype(res.dtype), dgamma.astype(g.dtype),
+            dbeta.astype(beta.dtype))
+
+
+def _drl_bwd_dispatch(eps, block_rows, interpret, resids, grad):
+    if _BWD_IMPL in ("hand", "pallas"):
+        # no Pallas variant for the single-gemm epilogue: there is no
+        # (N, F) intermediate to keep in VMEM — the hand formulas are the
+        # whole win here
+        x, w, b, res, g, beta = resids
+        return _dense_bwd_hand(x, w, b, res, g, beta, eps, grad)
+    return _drl_bwd(eps, block_rows, interpret, resids, grad)
+
+
+dense_res_ln_trainable.defvjp(_drl_fwd, _drl_bwd_dispatch)
 
 
 def _xla_ffn(x, w1, b1, w2, b2, act):
@@ -392,7 +503,252 @@ def _fft_bwd(act, block_rows, block_f, interpret, res, g):
     return vjp(g.astype(x.dtype))
 
 
-ffn_fused_trainable.defvjp(_fft_fwd, _fft_bwd)
+# (defvjp bound below, after _fft_bwd_dispatch — the backward is
+# implementation-switched between the XLA recompute chain and the round-5
+# Pallas dgrad/wgrad kernels)
+
+
+# ----------------------------------------------------------------------------
+# Fused FFN BACKWARD kernels (round 5, VERDICT r4 #3): Pallas dgrad + wgrad
+# with the (rows, F) intermediate recomputed chunk-wise in VMEM — the same
+# no-residual trade as the recompute VJP, but neither the intermediate nor
+# its gradient ever touches HBM.  Two kernels because the two weight-grad
+# accumulations need opposite grid orders:
+#   dgrad  grid (row-tiles, f-chunks):  dx_i   += da_ij @ W1[:,j]^T
+#   wgrad  grid (f-chunks, row-tiles):  dW[j]  += reductions over rows i
+# FLOP trade vs the XLA-chain recompute backward (_fft_bwd): 7 gemm-units
+# (dgrad recomputes fc1; wgrad recomputes fc1 + dh again) vs 5 — the win
+# hypothesis is purely HBM traffic + fusion-seam removal; decided by
+# measurement (experiments/bwd_roofline.py / ffn_bwd_ab.py).
+# ----------------------------------------------------------------------------
+
+def _dact_f32(name, a):
+    """d/da activation(a), f32, matching _act_f32's definitions."""
+    if name == "gelu":
+        pdf = jnp.exp(-0.5 * a * a) * float(1.0 / math.sqrt(2 * math.pi))
+        return 0.5 * (1.0 + _erf_f32(a * (1.0 / math.sqrt(2.0)))) + a * pdf
+    if name == "gelu_new":
+        c = math.sqrt(2.0 / math.pi)
+        u = c * (a + 0.044715 * a * a * a)
+        t = jnp.tanh(u)
+        return 0.5 * (1.0 + t) + 0.5 * a * (1.0 - t * t) * c * \
+            (1.0 + 3 * 0.044715 * a * a)
+    if name == "relu":
+        return (a > 0).astype(jnp.float32)
+    if name == "silu":
+        s = jax.nn.sigmoid(a)
+        return s * (1.0 + a * (1.0 - s))
+    raise ValueError(f"unsupported activation {name!r}")
+
+
+def _kernel_bwd_dx(x_ref, g_ref, w1_ref, b1_ref, w2_ref, o_ref, acc_ref, *,
+                   act, nj):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    a = jax.lax.dot_general(x, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    a = a + b1_ref[...].astype(jnp.float32)
+    dh = jax.lax.dot_general(g_ref[...], w2_ref[...],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    da = (dh * _dact_f32(act, a)).astype(x.dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        da, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _flush():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _kernel_bwd_dw(x_ref, g_ref, w1_ref, b1_ref, w2_ref, dw1_ref, dw2_ref,
+                   db1_ref, acc1_ref, acc2_ref, accb_ref, *, act, ni):
+    i = pl.program_id(1)  # rows INNER so the per-chunk accs span all rows
+
+    @pl.when(i == 0)
+    def _init():
+        acc1_ref[...] = jnp.zeros_like(acc1_ref)
+        acc2_ref[...] = jnp.zeros_like(acc2_ref)
+        accb_ref[...] = jnp.zeros_like(accb_ref)
+
+    x = x_ref[...]
+    g = g_ref[...]
+    a = jax.lax.dot_general(x, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    a = a + b1_ref[...].astype(jnp.float32)
+    h = _act_f32(act, a).astype(x.dtype)
+    dh = jax.lax.dot_general(g, w2_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    da = (dh * _dact_f32(act, a)).astype(x.dtype)
+    acc1_ref[...] += jax.lax.dot_general(
+        x, da, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc2_ref[...] += jax.lax.dot_general(
+        h, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    accb_ref[...] += jnp.sum(da.astype(jnp.float32), axis=0, keepdims=True)
+
+    @pl.when(i == ni - 1)
+    def _flush():
+        dw1_ref[...] = acc1_ref[...].astype(dw1_ref.dtype)
+        dw2_ref[...] = acc2_ref[...].astype(dw2_ref.dtype)
+        db1_ref[...] = accb_ref[...].astype(db1_ref.dtype)
+
+
+def ffn_fused_bwd(x, g, w1, b1, w2, *, act="gelu", block_rows=256,
+                  block_f=768, interpret=False):
+    """Backward of y = act(x @ w1 + b1) @ w2 + b2 given dL/dy = g.
+    Returns (dx, dw1, db1, dw2, db2) in f32 (weight grads) / x.dtype (dx),
+    with the (rows, F) intermediate and its gradient VMEM-resident
+    throughout.  block_f defaults smaller than the forward's (the wgrad
+    kernel holds two (H x block_f) f32 accumulators in VMEM)."""
+    n, hdim = x.shape
+    fdim = w1.shape[1]
+    if w1.shape != (hdim, fdim) or w2.shape != (fdim, hdim) or \
+            g.shape != (n, hdim):
+        raise ValueError(f"shape mismatch: x {x.shape} g {g.shape} "
+                         f"w1 {w1.shape} w2 {w2.shape}")
+    block_f = min(block_f, fdim)
+    if hdim % 128 or fdim % block_f or block_f % 128 or n % block_rows:
+        raise ValueError(f"unsupported dims N={n} H={hdim} F={fdim} "
+                         f"block_f={block_f} block_rows={block_rows}")
+    nj = fdim // block_f
+    ni = n // block_rows
+    dtype = x.dtype
+    b1r = (b1 if b1 is not None else jnp.zeros((fdim,))).reshape(1, fdim)
+    g = g.astype(dtype)
+
+    dx = pl.pallas_call(
+        functools.partial(_kernel_bwd_dx, act=act, nj=nj),
+        grid=(ni, nj),
+        in_specs=[
+            pl.BlockSpec((block_rows, hdim), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_rows, hdim), lambda i, j: (i, 0)),
+            pl.BlockSpec((hdim, block_f), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_f), lambda i, j: (0, j)),
+            pl.BlockSpec((block_f, hdim), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_rows, hdim), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, hdim), dtype),
+        scratch_shapes=[pltpu.VMEM((block_rows, hdim), jnp.float32)],
+        interpret=interpret,
+    )(x, g, w1.astype(dtype), b1r.astype(jnp.float32), w2.astype(dtype))
+
+    dw1, dw2, db1 = pl.pallas_call(
+        functools.partial(_kernel_bwd_dw, act=act, ni=ni),
+        grid=(nj, ni),
+        in_specs=[
+            pl.BlockSpec((block_rows, hdim), lambda j, i: (i, 0)),
+            pl.BlockSpec((block_rows, hdim), lambda j, i: (i, 0)),
+            pl.BlockSpec((hdim, block_f), lambda j, i: (0, j)),
+            pl.BlockSpec((1, block_f), lambda j, i: (0, j)),
+            pl.BlockSpec((block_f, hdim), lambda j, i: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((hdim, block_f), lambda j, i: (0, j)),
+            pl.BlockSpec((block_f, hdim), lambda j, i: (j, 0)),
+            pl.BlockSpec((1, block_f), lambda j, i: (0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hdim, fdim), jnp.float32),
+            jax.ShapeDtypeStruct((fdim, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((1, fdim), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hdim, block_f), jnp.float32),
+            pltpu.VMEM((block_f, hdim), jnp.float32),
+            pltpu.VMEM((1, block_f), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, g, w1.astype(dtype), b1r.astype(jnp.float32), w2.astype(dtype))
+
+    db2 = jnp.sum(g.astype(jnp.float32), axis=0)
+    return dx, dw1, db1.reshape(fdim), dw2, db2
+
+
+# module toggle: the trainable wrappers' backward implementation.
+# "hand" (default) = hand-derived recompute formulas in XLA — measured 24%
+#   faster than autodiff of the same chain on v5e
+#   (experiments/bwd_roofline.py round-5: 2.026 vs 2.517 ms/layer-FFN at
+#   flagship encoder shapes; the vjp chain re-materializes the activation
+#   and derives gelu' through erf's vjp, where the hand version computes
+#   dact analytically in one fused elementwise pass);
+# "vjp" = jax.vjp through the XLA chain (round-4 behavior, kept for A/B);
+# "pallas" = the dgrad/wgrad kernels above (TPU; interpret off-TPU in
+#   tests) — 7 gemm-units vs hand's 5, kept for the measured close.
+# Switched by ops.layers.set_ffn_bwd_fused / set_ffn_bwd_impl for A/B.
+_BWD_IMPL = "hand"
+
+
+def set_ffn_bwd_impl(impl: str):
+    global _BWD_IMPL
+    if impl not in ("hand", "vjp", "pallas"):
+        raise ValueError(impl)
+    _BWD_IMPL = impl
+
+
+def _ffn_bwd_hand(x, w1, b1, w2, g_out, act, amask=None):
+    """Hand-derived backward of y = drop_a(act(x @ w1 + b1)) @ w2 + b2
+    given dL/dy = g_out (f32 or x.dtype).  Returns
+    (dx, dw1, db1_or_None, dw2, db2) with weight grads f32-accumulated and
+    cast to the primal dtypes.  amask: the {0, 1/(1-r)} activation-dropout
+    mask (None = no dropout)."""
+    f32 = jnp.float32
+    xd = x.dtype
+    a = jnp.dot(x, w1.astype(xd), preferred_element_type=f32)
+    if b1 is not None:
+        a = a + b1.astype(f32)
+    h = _act_f32(act, a)
+    dact = _dact_f32(act, a)
+    if amask is not None:
+        h = h * amask
+        dact = dact * amask
+    h = h.astype(xd)
+    g16 = g_out.astype(xd)
+    dh = jax.lax.dot_general(g16, w2.astype(xd), (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    da = (dh * dact).astype(xd)
+    dx = jax.lax.dot_general(da, w1.astype(xd), (((1,), (1,)), ((), ())),
+                             preferred_element_type=xd)
+    dw1 = jax.lax.dot_general(x, da, (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    dw2 = jax.lax.dot_general(h, g16, (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    db1 = None if b1 is None else \
+        jnp.sum(da.astype(f32), axis=0).astype(b1.dtype)
+    db2 = jnp.sum(g_out.astype(f32), axis=0)
+    return (dx, dw1.astype(w1.dtype), db1, dw2.astype(w2.dtype), db2)
+
+
+def _fft_bwd_hand(act, block_rows, block_f, interpret, res, g):
+    x, w1, b1, w2, b2 = res
+    dx, dw1, db1, dw2, db2 = _ffn_bwd_hand(x, w1, b1, w2, g, act)
+    return (dx, dw1, db1,
+            dw2, None if b2 is None else db2.astype(b2.dtype))
+
+
+def _fft_bwd_dispatch(act, block_rows, block_f, interpret, res, g):
+    x, w1, b1, w2, b2 = res
+    if _BWD_IMPL == "pallas":
+        dx, dw1, db1, dw2, db2 = ffn_fused_bwd(
+            x, g, w1, b1, w2, act=act, block_rows=block_rows,
+            interpret=interpret or not _on_tpu())
+        return (dx,
+                dw1.astype(w1.dtype),
+                None if b1 is None else db1.astype(b1.dtype),
+                dw2.astype(w2.dtype),
+                None if b2 is None else db2.astype(b2.dtype))
+    if _BWD_IMPL == "hand":
+        return _fft_bwd_hand(act, block_rows, block_f, interpret, res, g)
+    return _fft_bwd(act, block_rows, block_f, interpret, res, g)
+
+
+ffn_fused_trainable.defvjp(_fft_fwd, _fft_bwd_dispatch)
 
 
 # ----------------------------------------------------------------------------
@@ -618,6 +974,10 @@ def _fdt_bwd(act, act_rate, block_rows, block_f, resids, grad):
                              min(block_f, fdim))
     else:
         amask = _xla_dropout_mask(seed, (n, fdim), act_rate)
+    if _BWD_IMPL != "vjp":
+        dx, dw1, db1, dw2, db2 = _ffn_bwd_hand(x, w1, b1, w2, grad, act,
+                                               amask=amask)
+        return (dx, dw1, db1, dw2, db2.astype(b2.dtype), None)
     _, vjp = jax.vjp(
         lambda x_, w1_, b1_, w2_, b2_:
             _xla_ffn_drop(x_, w1_, b1_, w2_, b2_, amask, act),
@@ -702,6 +1062,10 @@ def _fdrl_bwd(act, act_rate, out_rate, eps, block_rows, block_f, resids,
                  if act_rate > 0.0 else None)
         omask = (_xla_dropout_mask(seed + 1, (n, hdim), out_rate)
                  if out_rate > 0.0 else None)
+    if _BWD_IMPL != "vjp":
+        return (*_frl_bwd_hand(act, eps, block_rows, block_f, False,
+                               (x, w1, b1, w2, b2, res, g, beta), grad,
+                               amask=amask, omask=omask), None)
     _, vjp = jax.vjp(
         lambda x_, w1_, b1_, w2_, b2_, res_, g_, beta_:
             _xla_ffn_drop_res_ln(x_, w1_, b1_, w2_, b2_, res_, g_, beta_,
@@ -761,6 +1125,9 @@ def _ddrl_bwd(rate, eps, block_rows, resids, grad):
         omask = dropout_mask(seed, n, hdim, rate, block_rows, hdim)
     else:
         omask = _xla_dropout_mask(seed, (n, hdim), rate)
+    if _BWD_IMPL != "vjp":
+        return (*_dense_bwd_hand(x, w, b, res, g, beta, eps, grad,
+                                 omask=omask), None)
     _, vjp = jax.vjp(
         lambda x_, w_, b_, res_, g_, beta_:
             _xla_dense_drop_res_ln(x_, w_, b_, res_, g_, beta_, omask, eps),

@@ -31,6 +31,7 @@ HARNESSES = [
     ("ffn_ab.py", [], ["barrier win:", "generate barrier="]),
     ("ffn_dropout_ab.py", [], ["[tier1]", "in-kernel dropout win:"]),
     ("ffn_dropout_ab.py", ["--converge"], ["A curve:", "B curve:"]),
+    ("ffn_bwd_ab.py", [], ["Pallas bwd", "step dropout-ON, hand bwd"]),
     ("ffn_fused_ab.py", [], ["XLA chain :", "generate fused="]),
     ("headline.py", [], ["kv_int8=0:", "kv_int8=1:"]),
     ("large_pair_train.py", [], ["large B=2  no-remat", "large B=2  remat"]),

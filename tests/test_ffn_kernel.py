@@ -453,3 +453,92 @@ def test_post_ln_encoder_fused_epilogues_in_situ():
     assert y_k.shape[0] * y_k.shape[1] >= 1024  # kernels actually engaged
     np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_x), rtol=2e-4,
                                atol=2e-4)
+
+
+@pytest.mark.parametrize("act", ["gelu", "gelu_new", "relu", "silu"])
+def test_ffn_fused_bwd_kernels_match_autodiff(act):
+    """Round-5 Pallas dgrad/wgrad kernels (ffn_fused_bwd): every gradient
+    equals autodiff of the f32 reference chain (interpret mode)."""
+    x, w1, b1, w2, b2 = _mats(rows=512, f=512)
+    g = jnp.asarray(
+        np.random.RandomState(9).randn(512, H).astype(np.float32))
+
+    def loss(x, w1, b1, w2, b2):
+        return jnp.sum(_ref(x, w1, b1, w2, b2, act) * g)
+
+    ref_grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    dx, dw1, db1, dw2, db2 = fk.ffn_fused_bwd(
+        x, g, w1, b1, w2, act=act, block_rows=256, block_f=128,
+        interpret=True)
+    for got, want, name in ((dx, ref_grads[0], "dx"),
+                            (dw1, ref_grads[1], "dw1"),
+                            (db1, ref_grads[2], "db1"),
+                            (dw2, ref_grads[3], "dw2"),
+                            (db2, ref_grads[4], "db2")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+def test_ffn_fused_bwd_multi_tile_grid():
+    """block_f < F and block_rows < N together: the wgrad accumulators must
+    span all row tiles and the dgrad accumulator all f chunks."""
+    x, w1, b1, w2, b2 = _mats(rows=1024, f=512)
+    g = jnp.asarray(
+        np.random.RandomState(3).randn(1024, H).astype(np.float32))
+    fine = fk.ffn_fused_bwd(x, g, w1, b1, w2, act="gelu", block_rows=256,
+                            block_f=128, interpret=True)
+    coarse = fk.ffn_fused_bwd(x, g, w1, b1, w2, act="gelu", block_rows=1024,
+                              block_f=512, interpret=True)
+    for a, b_ in zip(fine, coarse):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_ffn_trainable_pallas_bwd_toggle_matches_xla_bwd():
+    """set_ffn_bwd_fused(True) switches the trainable VJP to the Pallas
+    kernels; grads must match the default XLA-recompute backward."""
+    x, w1, b1, w2, b2 = _mats(rows=512, f=512)
+
+    def loss(x, w1, b1, w2, b2):
+        y = fk.ffn_fused_trainable(x, w1, b1, w2, b2, "gelu", 256, 128,
+                                   True)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    grads_xla = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    layers.set_ffn_bwd_fused(True)
+    try:
+        grads_pl = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2,
+                                                           b2)
+    finally:
+        layers.set_ffn_bwd_fused(False)
+    for a, b_ in zip(grads_pl, grads_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_ffn_res_ln_pallas_bwd_toggle_matches_xla_bwd():
+    """The res+LN trainable backward switched to Pallas (fused-recompute +
+    XLA LN-bwd + dgrad/wgrad kernels) matches the XLA-chain backward for
+    every input's gradient."""
+    x, w1, b1, w2, b2 = _mats(rows=512, f=512)
+    rng = np.random.RandomState(11)
+    res = jnp.asarray(rng.randn(512, H).astype(np.float32) * 0.5)
+    g = jnp.asarray(1.0 + 0.1 * rng.randn(H).astype(np.float32))
+    beta = jnp.asarray(0.1 * rng.randn(H).astype(np.float32))
+
+    def loss(x, w1, b1, w2, b2, res, g, beta):
+        y = fk.ffn_res_ln_trainable(x, w1, b1, w2, b2, res, g, beta,
+                                    "gelu", 1e-5, 256, 128, True)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    args = (x, w1, b1, w2, b2, res, g, beta)
+    grads_xla = jax.grad(loss, argnums=tuple(range(8)))(*args)
+    layers.set_ffn_bwd_fused(True)
+    try:
+        grads_pl = jax.grad(loss, argnums=tuple(range(8)))(*args)
+    finally:
+        layers.set_ffn_bwd_fused(False)
+    names = ("dx", "dw1", "db1", "dw2", "db2", "dres", "dgamma", "dbeta")
+    for a, b_, n in zip(grads_pl, grads_xla, names):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=5e-4, err_msg=n)

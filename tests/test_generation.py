@@ -262,3 +262,29 @@ def test_beam_shared_cross_kv_matches_tiled(params):
         gen_lib.set_beam_shared_cross_kv(True)
     for a, b_ in zip(shared, tiled):
         np.testing.assert_allclose(a, b_, rtol=0, atol=0)
+
+
+def test_beam_shared_cross_kv_matches_tiled_int8(params):
+    """Shared cross-KV composed with the int8-quantized cross cache: the
+    per-(token, head) scale broadcast must land on the beam-folded q axis
+    identically to the tiled layout."""
+    wav = jnp.asarray(
+        np.random.RandomState(5).randn(2, 16000).astype(np.float32) * 0.1)
+    embeds, mask, _ = smx.encode_speech(params, CFG, wav)
+    enc_out = s2s.encode(params["nlp"], DEC, inputs_embeds=embeds,
+                         attention_mask=mask)
+    h, m = enc_out["last_hidden_state"], enc_out["mask"]
+
+    def run():
+        return gen_lib.beam_search(params["nlp"], DEC, h, m, 8, num_beams=3,
+                                   kv_int8=True, output_scores=True)
+
+    gen_lib.set_beam_shared_cross_kv(True)
+    shared = [np.asarray(x) for x in run()]
+    try:
+        gen_lib.set_beam_shared_cross_kv(False)
+        tiled = [np.asarray(x) for x in run()]
+    finally:
+        gen_lib.set_beam_shared_cross_kv(True)
+    for a, b_ in zip(shared, tiled):
+        np.testing.assert_allclose(a, b_, rtol=0, atol=0)

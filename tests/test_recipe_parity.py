@@ -44,8 +44,9 @@ def test_recipe_loss_curves_track_reference():
 
     wavs, labels = rp.make_examples()
     steps = 60
-    ref_losses = np.array(rp.run_reference(ref_model, wavs, labels, steps))
-    our_losses, _ = rp.run_ours(params, cfg, wavs, labels, steps)
+    ref_losses, _ = rp.run_reference(ref_model, wavs, labels, steps)
+    ref_losses = np.array(ref_losses)
+    our_losses, _, _ = rp.run_ours(params, cfg, wavs, labels, steps)
     our_losses = np.array(our_losses)
 
     assert len(ref_losses) == steps
