@@ -412,15 +412,24 @@ def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
 # ----------------------------------------------------------------------------
 
 def _gather_cache(cache: seq2seq.DecoderCache, idx, batch, beams):
-    """Cache leaves have a leading layer axis; gather on the batch axis."""
+    """Cache leaves have a leading layer axis; reorder on the beam axis.
+
+    Implemented as a one-hot contraction over the K axis instead of
+    take_along_axis: XLA lowers the broadcast gather over the (L, B, K,
+    T, H, D) cache to a slow general-gather (~6.6 ms/step at beam-4
+    flagship shapes — the single biggest beam-step cost, measured by the
+    no-reorder probe in experiments/beam_serving.py), while the K x K
+    one-hot einsum is a bandwidth-bound pass over the same bytes."""
+    onehot = jax.nn.one_hot(idx, beams, axis=-1)             # (B, Kout, Kin)
+
     def g(x):
         if not hasattr(x, "ndim") or x.ndim <= 1:
             return x
-        # (L, B*K, ...) -> gather axis 1
         l = x.shape[0]
-        xr = x.reshape(l, batch, beams, *x.shape[2:])
-        take = idx.reshape(1, batch, beams, *([1] * (x.ndim - 2)))
-        return jnp.take_along_axis(xr, take, axis=2).reshape(x.shape)
+        xr = x.reshape(l, batch, beams, -1)                  # (L, B, Kin, R)
+        out = jnp.einsum("boi,lbir->lbor", onehot.astype(x.dtype), xr,
+                         preferred_element_type=x.dtype)
+        return out.reshape(x.shape)
     # cross K/V (and scales) are invariant under beam reorder: every beam of
     # a batch row carries the identical tiled encoder projection, so
     # gathering them would be a full-size identity copy each step — skip it
@@ -429,6 +438,28 @@ def _gather_cache(cache: seq2seq.DecoderCache, idx, batch, beams):
         cross_k=cache.cross_k, cross_v=cache.cross_v,
         cross_k_scale=cache.cross_k_scale,
         cross_v_scale=cache.cross_v_scale)
+
+
+
+def _topk_over_beams(scores3, k2):
+    """jax.lax.top_k over the flattened (K, V) axes of scores3 (B, K, V),
+    computed as a per-beam top-k2 prepass + a (B, K*k2) merge.  Exact:
+    same values, same flat indices, same tie ORDER (per-beam candidates
+    stay in flat-index order, so equal values resolve to the lowest flat
+    index exactly as the one-shot top_k does).  Why: XLA TPU TopK cost
+    grows with the column count — at beam-4 flagship shapes the one-shot
+    top_k over K*V = 201k columns dominates the beam step
+    (experiments/topk_probe.py), while V-column top_ks amortize across
+    the B*K rows."""
+    b, k, v = scores3.shape
+    if k == 1 or k2 > v:
+        return jax.lax.top_k(scores3.reshape(b, k * v), k2)
+    vals, idx = jax.lax.top_k(scores3.reshape(b * k, v), k2)
+    flat = (idx.reshape(b, k, k2) +
+            (jnp.arange(k, dtype=idx.dtype) * v)[None, :, None])
+    top_v, pos = jax.lax.top_k(vals.reshape(b, k * k2), k2)
+    top_i = jnp.take_along_axis(flat.reshape(b, k * k2), pos, axis=1)
+    return top_v, top_i
 
 
 def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
@@ -578,15 +609,15 @@ def beam_search(params, dcfg, enc_hidden, enc_mask, max_length, num_beams=4,
             g = -jnp.log(-jnp.log(jax.random.uniform(
                 jax.random.fold_in(rng, c["s"]), flat.shape,
                 minval=1e-20, maxval=1.0) + 1e-20))
-            _, topk_idx = jax.lax.top_k(flat + g, k2)
+            _, topk_idx = _topk_over_beams(
+                (flat + g).reshape(b, k, vocab), k2)
             topk_scores = jnp.take_along_axis(flat, topk_idx, axis=1)
             # HF sorts the sampled candidates by score descending
             order = jnp.argsort(-topk_scores, axis=1)
             topk_scores = jnp.take_along_axis(topk_scores, order, axis=1)
             topk_idx = jnp.take_along_axis(topk_idx, order, axis=1)
         else:
-            topk_scores, topk_idx = jax.lax.top_k(
-                acc.reshape(b, k * vocab), k2)               # (B, 2K)
+            topk_scores, topk_idx = _topk_over_beams(acc, k2)  # (B, 2K)
         src_beam = topk_idx // vocab
         tok = (topk_idx % vocab).astype(jnp.int32)
         topk_seqs = gather(c["running_seqs"], src_beam)      # (B, 2K, S)
@@ -785,8 +816,7 @@ def group_beam_search(params, dcfg, enc_hidden, enc_mask, max_length,
                 prefix_beams=kg)
             acc = logp.reshape(b, kg, vocab) + \
                 c["running_scores"][:, g][:, :, None]
-            topk_scores, topk_idx = jax.lax.top_k(
-                acc.reshape(b, kg * vocab), k2g)             # (B, 2kg)
+            topk_scores, topk_idx = _topk_over_beams(acc, k2g)  # (B, 2kg)
             src_beam = topk_idx // vocab
             tok = (topk_idx % vocab).astype(jnp.int32)
             topk_seqs = jnp.take_along_axis(
@@ -1224,7 +1254,7 @@ def constrained_beam_search(params, dcfg, enc_hidden, enc_mask, max_length,
         vocab = logp.shape[-1]
         acc = logp.reshape(b, k, vocab) + c["running_scores"][:, :, None]
         # ------- vanilla 2K advancement -------
-        topk_scores, topk_idx = jax.lax.top_k(acc.reshape(b, k * vocab), k2)
+        topk_scores, topk_idx = _topk_over_beams(acc, k2)
         src_beam = topk_idx // vocab                         # (B, 2K)
         tok = (topk_idx % vocab).astype(jnp.int32)
         hits = tok == eos                                    # EOS only;
