@@ -120,6 +120,33 @@ def main():
     run(f"group-beam k=4 G=2 d=1.0 B={B} shared", B, wav, lengths, 4, True,
         groups=2, div=1.0)
 
+    if "--full-surface" in sys.argv or _smoke.ON:
+        # the remaining decode surfaces: beam-sample and constrained beam
+        gen_lib.set_beam_shared_cross_kv(True)
+
+        @jax.jit
+        def bs(params, wav, lengths, eps):
+            return gen_lib.generate(params, cfg, wav * (1.0 + eps), lengths,
+                                    max_length=max_len, num_beams=4,
+                                    do_sample=True, top_k=50,
+                                    use_flash=True, dtype=jnp.bfloat16,
+                                    rng=jax.random.PRNGKey(0))
+
+        t, _ = bench(bs, params, wav, lengths)
+        print(f"{'beam-sample k=4 top_k=50 B=' + str(B):42s}: "
+              f"{t*1e3:8.1f} ms  RTFx {B*seconds/t:7.1f}", flush=True)
+
+        @jax.jit
+        def cb(params, wav, lengths, eps):
+            return gen_lib.generate(params, cfg, wav * (1.0 + eps), lengths,
+                                    max_length=max_len, num_beams=4,
+                                    force_words_ids=[[318, 262]],
+                                    use_flash=True, dtype=jnp.bfloat16)
+
+        t, _ = bench(cb, params, wav, lengths)
+        print(f"{'constrained k=4 (1 bigram) B=' + str(B):42s}: "
+              f"{t*1e3:8.1f} ms  RTFx {B*seconds/t:7.1f}", flush=True)
+
     if "--big" in sys.argv or _smoke.ON:
         wav_b, len_b = make_wav(B_big)
         # greedy at B_big has the same decode-row count as beam-4 at

@@ -8,7 +8,8 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 LOG=/tmp/expq
 mkdir -p "$LOG"
 for s in extractor_ab train_step_ab ffn_ab ffn_fused_ab attn_epilogue_ab \
-         ffn_dropout_ab large_pair_train headline; do
+         ffn_dropout_ab bwd_roofline ffn_bwd_ab beam_serving \
+         large_pair_train headline; do
   echo "=== $s $(date -u +%H:%M:%S) ==="
   timeout 3000 python /root/repo/experiments/$s.py >"$LOG/$s.log" 2>&1
   echo "--- exit $? ; tail:"
