@@ -31,8 +31,12 @@ def scan_time(body, carry0, iters, label):
     def run(c):
         c, _ = jax.lax.scan(lambda c, _: (body(c), None), c, None,
                             length=iters)
-        return c
+        # scalar checksum: device_get of the FULL carry over the tunnel
+        # (~40 MB/s) once measured as the entire "result" — a 157 MB pull
+        # spread over 32 iters read as 121 ms/iter of fake compute
+        return jnp.sum(c.astype(jnp.float32))
 
+    import jax.numpy as jnp
     out = jax.device_get(run(carry0))
     times = []
     for _ in range(_smoke.pick(5, 1)):

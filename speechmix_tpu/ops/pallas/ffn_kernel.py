@@ -41,11 +41,16 @@ functions fall back to XLA formulas with a seed-derived jax.random mask
 (deterministic per backend; only within-backend determinism is
 contractual, as with flash dropout).
 
-Backward: `ffn_fused_trainable` wraps the kernel in a custom VJP whose
-backward recomputes through the XLA chain — flash-style: the (B, T, F)
-intermediate is never stored as a residual, trading one extra fc1 gemm in
-the backward for the biggest activation buffer in the block (the same
-trade jax.checkpoint would make, but keeping the fused forward).
+Backward (round 5): every trainable wrapper recomputes — flash-style, the
+(B, T, F) intermediate is never stored as a residual (the jax.checkpoint
+trade with a fused forward) — through one of three implementations
+switched by `_BWD_IMPL` / `set_ffn_bwd_impl`:
+  "hand" (default): hand-derived XLA formulas (analytic activation
+      derivatives, f32 weight-grad accumulation) — measured 149 vs 120
+      TFLOP/s against jax.vjp of the same chain (PERF.md round-5);
+  "vjp": jax.vjp through the XLA chain (the round-4 behavior);
+  "pallas": the dgrad/wgrad kernels (`ffn_fused_bwd`) — fastest
+      standalone, but 7-vs-5 gemm units and scoped-VMEM-bound in situ.
 """
 
 from __future__ import annotations
