@@ -84,7 +84,7 @@ class TranscriptionPipeline:
                    "forced_eos_token_id", "length_penalty", "early_stopping",
                    "num_beam_groups", "diversity_penalty",
                    "encoder_no_repeat_ngram_size",
-                   "prefix_allowed_tokens_fn"}
+                   "prefix_allowed_tokens_fn", "force_words_ids"}
         generate_kwargs = dict(generate_kwargs or {})
         bad = set(generate_kwargs) - allowed
         if bad:
@@ -100,6 +100,17 @@ class TranscriptionPipeline:
             if generate_kwargs.get(k):
                 generate_kwargs[k] = tuple(int(t)
                                            for t in generate_kwargs[k])
+        if generate_kwargs.get("force_words_ids"):
+            # constrained transcription (force domain terms); needs beams
+            if num_beams <= 1:
+                raise ValueError(
+                    "force_words_ids requires num_beams > 1 "
+                    "(constrained beam search)")
+            generate_kwargs["force_words_ids"] = tuple(
+                tuple(tuple(int(t) for t in w) for w in entry)
+                if entry and isinstance(entry[0], (list, tuple))
+                else tuple(int(t) for t in entry)
+                for entry in generate_kwargs["force_words_ids"])
         self.generate_kwargs = generate_kwargs
         self.long_audio = long_audio
         self.long_audio_search_sec = long_audio_search_sec
