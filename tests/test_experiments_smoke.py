@@ -36,6 +36,7 @@ HARNESSES = [
     ("headline.py", [], ["kv_int8=0:", "kv_int8=1:"]),
     ("large_pair_train.py", [], ["large B=2  no-remat", "large B=2  remat"]),
     ("recipe_step.py", [], ["ms/opt-step"]),
+    ("reorder_probe.py", [], ["all formulations identical"]),
     ("int8_gemm_probe.py", [], ["w8a8 chain"]),
     ("topk_probe.py", [], ["two-stage == flat top_k: exact"]),
     ("train_breakdown.py", [], ["value_and_grad", "full train step"]),
