@@ -157,6 +157,21 @@ def main():
         run(f"beam-4 B={B_big} shared kv_int8", B_big, wav_b, len_b, 4, True,
             kv=True)
 
+    if "--reorder-ab" in sys.argv or _smoke.ON:
+        # round-5 close-out lever: self-KV reorder einsum vs the Pallas
+        # dynamic-block-index copy (ops/pallas/beam_gather.py) in-situ.
+        toks = {}
+        for impl in ("einsum", "pallas"):
+            gen_lib.GATHER_CACHE_IMPL = impl
+            try:
+                toks[impl] = run(f"beam-4 B={B} shared reorder={impl}", B,
+                                 wav, lengths, 4, True)
+            finally:
+                gen_lib.GATHER_CACHE_IMPL = "auto"
+        same = float((toks["einsum"] == toks["pallas"]).all(axis=-1).mean())
+        print(f"    einsum vs pallas rows_token_exact = {same:.3f}",
+              flush=True)
+
     if "--probe" in sys.argv or _smoke.ON:
         # timing probe: beam step with the self-KV cache reorder stubbed to
         # identity (WRONG outputs — isolates the per-step gather cost)

@@ -10,6 +10,10 @@ reorder formulation on the exact flagship beam cache shape
   c. one-hot einsum                       (current)
   d. jnp.take on the fused (L*BK, R) rows
   e. memcpy anchor: x + 0 elementwise     (the bandwidth floor)
+  f. Pallas dynamic-block-index copy      (ops/pallas/beam_gather.py:
+     scalar-prefetched source rows drive the input BlockSpec index_map,
+     so the reorder lowers to straight per-row DMAs; K+V in one call —
+     timed here on ONE tensor for comparability with rows a-e)
 
     PYTHONPATH=/root/repo:/root/.axon_site python experiments/reorder_probe.py
 """
@@ -95,15 +99,33 @@ def main():
     def f_copy(x):
         return x + jnp.bfloat16(0)
 
+    from speechmix_tpu.ops.pallas.beam_gather import (beam_gather,
+                                                      beam_gather_supported)
+    flat_src = (jnp.arange(B, dtype=jnp.int32)[:, None] * K + idx).reshape(-1)
+    pallas_ok = beam_gather_supported(kv0, kv0)
+    if not pallas_ok:
+        # smoke shapes have R % 128 != 0; row f needs lane-aligned rows
+        print("f. pallas dyn-block-index copy: skipped (row not lane-aligned)",
+              flush=True)
+
+    def f_pallas(x):
+        return beam_gather(x, None, flat_src)
+
     t_a = scan_time(mk(f_6d), (kv0,), it, "a. take_along_axis 6-D (round-4)")
     t_b = scan_time(mk(f_flat), (kv0,), it, "b. flat row gather (L, BK, R)")
     t_c = scan_time(mk(f_onehot), (kv0,), it, "c. one-hot einsum (current)")
     t_d = scan_time(mk(f_take), (kv0,), it, "d. jnp.take fused rows")
     t_e = scan_time(mk(f_copy), (kv0,), it, "e. elementwise copy anchor")
+    if pallas_ok:
+        t_f = scan_time(mk(f_pallas), (kv0,), it,
+                        "f. pallas dyn-block-index copy")
 
     # correctness: all reorders equal
     ra = f_6d(kv0)
-    for f, n in ((f_flat, "flat"), (f_onehot, "onehot"), (f_take, "take")):
+    checks = [(f_flat, "flat"), (f_onehot, "onehot"), (f_take, "take")]
+    if pallas_ok:
+        checks.append((f_pallas, "pallas"))
+    for f, n in checks:
         assert np.array_equal(np.asarray(ra), np.asarray(f(kv0))), n
     print("all formulations identical", flush=True)
 

@@ -411,30 +411,61 @@ def greedy_decode(params, dcfg, enc_hidden, enc_mask, max_length,
 # beam search
 # ----------------------------------------------------------------------------
 
+# Self-KV reorder implementation: "auto" routes to the Pallas
+# dynamic-block-index copy kernel on TPU when the layout supports it and
+# falls back to the one-hot einsum; "einsum"/"pallas" force one path
+# (the in-situ A/B in experiments/beam_serving.py flips this).
+GATHER_CACHE_IMPL = "auto"
+
+
 def _gather_cache(cache: seq2seq.DecoderCache, idx, batch, beams):
     """Cache leaves have a leading layer axis; reorder on the beam axis.
 
-    Implemented as a one-hot contraction over the K axis instead of
-    take_along_axis: XLA lowers the broadcast gather over the (L, B, K,
-    T, H, D) cache to a slow general-gather (~6.6 ms/step at beam-4
-    flagship shapes — the single biggest beam-step cost, measured by the
-    no-reorder probe in experiments/beam_serving.py), while the K x K
-    one-hot einsum is a bandwidth-bound pass over the same bytes."""
-    onehot = jax.nn.one_hot(idx, beams, axis=-1)             # (B, Kout, Kin)
+    Two exact formulations of the same row permutation:
+    - Pallas dynamic-block-index copy (ops/pallas/beam_gather.py): the
+      flat source-row array is scalar-prefetched and drives the input
+      BlockSpec index_map, so the reorder lowers to straight per-row
+      DMAs — the copy floor XLA's gather formulations can't reach
+      (experiments/reorder_probe.py).  Default on TPU.
+    - K x K one-hot einsum over the (L, B, Kin, R) view: the best XLA
+      formulation (take_along_axis lowers to a slow general-gather,
+      ~6.6 ms/step at beam-4 flagship shapes — the single biggest
+      beam-step cost, measured by the no-reorder probe in
+      experiments/beam_serving.py).  Fallback everywhere else."""
+    from .ops.pallas import beam_gather as _bg
 
-    def g(x):
-        if not hasattr(x, "ndim") or x.ndim <= 1:
-            return x
-        l = x.shape[0]
-        xr = x.reshape(l, batch, beams, -1)                  # (L, B, Kin, R)
-        out = jnp.einsum("boi,lbir->lbor", onehot.astype(x.dtype), xr,
-                         preferred_element_type=x.dtype)
-        return out.reshape(x.shape)
+    sk = cache.self_kv
+    supported = (hasattr(sk, "key")
+                 and _bg.beam_gather_supported(sk.key, sk.value))
+    if GATHER_CACHE_IMPL == "pallas" and not supported:
+        raise ValueError("GATHER_CACHE_IMPL='pallas' forced but the self-KV "
+                         "layout is unsupported (row bytes not lane-aligned)")
+    use_pallas = GATHER_CACHE_IMPL == "pallas" or (
+        GATHER_CACHE_IMPL == "auto"
+        and jax.default_backend() == "tpu"
+        and supported)
+    if use_pallas:
+        flat_src = (jnp.arange(batch, dtype=jnp.int32)[:, None] * beams
+                    + idx.astype(jnp.int32)).reshape(-1)     # (B*Kout,)
+        new_k, new_v = _bg.beam_gather(sk.key, sk.value, flat_src)
+        new_self = seq2seq.KVCache(key=new_k, value=new_v, index=sk.index)
+    else:
+        onehot = jax.nn.one_hot(idx, beams, axis=-1)         # (B, Kout, Kin)
+
+        def g(x):
+            if not hasattr(x, "ndim") or x.ndim <= 1:
+                return x
+            l = x.shape[0]
+            xr = x.reshape(l, batch, beams, -1)              # (L, B, Kin, R)
+            out = jnp.einsum("boi,lbir->lbor", onehot.astype(x.dtype), xr,
+                             preferred_element_type=x.dtype)
+            return out.reshape(x.shape)
+        new_self = jax.tree_util.tree_map(g, sk)
     # cross K/V (and scales) are invariant under beam reorder: every beam of
     # a batch row carries the identical tiled encoder projection, so
     # gathering them would be a full-size identity copy each step — skip it
     return seq2seq.DecoderCache(
-        self_kv=jax.tree_util.tree_map(g, cache.self_kv),
+        self_kv=new_self,
         cross_k=cache.cross_k, cross_v=cache.cross_v,
         cross_k_scale=cache.cross_k_scale,
         cross_v_scale=cache.cross_v_scale)
